@@ -1,13 +1,500 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB-dialect ANSI SQL oracle in
+  * [[oracleSql]] unless the operator is genuinely not SQL-expressible
+  * (engine-private sketches) — those get the driver's rows-only check.
+  *
+  * Oracle-parity conventions used throughout (why results hash-match):
+  *  - integer outputs are BIGINT on both sides (DuckDB count/len/row_number
+  *    are BIGINT; Spark ints are cast);
+  *  - money/value sums go through decimal(18,2) (exact, associative — double
+  *    sums would drift between engines);
+  *  - float similarity math is a left fold over doubles in both engines
+  *    (`aggregate` / `list_reduce`), bit-identical;
+  *  - hashes are md5-derived (shared by both engines), never xxhash/murmur;
+  *  - every LIMIT/top-k carries a unique-key tiebreak;
+  *  - timestamps stay timestamp_ntz end-to-end (testdata parquet is
+  *    isAdjustedToUTC=false; DuckDB TIMESTAMP is naive).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- reference parity (SURVEY.md §2.1–2.5; posts→orders, comments→lineitem)
+    "q_yesterday_post_ids" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-03-15").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1995-03-16").cast("timestamp_ntz"))
+        .select(col("o_orderkey").as("post_id"), col("o_orderdate").as("date_gmt"))),
+
+    "q_posts_latest30" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(30)
+        .select(col("o_orderkey"), col("o_orderdate"))),
+
+    "q_normalize_ts" -> ((s, d) => {
+      val raw = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+      Tables.events(s, d).select(
+        col("event_id"), raw.as("raw"),
+        IngestTransforms.normalizeIsoTimestamp(raw).as("ts_norm"))
+    }),
+
+    "q_word_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        IngestTransforms.wordCount(col("text")).cast("long").as("word_count"))),
+
+    "q_serialize_nested" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        to_json(struct(col("lang"), col("source"))).as("meta_json"),
+        to_json(array(col("n_chars"))).as("arr_json"))),
+
+    "q_insert_ignore_posts" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      IngestTransforms.insertIgnore(
+        orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 3 === 0), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
+    "q_comments_of_yesterday_posts" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1995-07-01").cast("timestamp_ntz"))
+      Tables.lineitem(s, d)
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("o_orderdate"), col("o_orderstatus"))
+    }),
+
+    "q_comments_count_by_post" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))),
+
+    "q_wordcount_by_lang" -> ((s, d) => {
+      val wc = IngestTransforms.wordCount(col("text")).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"), wc.as("wc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("wc")).as("sum_wc"), count(lit(1)).as("n_docs"))
+        .withColumn("avg_wc", col("sum_wc").cast("double") / col("n_docs"))
+    }),
+
+    // -- relational analytics (north-star §2.4–2.7)
+    "q1_pricing_summary" -> (Analytics.pricingSummary _),
+    "q3_shipping_priority" -> (Analytics.shippingPriority _),
+    "q5_local_supplier_volume" -> (Analytics.localSupplierVolume _),
+    "q_top_customers" -> (Analytics.topCustomers _),
+    "q_window_rank" -> ((s, d) =>
+      Analytics.windowRank(s, d)
+        .withColumn("rn", col("rn").cast("long"))
+        .withColumn("value_rank", col("value_rank").cast("long"))),
+    "q_window_lag" -> (Analytics.windowLag _),
+    "q_window_frame" -> (Analytics.windowFrame _),
+    "q_distinct_users" -> (Analytics.distinctUsers _),
+    "q_approx_distinct_users" -> (Analytics.approxDistinctUsers _), // rows-only
+    "q_rollup_lineitem" -> (Analytics.rollupLineitem _),
+    "q_cube_lineitem" -> (Analytics.cubeLineitem _),
+    "q_union_nations" -> (Analytics.nationsUnion _),
+    "q_intersect_nations" -> (Analytics.nationsIntersect _),
+    "q_except_nations" -> (Analytics.nationsExcept _),
+
+    // -- event-time windows (batch faces of the streaming surface, §2.8)
+    "q_window_tumbling" -> (EventWindows.tumblingDaily _),
+    "q_window_sliding" -> (EventWindows.slidingHalfDay _),
+    "q_window_session" -> (EventWindows.sessionize _),
+    "q_json_extract_agg" -> (EventWindows.jsonExtractAgg _),
+
+    // -- dedup (training-data pipeline surface)
+    "q_dedup_exact" -> (Dedup.exactDedup _),
+    "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "q_simhash" -> (Dedup.simhash _),
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(s, d).withColumn("hamming", col("hamming").cast("long"))),
+
+    // -- similarity search over embeddings
+    "q_ann_cosine" -> ((s, d) =>
+      Similarity.bruteForceTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, 0.2)),
+
+    // -- text analysis
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(s, d)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_chars_calc", col("n_chars_calc").cast("long"))
+        .withColumn("n_punct", col("n_punct").cast("long"))
+        .withColumn("n_stopwords", col("n_stopwords").cast("long"))),
+    "q_lang_id" -> (TextAnalysis.langId _),
+    "q_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(s, d)
+        .withColumn("n_ws_tokens", col("n_ws_tokens").cast("long"))
+        .withColumn("n_bpe_tokens", col("n_bpe_tokens").cast("long"))),
+    "q_fingerprint" -> (TextAnalysis.fingerprint _),
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+  // DuckDB 1.0 dialect notes: regexp_replace needs the 'g' flag (Spark
+  // replaces all matches by default); len()/count()/row_number() are BIGINT;
+  // range(a,b) is stop-exclusive (Spark sequence(a,b) is inclusive);
+  // date_trunc returns DATE (cast back to TIMESTAMP).
+
+  /** Python-str.split()-faithful tokenization, shared by several oracles. */
+  private def sqlTokens(textCol: String): String = {
+    val stripped = s"regexp_replace($textCol, '^\\s+|\\s+$$', '', 'g')"
+    s"(CASE WHEN $stripped = '' THEN CAST([] AS VARCHAR[]) ELSE string_split_regex($stripped, '\\s+') END)"
+  }
+
+  private def sqlWordCount(textCol: String): String =
+    s"CAST(len(${sqlTokens(textCol)}) AS BIGINT)"
+
+  /** 60-bit md5-derived hash — mirror of Dedup.md5Hash60. */
+  private def sqlMd5Hash60(expr: String, seedExpr: String): String =
+    s"CAST(concat('0x', substring(md5($expr || '#' || CAST($seedExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** doc_id, lang, sset (distinct word 3-shingles) — mirror of Dedup.shingles3. */
+  private val sqlShingles =
+    s"""SELECT doc_id, lang,
+       |  list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sset
+       |FROM (SELECT doc_id, lang, ${sqlTokens("text")} AS t FROM documents)
+       |WHERE len(t) >= 3""".stripMargin
+
+  /** Mirror of Dedup.simhashBits: 60-char bit string, MSB (bit 59) first. */
+  private val sqlSimhashExpr: String = {
+    val bits = (Dedup.SimHashBits - 1 to 0 by -1).map { b =>
+      s"(CASE WHEN 2*len(list_filter(th, h -> (h >> $b) & 1 = 1)) > len(th) THEN '1' ELSE '0' END)"
+    }
+    bits.mkString("concat(", ", ", ")")
+  }
+
+  private val sqlSimhashDocs =
+    s"""SELECT doc_id, $sqlSimhashExpr AS simhash
+       |FROM (SELECT doc_id,
+       |        list_transform(list_distinct(${sqlTokens("text")}),
+       |          t -> ${sqlMd5Hash60("t", "0")}) AS th
+       |      FROM documents)""".stripMargin
+
+  /** Mirror of Similarity: left-fold double dot product over 64-dim floats. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Mirror of Similarity.lshBucket: 8 sign-random-projection bits. */
+  private val sqlLshBucket: String = {
+    val plane = "((CAST(" +
+      "CAST(concat('0x', substring(md5('plane' || CAST(p AS VARCHAR) || '~' || CAST(i-1 AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)" +
+      " AS DOUBLE) / 576460752303423488.0) - 1.0)"
+    s"""list_reduce(list_transform(range(0, 8), p ->
+       |  CASE WHEN list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * $plane), (x, y) -> x + y) >= 0
+       |    THEN CAST(1::BIGINT << p AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |  (x, y) -> x + y)""".stripMargin
+  }
+
+  private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
+  private val decRevenue =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_yesterday_post_ids" ->
+      """SELECT o_orderkey AS post_id, o_orderdate AS date_gmt FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-15'
+        |  AND o_orderdate < TIMESTAMP '1995-03-16'""".stripMargin,
+
+    "q_posts_latest30" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 30""".stripMargin,
+
+    "q_normalize_ts" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS raw,
+        |  replace(strftime(ts, '%Y-%m-%dT%H:%M:%S'), 'T', ' ') AS ts_norm
+        |FROM events""".stripMargin,
+
+    "q_word_count" ->
+      s"SELECT doc_id, ${sqlWordCount("text")} AS word_count FROM documents",
+
+    "q_serialize_nested" ->
+      """SELECT doc_id,
+        |  to_json(struct_pack(lang := lang, source := source)) AS meta_json,
+        |  to_json([n_chars]) AS arr_json
+        |FROM documents""".stripMargin,
+
+    "q_insert_ignore_posts" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0""".stripMargin,
+
+    "q_comments_of_yesterday_posts" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  o_orderdate, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'""".stripMargin,
+
+    "q_comments_count_by_post" ->
+      "SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey",
+
+    "q_wordcount_by_lang" ->
+      s"""SELECT lang, CAST(sum(wc) AS BIGINT) AS sum_wc, count(*) AS n_docs,
+         |  CAST(sum(wc) AS DOUBLE) / count(*) AS avg_wc
+         |FROM (SELECT lang, ${sqlWordCount("text")} AS wc FROM documents)
+         |GROUP BY lang""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum($decQty) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($decRevenue) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name, CAST(sum($decRevenue) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_top_customers" ->
+      """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey LIMIT 20""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id, user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS value_rank
+        |FROM events""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(event_type) OVER w AS next_type,
+        |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0 AS gap_seconds
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  count(*) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS trailing5_n
+        |FROM events""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup_lineitem" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube_lineitem" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_union_nations" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |UNION SELECT DISTINCT s_nationkey FROM supplier""".stripMargin,
+
+    "q_intersect_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_except_nations" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH b AS (SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+        |    CAST(floor(epoch_us(ts) / 43200000000) * 43200 AS BIGINT) AS s, value
+        |  FROM events)
+        |SELECT win_start, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT s AS win_start, value FROM b
+        |      UNION ALL SELECT s - INTERVAL 12 HOUR, value FROM b)
+        |GROUP BY win_start""".stripMargin,
+
+    "q_window_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    "q_json_extract_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 2""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      s"""WITH sh AS ($sqlShingles),
+         |sig AS (
+         |  SELECT doc_id, sset, list_transform(range(0, ${Dedup.NumHashes}), k ->
+         |    list_min(list_transform(sset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, sset, r.b AS band,
+         |    md5(concat(CAST(sig[2*r.b+1] AS VARCHAR), ',', CAST(sig[2*r.b+2] AS VARCHAR))) AS band_key
+         |  FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+         |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, sset, len(sset) AS n
+         |  FROM ($sqlShingles) WHERE len(sset) > 0)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+         |      (a.n + b.n - len(list_intersect(a.sset, b.sset))) AS jaccard
+         |  FROM base a JOIN base b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |   AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)
+         |WHERE jaccard >= 0.2""".stripMargin,
+
+    "q_simhash" -> sqlSimhashDocs,
+
+    "q_simhash_pairs" ->
+      s"""WITH sh AS ($sqlSimhashDocs),
+         |bands AS (
+         |  SELECT doc_id, simhash, r.q AS band, substring(simhash, r.q*15+1, 15) AS band_key
+         |  FROM sh, range(0, 4) r(q)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT doc_a, doc_b, CAST(len(list_filter(range(1, 61),
+         |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 6""".stripMargin,
+
+    "q_ann_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket,
+         |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+         |    AND q.bucket = n.bucket)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket,
+         |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.2""".stripMargin,
+
+    "q_quality_score" -> {
+      val toks = sqlTokens("text")
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with','as','at','by'))) AS BIGINT) AS n_stopwords,
+         |  CASE WHEN len($toks) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter($toks, t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with','as','at','by'))) AS DOUBLE) / len($toks) END AS stopword_ratio,
+         |  CASE WHEN len($toks) = 0 THEN 0.0 ELSE
+         |    CAST(length(text) - (len($toks) - 1) AS DOUBLE) / len($toks) END AS avg_token_len
+         |FROM documents""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      val toks = sqlTokens("text")
+      val hits = s"len(list_filter($toks, t -> lower(t) IN ('the','a','an','of','and','to','in','is','it','for','on','with','as','at','by')))"
+      s"""SELECT doc_id, lang AS declared_lang,
+         |  CASE WHEN len($toks) = 0 THEN 0.0
+         |       ELSE CAST($hits AS DOUBLE) / len($toks) END AS en_score,
+         |  CASE WHEN (CASE WHEN len($toks) = 0 THEN 0.0
+         |       ELSE CAST($hits AS DOUBLE) / len($toks) END) >= 0.05
+         |       THEN 'en' ELSE 'unknown' END AS pred_lang
+         |FROM documents""".stripMargin
+    },
+
+    "q_token_count" ->
+      s"""SELECT doc_id, ${sqlWordCount("text")} AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+  )
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+/** Readers for the driver's parquet test tables (`TESTDATA.md`).
+  *
+  * Every query takes `(spark, sfDir)` and resolves its inputs here, so the
+  * same code runs at any scale factor. Reads are plain parquet scans —
+  * Catalyst pushes filters/projections into the scan (verify via
+  * `PushedFilters`/`ReadSchema` in `.explain("formatted")`).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as raw nanos (legacy conf) and truncate to micros —
+    * exactly what DuckDB does when it loads the same file (its TIMESTAMP is
+    * microsecond-precision), so both engines see identical values.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

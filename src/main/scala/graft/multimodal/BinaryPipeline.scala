@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, flowing through Spark with real schema,
+  * partitioning and batch shape.
+  *
+  * The decode step is a clearly-marked deterministic STUB ([[FakeDecoder]]):
+  * real image/audio codecs are not present in this environment, so the stub
+  * parses a tiny self-describing header instead. Everything around it — the
+  * schema contract, the `mapPartitions` batch execution (one decoder
+  * instantiation per partition, the same shape a JNI/codec binding needs),
+  * partition sizing, and the feature-extraction output — is real and tested.
+  */
+object BinaryPipeline {
+
+  /** Typed metadata carried alongside the payload. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      payload: Array[Byte],  // opaque encoded bytes
+      source: String)
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,            // decoded header fields (stubbed)
+      height: Int,
+      checksum: Long)        // rolling checksum over payload bytes
+
+  /** STUB decoder: stands in for a real codec.
+    *
+    * Payload layout (written by [[encodeFake]]): 4 bytes magic "GRFT",
+    * 4 bytes width, 4 bytes height (big-endian), then raw content bytes.
+    * A real implementation would replace `decode` with an image/audio
+    * library call; the surrounding pipeline would not change.
+    */
+  object FakeDecoder {
+    val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
+
+    def decode(payload: Array[Byte]): (Int, Int) = {
+      require(payload.length >= 12 && payload.take(4).sameElements(Magic),
+        "not a GRFT payload")
+      def be32(off: Int): Int =
+        ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+          ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+      (be32(4), be32(8))
+    }
+
+    /** Deterministic polynomial rolling checksum (mod 2^31-1). */
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 0L
+      var i = 0
+      while (i < payload.length) {
+        h = (h * 31 + (payload(i) & 0xff)) % 2147483647L
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Build a fake encoded payload (test/fixture helper). */
+  def encodeFake(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    FakeDecoder.Magic ++ be32(width) ++ be32(height) ++ content
+  }
+
+  /** Decode + feature-extract over a media Dataset.
+    *
+    * `mapPartitions` so a real decoder would be instantiated once per
+    * partition (not per row) — the standard shape for codec/model handles.
+    * Repartitions to `targetPartitions` first: media payloads are large and
+    * skewed, so partition count is sized by byte budget, not row count.
+    */
+  def extractFeatures(media: Dataset[MediaRecord],
+      targetPartitions: Int = 0): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val sized = if (targetPartitions > 0) media.repartition(targetPartitions) else media
+    sized.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { r =>
+        val (w, h) = FakeDecoder.decode(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h,
+          FakeDecoder.checksum(r.payload))
+      }
+    }
+  }
+
+  /** Synthesize a media table from `documents` text bytes (fixture path:
+    * deterministic, no external data) — payload = fake header + utf-8 text.
+    */
+  def syntheticMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val content = text.getBytes("UTF-8")
+        MediaRecord(id, if (id % 2 == 0) "image" else "audio",
+          encodeFake((id % 640).toInt + 1, (id % 480).toInt + 1, content), source)
+      }
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational analytics surface (north-star extension of SURVEY.md §2.4–2.7):
+  * star-schema joins, grouped aggregations, window functions, rollup/cube, set
+  * operations over the driver's TPC-H-ish tables.
+  *
+  * Determinism-for-oracle notes (the driver hash-compares against DuckDB):
+  *  - money sums go through `decimal(18,2)` so addition is exact and
+  *    associative — double sums would drift between engines;
+  *  - every top-k has a unique-key tiebreak in its ORDER BY;
+  *  - averages are emitted as `decimal-sum / count` in double — a single IEEE
+  *    division of identical inputs is bit-identical across engines.
+  *
+  * Scale notes: dimension sides of joins are explicitly `broadcast()` when
+  * they are orders-of-magnitude smaller than the fact table (region/nation/
+  * supplier/customer vs lineitem); the big fact-fact join (lineitem⋈orders)
+  * is left to shuffle hash/sort-merge + AQE.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: scan-heavy grouped aggregation with
+    * map-side partial aggregation (HashAggregate partial→final).
+    */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style shipping priority: fact⋈fact⋈dim join + top-k. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local supplier volume: 6-way star join, dims broadcast. */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  /** Top-k customers by total order value (orderBy+limit → TakeOrderedAndProject). */
+  def topCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey").asc)
+      .limit(20)
+
+  // ---- window functions over events ----
+
+  private def byUserTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** Ranking windows: row_number per user by time; rank per event_type by value. */
+  def windowRank(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(byUserTime))
+      .withColumn("value_rank",
+        rank().over(Window.partitionBy("event_type").orderBy(col("value").desc)))
+      .select("event_id", "user_id", "event_type", "rn", "value_rank")
+
+  /** Analytic windows: lag/lead + inter-event gap per user. */
+  def windowLag(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(byUserTime))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
+      .withColumn("gap_seconds",
+        (col("ts").cast("double") - lag(col("ts"), 1).over(byUserTime).cast("double")))
+      .select("event_id", "user_id", "value", "prev_value", "next_type", "gap_seconds")
+
+  /** Frame-spec window: running decimal sum + trailing 5-row average per user. */
+  def windowFrame(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("running_value",
+        sum(dec(col("value"))).over(byUserTime.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .withColumn("trailing5_n",
+        count(lit(1)).over(byUserTime.rowsBetween(-4, 0)))
+      .select("event_id", "user_id", "running_value", "trailing5_n")
+
+  /** Exact distinct users per event type (expand-based distinct agg). */
+  def distinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Approximate distinct (HLL++ sketch) — no DuckDB oracle (rows-only check):
+    * sketch internals are engine-specific. This is the 100 TB path where exact
+    * distinct would shuffle every key.
+    */
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** ROLLUP over lineitem flags (partial aggregates reused across levels). */
+  def rollupLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** CUBE over lineitem flags. */
+  def cubeLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+
+  // ---- set operations (SURVEY.md §2.7, north-star) ----
+
+  def nationsUnion(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+      .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())
+      .distinct()
+
+  def nationsIntersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+
+  def nationsExcept(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+}

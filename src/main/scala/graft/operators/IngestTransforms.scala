@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructType}
+
+/** The reference pipeline's per-record transform stage, re-expressed as pure
+  * Catalyst column expressions (no UDFs → whole-stage codegen, pushdown-safe).
+  *
+  * Reference semantics (cited from /root/reference):
+  *  - T1 nested-value JSON serialization: `docker/airflow/dags/posts_pipeline.py:36-37`
+  *    (`json.dumps` on dict/list values) — schema-driven here: Spark columns are
+  *    homogeneously typed, so the per-value `type()` check becomes a per-column
+  *    check over `df.schema`.
+  *  - T2 ISO-8601 timestamp normalization: `posts_pipeline.py:38-39` — a string
+  *    of length 19 with 'T' at index 10 has its 'T's replaced by spaces.
+  *  - T3 derived `word_count`: `posts_pipeline.py:41` — Python `len(s.split())`:
+  *    split on runs of any whitespace, ignoring leading/trailing; "" → 0.
+  */
+object IngestTransforms {
+
+  /** T2: `2022-01-01T00:00:00` → `2022-01-01 00:00:00`; any other string
+    * shape passes through unchanged (heuristic applies to ANY string field,
+    * exactly as the reference's value-shape check does).
+    */
+  def normalizeIsoTimestamp(c: Column): Column =
+    when(length(c) === 19 && substring(c, 11, 1) === "T",
+      regexp_replace(c, "T", " ")).otherwise(c)
+
+  /** T3: Python `len(content.split())`. Spark's `split("", "\\s+")` yields
+    * `[""]` (size 1) where Python yields 0, hence the empty guard; Python also
+    * strips leading/trailing whitespace of ANY kind, hence the regexp trim
+    * (Spark `trim` only strips spaces).
+    */
+  def wordCount(c: Column): Column = {
+    val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(c.isNull, lit(null)).otherwise(
+      when(stripped === "", 0).otherwise(size(split(stripped, "\\s+"))))
+  }
+
+  /** T1, schema-driven: stringify every struct/array column with `to_json`,
+    * leaving scalar columns in place (same column name, same order).
+    */
+  def serializeNested(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType => to_json(col(f.name)).as(f.name)
+        case _                            => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** A1/J3 insert-ignore: `ON CONFLICT ON CONSTRAINT pk DO NOTHING`
+    * (`posts_pipeline.py:57`) ≡ dedup-within-batch + anti-join against the
+    * existing table on the PK. At scale both sides shuffle on the key unless
+    * `existingKeys` is broadcastable; Catalyst/AQE picks the strategy.
+    */
+  def insertIgnore(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
+    incoming.dropDuplicates(key)
+      .join(existing.select(key).dropDuplicates(key), Seq(key), "left_anti")
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting),
+  * generalizing the reference's single derived text feature (`word_count`,
+  * `posts_pipeline.py:41`).
+  *
+  * Everything is built-in column expressions (codegen'd, no UDFs); ratios are
+  * single IEEE divisions of exact integers so the DuckDB oracle hash-matches.
+  */
+object TextAnalysis {
+
+  /** Python-faithful whitespace tokenization (see IngestTransforms.wordCount). */
+  def tokens(c: Column): Column = {
+    val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(stripped === "", array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
+
+  private val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+    "it", "for", "on", "with", "as", "at", "by")
+
+  /** Quality scoring: token count, mean token length, punctuation ratio,
+    * stopword ratio, uppercase ratio — the standard cheap heuristics used to
+    * filter web text before training.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stops = size(filter(toks, t => t.isin(stopwords: _*)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars_calc"),
+      punct.as("n_punct"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      stops.as("n_stopwords"),
+      when(nTokens === 0, lit(0.0))
+        .otherwise(stops.cast("double") / nTokens).as("stopword_ratio"),
+      when(nTokens === 0, lit(0.0))
+        .otherwise((nChars - (nTokens - 1)).cast("double") / nTokens)
+        .as("avg_token_len"))
+  }
+
+  /** N-gram-heuristic language ID: score = stopword-hit ratio against an
+    * English function-word list; classify en / unknown. (The fixture corpus is
+    * synthetic English-ish text, so the interesting part is the operator
+    * shape: set-membership over a tokenized column, fully codegen'd.)
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = size(filter(toks, t => lower(t).isin(stopwords: _*)))
+    val ratio = when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      ratio.as("en_score"),
+      when(ratio >= 0.05, lit("en")).otherwise(lit("unknown")).as("pred_lang"))
+  }
+
+  /** BPE-ish token counting: letter runs | digit runs | single non-space
+    * symbol — the standard cheap proxy for tokenizer token counts.
+    */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_bpe_tokens"))
+
+  /** Content fingerprinting: md5 over whitespace-normalized lowercased text.
+    * md5 is bit-identical across engines → oracle-checkable, unlike
+    * engine-private hashes (xxhash64). Used as the exact-dedup key.
+    */
+  def fingerprintCol(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+}
