@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line for the driver.
@@ -8,32 +9,68 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized with a noop-format write so the FULL plan
   * executes (a bare `count()` would let Catalyst prune projections and
   * under-report the real work).
+  *
+  * Watchdog design (round-1 lesson: one runaway query ate the whole 1-hour
+  * budget and the summary line never printed): every query runs on a worker
+  * thread under its own job group with a per-query timeout
+  * (`SPARK_GRAFT_QUERY_TIMEOUT_SEC`, default 300) capped by a global soft
+  * deadline (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 3000); on timeout the
+  * job group is cancelled and the run moves on. Per-query results stream to
+  * stderr as they land, and the final JSON prints no matter what failed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val perQueryTimeout = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+    val globalBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toLong
+    val spark = Tables.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cached pool: a cancelled-but-wedged worker must not block later queries
+    val pool = Executors.newCachedThreadPool()
+    val benchStart = System.nanoTime()
+    def remainingSec: Long = globalBudget - (System.nanoTime() - benchStart) / 1000000000L
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val budget = math.min(perQueryTimeout, math.max(remainingSec, 0L))
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      var err: Option[String] = None
+      if (budget <= 0) {
+        err = Some("skipped: global budget exhausted")
+      } else {
+        val fut = pool.submit(new Runnable {
+          def run(): Unit = {
+            // job group set on the worker thread so cancelJobGroup can reach
+            // every job this query submits
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+        try fut.get(budget, TimeUnit.SECONDS)
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            fut.cancel(true)
+            err = Some(s"timeout after ${budget}s")
+          case e: java.util.concurrent.ExecutionException =>
+            err = Some(Option(e.getCause).getOrElse(e).toString.take(300))
+          case e: Throwable =>
+            err = Some(e.toString.take(300))
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-30s ${secs}%8.2fs ${err.getOrElse("ok")}")
+      (name, secs, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    pool.shutdownNow()
+
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

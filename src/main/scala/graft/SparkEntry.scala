@@ -69,6 +69,20 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    // deterministic A1 variant: survivor per key = smallest arrival order,
+    // made explicit (SURVEY §2.5 A1 caveat). The order key must be a total
+    // order within the partition — the testdata duplicates (orderkey,
+    // linenumber), so extra columns break ties.
+    "q_insert_ignore_first_writer" -> ((s, d) =>
+      IngestTransforms.insertIgnoreDeterministic(
+        Tables.lineitem(s, d),
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("l_orderkey")),
+        "l_orderkey",
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))),
+
     "q_comments_of_yesterday_posts" -> ((s, d) => {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp_ntz") &&
@@ -145,6 +159,18 @@ object SparkEntry {
         .withColumn("n_ws_tokens", col("n_ws_tokens").cast("long"))
         .withColumn("n_bpe_tokens", col("n_bpe_tokens").cast("long"))),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+
+    // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
+    //    not SQL-expressible; this makes BinaryPipeline driver-visible)
+    "q_media_features" -> ((s, d) =>
+      graft.multimodal.BinaryPipeline
+        .extractFeatures(graft.multimodal.BinaryPipeline.syntheticMediaFromDocuments(s, d))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("checksum")).as("sum_checksum"))),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -236,6 +262,15 @@ object SparkEntry {
     "q_insert_ignore_posts" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0""".stripMargin,
+
+    "q_insert_ignore_first_writer" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)""".stripMargin,
 
     "q_comments_of_yesterday_posts" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -22,16 +22,31 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and truncate to micros —
-    * exactly what DuckDB does when it loads the same file (its TIMESTAMP is
-    * microsecond-precision), so both engines see identical values.
+    * rejects; read it as raw nanos and truncate to micros — exactly what
+    * DuckDB does when it loads the same file (its TIMESTAMP is microsecond-
+    * precision), so both engines see identical values. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build (see
+    * [[sessionBuilder]]) — a reader must not mutate session conf as a side
+    * effect.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-  }
+
+  /** The session configuration every graft entrypoint (Bench, Verify, tests)
+    * builds on: UTC wall-clock semantics, NTZ parquet timestamps, nanos-as-long
+    * for the events table, AQE on, shuffle partitions sized to local cores.
+    */
+  def sessionBuilder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -17,16 +17,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Tables.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must leave an explicit error record, never a silent gap
+    // (round-1 lesson: q_window_lag vanished from the correctness report).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -37,7 +33,8 @@ object Verify {
         }
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.toString).take(500)
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +52,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty) System.err.println(s"[verify] ${errors.size} queries FAILED")
     spark.stop()
   }
 }

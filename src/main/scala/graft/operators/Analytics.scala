@@ -95,14 +95,21 @@ object Analytics {
         rank().over(Window.partitionBy("event_type").orderBy(col("value").desc)))
       .select("event_id", "user_id", "event_type", "rn", "value_rank")
 
-  /** Analytic windows: lag/lead + inter-event gap per user. */
-  def windowLag(s: SparkSession, d: String): DataFrame =
+  /** Analytic windows: lag/lead + inter-event gap per user. The gap goes
+    * through epoch micros as a LONG (TIMESTAMP_NTZ has no direct double cast
+    * in Spark 4) — integer subtraction then one double division, matching the
+    * oracle's `epoch_us(ts) - lag(epoch_us(ts))` bit-for-bit. Under the UTC
+    * session the NTZ→timestamp cast is a pure wall-clock reinterpretation.
+    */
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val micros = unix_micros(col("ts").cast("timestamp"))
     Tables.events(s, d)
       .withColumn("prev_value", lag(col("value"), 1).over(byUserTime))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUserTime))
       .withColumn("gap_seconds",
-        (col("ts").cast("double") - lag(col("ts"), 1).over(byUserTime).cast("double")))
+        (micros - lag(micros, 1).over(byUserTime)).cast("double") / 1e6)
       .select("event_id", "user_id", "value", "prev_value", "next_type", "gap_seconds")
+  }
 
   /** Frame-spec window: running decimal sum + trailing 5-row average per user. */
   def windowFrame(s: SparkSession, d: String): DataFrame =

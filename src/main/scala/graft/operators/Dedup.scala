@@ -38,63 +38,99 @@ object Dedup {
   val NumHashes = 16
   val Bands = 8 // 2 rows per band → LSH threshold ≈ (1/8)^(1/2) ≈ 0.35
 
-  /** Per-doc MinHash signature: for each of 16 seeds, the min hash over the
-    * shingle set. One narrow projection — no shuffle.
+  /** Per-doc MinHash signature as 16 columns h0..h15: explode shingles to
+    * postings, hash each once per seed, take per-doc minima in ONE aggregation.
+    *
+    * Why not `array_min(transform(sset, ...))` per seed over an array column:
+    * Catalyst's projection collapse inlines the shingle-generation subtree
+    * into every one of the 16 seed expressions — a 16× expression-tree blowup
+    * that dominated runtime (and triggered "plan too large" warnings) in
+    * round 1. The aggregation form hashes each shingle exactly 16 times,
+    * gets map-side partial aggregation, and the shuffle rows are 16 longs —
+    * no arrays.
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), shingles3(col("text")).as("sset"))
-      .filter(size(col("sset")) > 0)
-      .withColumn("sig", transform(sequence(lit(0), lit(NumHashes - 1)), k =>
-        array_min(transform(col("sset"), sh => md5Hash60(sh, k)))))
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+    val mins = (0 until NumHashes).map(k =>
+      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+    postings.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash+LSH near-duplicate pairs: band the signature (8 bands × 2 rows),
     * self-join on band key for candidates, then verify with exact Jaccard on
     * the shingle sets. Output: pairs with exact Jaccard ≥ 0.35.
+    *
+    * Scale shape: the band self-join carries ONLY (band_key, doc_id) — the
+    * heavy shingle sets stay out of the candidate shuffle. Candidate pairs are
+    * deduped (a pair can collide in several bands) *before* the sets are
+    * joined back for verification, so each set crosses the wire once per
+    * surviving pair side, not once per band collision.
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
     val banded = sig.select(
-      col("doc_id"), col("sset"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+      col("doc_id"),
+      posexplode(array((0 until Bands).map(b =>
         md5(concat_ws(",",
-          element_at(col("sig"), b * 2 + 1).cast("string"),
-          element_at(col("sig"), b * 2 + 2).cast("string"))))))
+          col(s"h${2 * b}").cast("string"),
+          col(s"h${2 * b + 1}").cast("string")))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sset").as("set_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sset").as("set_b"))
-    a.join(b, Seq("band", "band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("sset"))
+      .filter(size(col("sset")) > 0)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= 0.35)
   }
 
-  /** Exact n-gram (3-shingle) Jaccard similarity, blocked by language and a
-    * ±20% token-count band (a standard sound prefilter: |A∩B|/|A∪B| ≥ t needs
-    * |A|/|B| ≥ t, so distant lengths can't pass the threshold). All-pairs
-    * within blocks — the exact ground-truth counterpart of the LSH variant.
+  /** Exact n-gram (3-shingle) Jaccard similarity within (lang, ±20%
+    * token-count band) blocks — the exact ground-truth counterpart of the LSH
+    * variant. Same result as the naive blocked all-pairs join (pairs with zero
+    * common shingles have Jaccard 0 and can never pass the threshold), but
+    * computed via a shingle inverted index:
+    *
+    *   explode distinct shingles → self-join on (lang, shingle) → count rows
+    *   per (doc_a, doc_b) = |A∩B| → jaccard = c / (n_a + n_b − c).
+    *
+    * Scale shape: no arrays ever enter a shuffle — postings are
+    * (shingle, doc_id, n) and pair rows are three longs. Work is
+    * Σ_shingle freq², which distinct-shingles-per-doc bounds by document
+    * frequency (measured max df = 14 at sf0.1) instead of the O(block²)
+    * all-pairs of the naive plan (3.2M array-bearing rows at sf0.1 — the
+    * round-1 bench killer). At much larger corpora, stop-shingle capping or
+    * frequency-ordered prefix filtering (AllPairs/PPJoin) bounds the hot-key
+    * quadratic term.
     */
   def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.2): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sset"))
       .filter(size(col("sset")) > 0)
       .withColumn("n", size(col("sset")))
-    val a = base.select(col("lang"), col("doc_id").as("doc_a"),
-      col("sset").as("set_a"), col("n").as("n_a"))
-    val b = base.select(col("lang"), col("doc_id").as("doc_b"),
-      col("sset").as("set_b"), col("n").as("n_b"))
-    a.join(b, Seq("lang"))
+    val postings = base.select(col("lang"), col("doc_id"), col("n"),
+      explode(col("sset")).as("shingle"))
+    val a = postings.select(col("lang"), col("shingle"),
+      col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = postings.select(col("lang"), col("shingle"),
+      col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("lang", "shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * 5 >= col("n_b") * 4 && col("n_b") * 5 >= col("n_a") * 4)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -104,20 +140,27 @@ object Dedup {
   /** SimHash fingerprint (60-bit, md5-derived token hashes, emitted as a
     * bit-string so the oracle avoids 64-bit shift overflow). Majority vote per
     * bit over the distinct token set.
+    *
+    * Aggregation form for the same reason as [[minhashSignatures]]: a per-row
+    * `filter(th, ...)` per bit position inlines the tokenization subtree 60×
+    * (round-1 "plan too large"). Here each token is hashed once and the 60
+    * bit-counts are plain conditional sums — map-side partial aggregation,
+    * 61-long shuffle rows. `explode_outer` keeps zero-token docs (all-'0'
+    * fingerprint), matching the oracle's empty-list majority vote.
     */
-  def simhashBits(text: Column): Column = {
-    val th = transform(array_distinct(TextAnalysis.tokens(text)), t => md5Hash60(t, lit(0)))
-    val n = size(th)
-    val bits = (SimHashBits - 1 to 0 by -1).map { bitPos =>
-      val ones = size(filter(th, h => h.bitwiseAND(lit(1L << bitPos)) =!= 0L))
-      when(ones * 2 > n, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits: _*)
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .withColumn("h", md5Hash60(col("tok"), lit(0)))
+    val bitCounts = (SimHashBits - 1 to 0 by -1).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0)).as(s"b$b"))
+    val counted = hashed.groupBy(col("doc_id"))
+      .agg(count(col("tok")).as("n"), bitCounts: _*)
+    val bits = (SimHashBits - 1 to 0 by -1).map(b =>
+      when(col(s"b$b") * 2 > col("n"), lit("1")).otherwise(lit("0")))
+    counted.select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
-
-  def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhashBits(col("text")).as("simhash"))
 
   /** SimHash near-duplicate pairs: block on 4 substrings of 15 bits (any
     * identical quarter makes a candidate — guarantees recall for hamming ≤ 3

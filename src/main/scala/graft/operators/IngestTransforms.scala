@@ -59,4 +59,23 @@ object IngestTransforms {
   def insertIgnore(incoming: DataFrame, existing: DataFrame, key: String): DataFrame =
     incoming.dropDuplicates(key)
       .join(existing.select(key).dropDuplicates(key), Seq(key), "left_anti")
+
+  /** Deterministic first-writer-wins variant of [[insertIgnore]]: the survivor
+    * per key is the row with the smallest `orderCols` (arrival order made
+    * explicit), mirroring the reference's sequential INSERT ... ON CONFLICT DO
+    * NOTHING loop (`posts_pipeline.py:53-59`), where "first" is defined by
+    * batch order. `dropDuplicates` alone keeps an arbitrary row per key;
+    * this keeps a reproducible one — required for oracle checking and for
+    * idempotent re-runs at scale.
+    */
+  def insertIgnoreDeterministic(incoming: DataFrame, existing: DataFrame,
+      key: String, orderCols: Column*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(orderCols: _*)
+    incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(existing.select(key).dropDuplicates(key), Seq(key), "left_anti")
+  }
 }

@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * so dot products, norms and cosines are identical doubles in both engines.
   *
   * Scale shape: the query side is broadcast (top-k probes are few); the corpus
-  * side streams partition-parallel with no shuffle until the final per-query
-  * top-k (`Window` over query_id — k rows per query survive). The LSH variant
-  * buckets the corpus by sign-random-projection so each probe only scans its
-  * bucket — the 100 TB path where brute force would scan everything.
+  * side streams partition-parallel with no shuffle until the ranking stage.
+  * Ranking is two-stage: a salted per-group `row_number` (sort-based, spills,
+  * parallelism = queries × salts) keeps ≤ k rows per (query, salt), then a
+  * tiny final window ranks queries × salts × k survivors — no single-task
+  * funnel over the whole corpus×queries product. The LSH variant buckets the
+  * corpus by sign-random-projection so each probe only scans its bucket — the
+  * 100 TB path where brute force would scan everything.
   */
 object Similarity {
 
@@ -31,6 +34,56 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  val LshPlanes = 8
+  val Dims = 64
+
+  /** Deterministic pseudo-random hyperplane matrix, md5-derived (same formula
+    * as [[Dedup.md5Hash60]] on "plane{p}~{i}" seed 0, scaled to [-1, 1)) —
+    * precomputed ONCE on the driver and shipped as literals. The per-row md5
+    * of a row-independent constant (8 planes × 64 dims = 512 digests/row in
+    * the naive expression) was pure wasted CPU; the values are identical, so
+    * the DuckDB oracle (which recomputes them from md5 in SQL) still matches.
+    */
+  private[operators] lazy val planeMatrix: Array[Array[Double]] = {
+    val mdigest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, Dims) { (p, i) =>
+      val hex = mdigest.digest(s"plane$p~$i#0".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+    }
+  }
+
+  /** Sign-random-projection bucket id (8 bits) for an embedding column. */
+  def lshBucket(vec: Column): Column = {
+    val bits = (0 until LshPlanes).map { p =>
+      val plane = array(planeMatrix(p).map(lit).toSeq: _*)
+      val proj = foldSum(zip_with(vec, plane, (x, c) => x.cast("double") * c))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val TopKSalts = 64
+
+  /** Exact per-query top-k without a global per-query sort funnel: stage 1
+    * ranks within (query_id, salt) groups — queries×salts-way parallel,
+    * sort-based and spill-safe — keeping k rows each; stage 2 ranks the
+    * ≤ queries×salts×k survivors. Identical to a single `row_number` over
+    * query_id (every true top-k row wins its salt group too).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("cosine").desc, col("neighbor_id").asc)
+    val w1 = Window.partitionBy("query_id", "salt").orderBy(order: _*)
+    val w2 = Window.partitionBy("query_id").orderBy(order: _*)
+    scored
+      .withColumn("salt", pmod(col("neighbor_id"), lit(TopKSalts)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+  }
+
   /** Brute-force exact cosine top-k: queries = vec_id < 10, corpus = all
     * vectors (self excluded). Baseline for the ANN variants.
     */
@@ -39,32 +92,9 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
-  }
-
-  val LshPlanes = 8
-
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-1, 1). Reproducible in SQL, no RNG state.
-    */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (Dedup.md5Hash60(concat(lit(s"plane$plane~"), dim.cast("string")), lit(0))
-      .cast("double") / lit((1L << 59).toDouble)) - 1.0
-
-  /** Sign-random-projection bucket id (8 bits) for an embedding column. */
-  def lshBucket(vec: Column): Column = {
-    val bits = (0 until LshPlanes).map { p =>
-      val proj = foldSum(zip_with(vec, sequence(lit(0), lit(63)),
-        (x, i) => x.cast("double") * planeComponent(p, i)))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: probes only scan their own bucket, then exact cosine
@@ -79,14 +109,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("nvec"), col("bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(queries), Seq("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qvec"), col("nvec")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket

@@ -32,14 +32,15 @@ object EventStreamJob {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events parquet directory. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** File-source stream over an events parquet directory. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build
+    * ([[graft.Tables.sessionBuilder]]) for the TIMESTAMP(NANOS) column.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Tumbling 1-day windowed aggregation with a 1-hour watermark — the
     * streaming face of EventWindows.tumblingDaily.

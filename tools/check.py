@@ -57,8 +57,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         for c in g.columns:
             gv, ev = g[c], e[c]
             try:
+                both_na = pd.isna(gv).to_numpy() & pd.isna(ev).to_numpy()
                 eq = (gv.astype(object).where(pd.notna(gv), None) ==
                       ev.astype(object).where(pd.notna(ev), None))
+                eq = pd.Series(eq.to_numpy() | both_na)
             except Exception:
                 eq = pd.Series([False] * len(g))
             bad = (~eq).to_numpy().nonzero()[0]
