@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Analytics, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Sanity bounds that the DuckDB oracle cannot express: the HLL++ sketch's
+  * error bound and structural invariants of the dedup fingerprints.
+  */
+class AnalyticsSanitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within 5x the configured 1% rsd of exact") {
+    val exact = Analytics.distinctUsers(spark, Sf)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val approx = Analytics.approxDistinctUsers(spark, Sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.05, s"$k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
+  test("simhash fingerprints are 60-bit strings and deterministic") {
+    val fps = Dedup.simhash(spark, Sf).select("simhash").as[String].collect()
+    assert(fps.nonEmpty)
+    assert(fps.forall(f => f.length == Dedup.SimHashBits && f.forall(c => c == '0' || c == '1')))
+    val again = Dedup.simhash(spark, Sf).select("simhash").as[String].collect()
+    assert(fps.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("minhash LSH candidates include every exact-duplicate pair") {
+    // documents table ships exact dups (same text, different doc_id):
+    // any identical pair has Jaccard 1.0 and must collide in all bands
+    val dups = Tables.documents(spark, Sf)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && length(trim(col("fp"))) > 0)
+      .select(explode(col("ids")).as("doc_id"), col("fp"))
+    val expectedPairs = dups.as("a").join(dups.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashLshPairs(spark, Sf)
+      .filter(col("jaccard") >= 0.999)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // restrict expectation to docs with non-empty shingle sets
+    val nonEmpty = Tables.documents(spark, Sf)
+      .select(col("doc_id"), Dedup.shingles3(col("text")).as("s"))
+      .filter(size(col("s")) > 0).select("doc_id").as[Long].collect().toSet
+    val expected = expectedPairs.filter(p => nonEmpty(p._1) && nonEmpty(p._2))
+    assert(expected.subsetOf(found),
+      s"missing exact-dup pairs: ${expected -- found}")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.multimodal.BinaryPipeline
+import graft.multimodal.BinaryPipeline.{FakeDecoder, MediaRecord}
+
+/** Multimodal binary-column plumbing: encode → decode → checksum roundtrip
+  * and the distributed `mapPartitions` feature extraction (SURVEY.md
+  * north-star; the decoder itself is a disclosed stub, the plumbing is real).
+  */
+class BinaryPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("encode/decode roundtrip recovers header fields") {
+    val payload = BinaryPipeline.encodeFake(640, 480, "hello media".getBytes("UTF-8"))
+    assert(FakeDecoder.decode(payload) == ((640, 480)))
+  }
+
+  test("decode rejects payloads without the magic header") {
+    intercept[IllegalArgumentException] {
+      FakeDecoder.decode("JPEGnotreally".getBytes("US-ASCII"))
+    }
+  }
+
+  test("checksum is deterministic and content-sensitive") {
+    val a = BinaryPipeline.encodeFake(1, 1, "abc".getBytes)
+    val b = BinaryPipeline.encodeFake(1, 1, "abd".getBytes)
+    assert(FakeDecoder.checksum(a) == FakeDecoder.checksum(a))
+    assert(FakeDecoder.checksum(a) != FakeDecoder.checksum(b))
+  }
+
+  test("extractFeatures runs distributed and preserves metadata") {
+    val media = Seq(
+      MediaRecord(1L, "image", BinaryPipeline.encodeFake(64, 48, Array.fill(100)(7.toByte)), "s1"),
+      MediaRecord(2L, "audio", BinaryPipeline.encodeFake(1, 1, Array[Byte]()), "s2"),
+      MediaRecord(3L, "video", BinaryPipeline.encodeFake(1920, 1080, "frame".getBytes), "s3"))
+      .toDS()
+    val feats = BinaryPipeline.extractFeatures(media, targetPartitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 64 && feats(1L).height == 48)
+    assert(feats(1L).n_bytes == 112) // 12-byte header + 100 content bytes
+    assert(feats(2L).n_bytes == 12)
+    assert(feats(3L).width == 1920 && feats(3L).height == 1080)
+    assert(feats.values.forall(_.checksum >= 0))
+  }
+
+  test("synthetic media from documents flows end-to-end (driver-visible path)") {
+    val media = BinaryPipeline.syntheticMediaFromDocuments(spark, Sf)
+    val feats = BinaryPipeline.extractFeatures(media)
+    val n = feats.count()
+    assert(n > 0 && n == Tables.documents(spark, Sf).count())
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs. One session per test JVM
+  * (`Test / fork := true`), built with the same configuration as
+  * Bench/Verify ([[Tables.sessionBuilder]]) so test behavior matches the
+  * driver's runs (UTC, NTZ parquet timestamps, nanosAsLong, AQE).
+  */
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpecBase.session
+  /** Smallest driver-generated scale factor — fast enough for unit tests. */
+  val Sf = "/root/testdata/sf0.001"
+
+  /** Absolute path of a test fixture under src/test/resources. */
+  def fixture(path: String): String = {
+    val url = getClass.getResource(path)
+    require(url != null, s"missing test fixture $path")
+    url.getPath
+  }
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = Tables.sessionBuilder("local[4]", "4").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
