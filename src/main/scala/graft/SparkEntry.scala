@@ -125,6 +125,10 @@ object SparkEntry {
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
 
+    // -- temporal joins (as-of / bounded-range — operators Spark lacks natively)
+    "q_asof_join" -> (TemporalJoins.purchaseAsOfView _),
+    "q_range_join" -> (TemporalJoins.errorsFollowedByClicks _),
+
     // -- event-time windows (batch faces of the streaming surface, §2.8)
     "q_window_tumbling" -> (EventWindows.tumblingDaily _),
     "q_window_sliding" -> (EventWindows.slidingHalfDay _),
@@ -338,6 +342,36 @@ object SparkEntry {
         |  lead(event_type) OVER w AS next_type,
         |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0 AS gap_seconds
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // ASOF JOIN is native in DuckDB 1.0 — an independent implementation of
+    // the same semantics as the Spark union-merge construction. Both sides
+    // pre-reduce views to one row per (user_id, ts) with max event_id so the
+    // equal-timestamp tie-break is deterministic in both engines.
+    "q_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+        |         arg_max(event_id, event_id) AS view_event_id,
+        |         arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+        |       v.view_ts, v.view_event_id, v.view_value
+        |FROM p ASOF JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.view_ts""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id, e.user_id, count(c.ts) AS n_clicks
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts >= e.ts
+        | AND c.ts < e.ts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_window_frame" ->
       """SELECT event_id, user_id,

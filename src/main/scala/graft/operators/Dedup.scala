@@ -28,12 +28,21 @@ object Dedup {
     conv(substring(md5(concat(s, lit("#"), seed.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
-  /** Word 3-shingles (distinct) of a text column; docs with <3 tokens drop. */
-  def shingles3(text: Column): Column = {
-    val t = TextAnalysis.tokens(text)
-    array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
-      concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
-  }
+  /** Word 3-shingles (distinct) of a text column; docs with <3 tokens drop.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (via a 1-element wrapper
+    * array) rather than referenced as a subtree: a higher-order-function
+    * lambda re-evaluates every non-lambda subexpression per element, so the
+    * naive form re-ran the tokenizing regex 3× per shingle (~10× the entire
+    * query's runtime at sf0.1).
+    */
+  def shingles3(text: Column): Column =
+    element_at(
+      transform(array(TextAnalysis.tokens(text)), t =>
+        array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ",
+            element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))),
+      1)
 
   val NumHashes = 16
   val Bands = 8 // 2 rows per band → LSH threshold ≈ (1/8)^(1/2) ≈ 0.35
@@ -148,18 +157,30 @@ object Dedup {
     * 61-long shuffle rows. `explode_outer` keeps zero-token docs (all-'0'
     * fingerprint), matching the oracle's empty-list majority vote.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc majority-vote bit counts: b59..b0 one-counts + token count. */
+  private def simhashCounted(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
         explode_outer(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       .withColumn("h", md5Hash60(col("tok"), lit(0)))
     val bitCounts = (SimHashBits - 1 to 0 by -1).map(b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0)).as(s"b$b"))
-    val counted = hashed.groupBy(col("doc_id"))
-      .agg(count(col("tok")).as("n"), bitCounts: _*)
+    hashed.groupBy(col("doc_id")).agg(count(col("tok")).as("n"), bitCounts: _*)
+  }
+
+  def simhash(s: SparkSession, d: String): DataFrame = {
     val bits = (SimHashBits - 1 to 0 by -1).map(b =>
       when(col(s"b$b") * 2 > col("n"), lit("1")).otherwise(lit("0")))
-    counted.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    simhashCounted(s, d).select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** Same fingerprint packed into one LONG (bit 59 = most-significant of the
+    * bit-string form) — hamming distance becomes `bit_count(a ^ b)`.
+    */
+  private def simhashLong(s: SparkSession, d: String): DataFrame = {
+    val packed = (SimHashBits - 1 to 0 by -1).map(b =>
+      when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+    simhashCounted(s, d).select(col("doc_id"), packed.reduce(_ + _).as("h"))
   }
 
   /** SimHash near-duplicate pairs: block on 4 substrings of 15 bits (any
@@ -167,24 +188,26 @@ object Dedup {
     * by pigeonhole), then verify exact hamming ≤ maxHamming.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(s, d)
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val sh = simhashLong(s, d)
+    // band key = 15-bit quarter of the packed long (same quarters as the
+    // bit-string substring form: quarter q covers bits 59-15q .. 45-15q)
+    val banded = sh.select(col("doc_id"), col("h"),
       posexplode(array((0 until 4).map(q =>
-        substring(col("simhash"), q * 15 + 1, 15)): _*)))
+        shiftright(col("h"), 45 - 15 * q).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      col("doc_id").as("doc_a"), col("h").as("h_a"))
     val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      col("doc_id").as("doc_b"), col("h").as("h_b"))
+    // hamming = popcount(xor) — one codegen'd instruction per candidate,
+    // filtered BEFORE the pair-dedup so the distinct shuffles only survivors
     a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct()
-      .withColumn("hamming", expr(
-        s"size(filter(sequence(1, $SimHashBits), i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1)))"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact dedup: one survivor (min doc_id) per normalized-content
