@@ -41,6 +41,7 @@ object Tables {
   def sessionBuilder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(graft.functions.VectorExpressions.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

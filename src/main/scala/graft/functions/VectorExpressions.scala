@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the ANN hot path: dot product of two
+  * `array<float>` columns accumulated in double.
+  *
+  * Why a custom `Expression` (SURVEY.md §2.9 preference order): the
+  * higher-order-function form — `aggregate(zip_with(a, b, (x, y) -> x*y),
+  * 0d, (acc, v) -> acc + v)` — allocates an intermediate array and
+  * interprets two lambdas per element per row, and sits outside whole-stage
+  * codegen. This expression generates a single fused loop inside the stage.
+  *
+  * Semantics are BIT-IDENTICAL to the HOF form (and therefore to the DuckDB
+  * oracle's `list_reduce` left fold): elements cast float→double, products
+  * accumulated left-to-right from 0.0 — same IEEE operation order; any null
+  * element or length mismatch yields null, matching `zip_with` null padding
+  * flowing through the fold.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_f expects (array<float>, array<float>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registers graft's native functions on a session via
+  * `SparkSessionExtensions` — the standard extension point, so any session
+  * (Bench, Verify, tests, a user's own builder) gets them with
+  * `.withExtensions(VectorExpressions.register)`.
+  */
+object VectorExpressions {
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("graft_dot_f"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f"),
+      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+
+  def register(e: SparkSessionExtensions): Unit =
+    functions.foreach(f => e.injectFunction(f))
+}

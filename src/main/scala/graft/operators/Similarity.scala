@@ -27,8 +27,13 @@ object Similarity {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.DotProductFloat]], registered by
+    * [[graft.Tables.sessionBuilder]] through SparkSessionExtensions) —
+    * bit-identical to the HOF `aggregate(zip_with(...))` left fold it
+    * replaces, but a single fused loop inside whole-stage codegen.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot_f", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -91,9 +96,12 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .withColumn("nn", norm(col("nvec")))
+    // norms precomputed once per vector (not once per pair); same IEEE values
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
     topKPerQuery(scored, k)
   }
 
@@ -107,11 +115,13 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("embedding")))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
+      .withColumn("qn", norm(col("qvec")))
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("nvec"), col("bucket"))
+      .withColumn("nn", norm(col("nvec")))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
     topKPerQuery(scored, k)
   }
 
@@ -122,10 +132,12 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
       .withColumn("bucket", lshBucket(col("embedding")))
     val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+      .withColumn("na", norm(col("va")))
     val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
