@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-side surface of the engine (SURVEY.md §2.1 S6/S7 generalized).
+  *
+  * The reference's only sink is a row-at-a-time JDBC insert-ignore
+  * (`posts_pipeline.py:53-59`); the Spark-native equivalents below are the
+  * layouts a 100 TB corpus actually needs:
+  *
+  *  - [[writePartitioned]]: hive-style directory partitioning — the scan-side
+  *    contract for partition pruning (a date/lang filter prunes whole
+  *    directories before any IO).
+  *  - [[writeBucketed]]: pre-shuffled, bucket-sorted table layout — joins and
+  *    aggregations on the bucket key read co-located buckets and skip the
+  *    exchange entirely (verified by `SinksSpec`: the join plan over two
+  *    tables bucketed on the same key contains no shuffle).
+  *  - [[appendInsertIgnore]]: the re-runnable append the reference's
+  *    `ON CONFLICT DO NOTHING` load gives: dedup-within-batch + anti-join
+  *    against the current target state, then append.
+  */
+object Sinks {
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table (bucketing requires saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Idempotent append: only rows whose `key` is absent from `target`'s
+    * current content are written. Re-running the same batch appends nothing.
+    */
+  def appendInsertIgnore(incoming: DataFrame, targetPath: String, key: String): Unit = {
+    val spark = incoming.sparkSession
+    val existing =
+      try spark.read.parquet(targetPath).select(key)
+      catch { case _: org.apache.spark.sql.AnalysisException => // first load
+        return incoming.dropDuplicates(key).write.mode(SaveMode.Append).parquet(targetPath)
+      }
+    graft.operators.IngestTransforms.insertIgnore(incoming, existing, key)
+      .write.mode(SaveMode.Append).parquet(targetPath)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.Sinks
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Write-side layout contracts: partition pruning actually prunes, bucketed
+  * joins actually skip the exchange, insert-ignore appends are idempotent.
+  */
+class SinksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders"
+    val orders = Tables.orders(spark, Sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Sinks.writePartitioned(orders, dir, Seq("o_year"))
+    val read = spark.read.parquet(dir).filter(col("o_year") === 1995)
+    val plan = read.queryExecution.executedPlan.toString
+    // partition filter must reach the scan as a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("o_year"),
+      s"o_year not in PartitionFilters:\n$plan")
+    val expected = Tables.orders(spark, Sf)
+      .filter(year(col("o_orderdate")) === 1995).count()
+    assert(read.count() == expected)
+  }
+
+  test("join of two tables bucketed on the key has no shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Sinks.writeBucketed(Tables.orders(spark, Sf), "b_orders", "o_orderkey", 8)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, Sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+    // force the sort-merge path (hint on a join input) so the exchange
+    // question is real — broadcast would hide it
+    val noBcast = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_lineitem"), "o_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = noBcast.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // the aggregate's exchange (on o_orderstatus) is expected; the JOIN KEY
+    // must not be shuffled — bucket layout already co-locates it
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles on the join key:\n$plan")
+    // result equality vs the unbucketed plan
+    val o = Tables.orders(spark, Sf)
+    val l = Tables.lineitem(spark, Sf)
+    val expected = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(noBcast.as[(String, Long)].collect().toMap == expected)
+  }
+
+  test("appendInsertIgnore is idempotent across re-runs") {
+    val dir = Files.createTempDirectory("graft_append").toString + "/t"
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
+    Sinks.appendInsertIgnore(batch, dir, "id")
+    assert(spark.read.parquet(dir).count() == 2) // within-batch dedup
+    Sinks.appendInsertIgnore(batch, dir, "id")   // re-run: no-op
+    assert(spark.read.parquet(dir).count() == 2)
+    val next = Seq((2L, "dup"), (3L, "c")).toDF("id", "v")
+    Sinks.appendInsertIgnore(next, dir, "id")    // only the new key lands
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+}

@@ -23,7 +23,12 @@ trait SparkSpecBase extends AnyFunSuite {
 
 object SparkSpecBase {
   lazy val session: SparkSession = {
-    val s = Tables.sessionBuilder("local[4]", "4").getOrCreate()
+    val s = Tables.sessionBuilder("local[4]", "4")
+      // managed-table tests (bucketing) need a throwaway warehouse;
+      // static conf, so it must be set at build time
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
