@@ -148,6 +148,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(s, d).withColumn("rnk", col("rnk").cast("long"))
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, 0.2)),
 
     // -- text analysis
@@ -516,6 +519,35 @@ object SparkEntry {
          |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
          |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
          |    AND q.bucket = n.bucket)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+         |WHERE rnk <= 5""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm2 AS cnrm2
+         |      FROM e WHERE vec_id < 16),
+         |crossed AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${sqlDot("e.embedding", "c.cvec")} / (sqrt(e.nrm2) * sqrt(c.cnrm2)) AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, centroid_id) AS rn
+         |    FROM crossed WHERE vec_id < 10) WHERE rn <= 4),
+         |pairs AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+         |  FROM probes p
+         |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e n ON n.vec_id = a.vec_id)
          |SELECT query_id, neighbor_id, rnk, cosine FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)

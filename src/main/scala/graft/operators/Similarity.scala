@@ -125,6 +125,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  val IvfCentroids = 16
+  val IvfProbe = 4
+
+  /** IVF (inverted-file) ANN: the second scale path next to [[lshTopK]].
+    *
+    * Coarse quantizer = the first [[IvfCentroids]] vectors (deterministic —
+    * no trained k-means, so the DuckDB oracle reproduces cells exactly).
+    * Every corpus vector is assigned to its nearest cell via a broadcast
+    * cross-join + `max_by` aggregation (map-side combinable — no window
+    * funnel); each query probes its [[IvfProbe]] nearest cells and reranks
+    * candidates with exact cosine.
+    *
+    * At real scale nlist grows ~√N (here 16 cells for 2k vectors) and the
+    * centroids come from a sampled k-means; the dataflow — broadcast
+    * centroids, cell-keyed candidate join, two-stage top-k — is unchanged.
+    */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val cents = e.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val crossed = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")))
+    // best cell per vector: max (ccos, -centroid_id) — ties to the lowest id
+    val assign = crossed.groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    val probes = crossed.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val scored = probes
+      .join(assign.filter(col("vec_id") >= 0), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("nvec"),
+        col("nrm").as("nn")), Seq("vec_id"))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket
     * with cosine above threshold (doc-level near-dup by vector similarity).
     */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * At scale these run identically over a file/Kafka source; tests drive them
   * with the parquet `events` table and a memory sink.
   */
-object EventStreamJob {
+object EventStreamJob extends Serializable {
 
   /** Streaming schema of the events table after nanos→micros normalization. */
   val eventsSchema: StructType = StructType(Seq(
@@ -61,6 +61,90 @@ object EventStreamJob {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** One event for the stateful sessionizer. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session state: bounds in epoch micros + running aggregates. The sum
+    * is kept as a scale-2 BigDecimal string to match the batch face's
+    * `cast(value as decimal(18,2))` exact accumulation.
+    */
+  case class SessionAgg(startUs: Long, lastUs: Long, n: Long, sumCents: Long)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state face of the built-in `session_window` aggregation
+    * ([[graft.operators.EventWindows.sessionize]]).
+    *
+    * Semantics match the batch face exactly: a session is a maximal run of
+    * per-user events with gaps < 30 min, emitted as
+    * [min(ts), max(ts) + gap) with count and exact decimal(18,2) sum. A
+    * session is emitted when a later in-batch event proves it closed, or on
+    * event-time timeout once the watermark passes its gap horizon; the final
+    * still-open session per user stays in state (exactly-once, no partial
+    * emissions).
+    *
+    * Scale shape: state is one small record per user key, partitioned by the
+    * groupByKey hash shuffle; timeouts bound state size.
+    */
+  def sessionizeStream(events: DataFrame): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // valueOf (shortest-string repr), not the exact-binary constructor:
+    // that is what Spark's Cast(double -> decimal) rounds from
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    def close(user: Long, s: SessionAgg): SessionOut =
+      SessionOut(user, toTs(s.startUs), toTs(s.lastUs + SessionGapUs), s.n,
+        java.math.BigDecimal.valueOf(s.sumCents).movePointLeft(2).doubleValue())
+
+    events
+      .withWatermark("ts", "1 hour")
+      .selectExpr("user_id", "ts", "value").as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(user, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val emitted = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            it.toSeq.sortBy(e => (micros(e.ts), e.value)).foreach { e =>
+              val us = micros(e.ts)
+              cur match {
+                case Some(s) if us < s.lastUs + SessionGapUs =>
+                  cur = Some(SessionAgg(s.startUs, math.max(s.lastUs, us),
+                    s.n + 1, s.sumCents + cents(e.value)))
+                case Some(s) =>
+                  emitted += close(user, s)
+                  cur = Some(SessionAgg(us, us, 1, cents(e.value)))
+                case None =>
+                  cur = Some(SessionAgg(us, us, 1, cents(e.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + SessionGapUs) / 1000)
+            }
+            emitted.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming DataFrame to completion over the available input
     * (cron-batch semantics) into a named memory sink; returns the query.

@@ -38,6 +38,49 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch session_window face") {
+    val base = "2024-03-01 "
+    // user 1: session A (3 events), session B (1 event), open sentinel session
+    // user 2: two single-event sessions 45min apart, open sentinel session
+    val rows = Seq(
+      (1L, base + "10:00:00", 1L, 1.25),
+      (2L, base + "10:10:00", 1L, 2.50),
+      (3L, base + "10:20:00", 1L, 0.125),
+      (4L, base + "12:00:00", 1L, 4.0),
+      (5L, base + "09:00:00", 2L, 1.0),
+      (6L, base + "09:45:00", 2L, 2.0),
+      // sentinel events: far ahead, close every earlier session in-batch
+      (7L, "2024-03-20 00:00:00", 1L, 9.0),
+      (8L, "2024-03-20 00:00:00", 2L, 9.0))
+      .map { case (id, t, u, v) =>
+        (id, java.sql.Timestamp.valueOf(t), u, "click", v, "{}") }
+    val dir = Files.createTempDirectory("graft_sess_stream")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // raw nanos like the table
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir.toString + "/events.parquet")
+
+    val stream = EventStreamJob.sessionizeStream(
+      EventStreamJob.readEventStream(spark, dir.toString + "/events.parquet"))
+    EventStreamJob.runAvailableNow(stream.toDF(), "sess_stream", "append").stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long, Double)] =
+      df.select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss"),
+        col("n_events").cast("long"), col("sum_value"))
+        .as[(Long, String, String, Long, Double)].collect().toSet
+
+    val streamed = canon(spark.table("sess_stream"))
+    // batch face over the same data, minus each user's final (open) session
+    val batch = graft.operators.EventWindows.sessionize(spark, dir.toString)
+    val openStarts = Set("2024-03-20 00:00:00")
+    val expected = canon(batch.filter(
+      !date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").isin(openStarts.toSeq: _*)))
+    assert(streamed == expected)
+    assert(streamed.size == 4)
+  }
+
   test("dropDuplicatesWithinWatermark is the streaming insert-ignore (A1)") {
     // duplicated event_ids across a small batch, raw nanos like the real table
     val base = 1700000000000000000L // nanos
