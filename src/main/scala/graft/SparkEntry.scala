@@ -166,6 +166,7 @@ object SparkEntry {
         .withColumn("n_ws_tokens", col("n_ws_tokens").cast("long"))
         .withColumn("n_bpe_tokens", col("n_bpe_tokens").cast("long"))),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q_corpus_clean" -> ((s, d) => TextAnalysis.corpusClean(s, d)),
 
     // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
     //    not SQL-expressible; this makes BinaryPipeline driver-visible)
@@ -597,5 +598,26 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_corpus_clean" -> {
+      val toks = sqlTokens("text")
+      val stops = s"len(list_filter($toks, t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with','as','at','by')))"
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len($toks) = 0 THEN 0.0
+         |         ELSE CAST($stops AS DOUBLE) / len($toks) END AS stopword_ratio,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE n_tokens >= 5 AND stopword_ratio >= 0.05 AND punct_ratio <= 0.2)
+         |SELECT doc_id, lang, n_tokens, stopword_ratio FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |  FROM kept)
+         |WHERE rn = 1""".stripMargin
+    },
   )
 }

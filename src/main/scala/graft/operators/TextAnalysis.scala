@@ -84,4 +84,40 @@ object TextAnalysis {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+
+  /** The composed "clean a crawl" dataflow — quality gate → language gate →
+    * exact-dedup survivor selection — i.e. the standard first pass of a
+    * training-data pipeline, as ONE lazy plan.
+    *
+    * Scale shape: the gates are per-row codegen'd predicates evaluated
+    * before the only shuffle (the fingerprint window), so the dedup stage
+    * shuffles just the rows that survived filtering, keyed on a 32-char md5
+    * with near-unique cardinality (no skew).
+    */
+  def corpusClean(s: SparkSession, d: String,
+      minTokens: Int = 5, minStopwordRatio: Double = 0.05,
+      maxPunctRatio: Double = 0.2): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stops = size(filter(toks, t => t.isin(stopwords: _*)))
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      nTokens.cast("long").as("n_tokens"),
+      when(nTokens === 0, lit(0.0))
+        .otherwise(stops.cast("double") / nTokens).as("stopword_ratio"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      fingerprintCol(col("text")).as("fingerprint"))
+    val kept = scored.filter(
+      col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("punct_ratio") <= maxPunctRatio)
+    kept
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("fingerprint").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("stopword_ratio"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan contracts for the headline queries — the properties that
+  * decide whether a plan survives a 100 TB scale-up: filters and projections
+  * reaching the parquet scan, dimension joins broadcasting, order+limit
+  * fusing to TakeOrderedAndProject, aggregates running partial-then-final.
+  * These assertions are why ".explain and iterate" results stay locked in.
+  */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String = {
+    val executed = df.queryExecution.executedPlan
+    val p = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other                    => other.toString
+    }
+    p + "\n" + df.queryExecution.optimizedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, Sf)
+
+  test("date-window scan pushes the range predicate into the parquet scan") {
+    val p = plan(q("q_yesterday_post_ids"))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"), s"range not pushed:\n$p")
+  }
+
+  test("scans read only the columns the query needs") {
+    val p = plan(q("q_yesterday_post_ids"))
+    // 2 of 6 orders columns → ReadSchema must not contain the rest
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("star-schema joins broadcast the dimension side") {
+    val p = plan(q("q5_local_supplier_volume"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q5:\n$p")
+  }
+
+  test("top-k fuses to TakeOrderedAndProject (no global sort)") {
+    val p = plan(q("q_posts_latest30"))
+    assert(p.contains("TakeOrderedAndProject"), s"order+limit not fused:\n$p")
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    val p = plan(q("q1_pricing_summary"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation in q1:\n$p")
+  }
+
+  test("dedup candidate joins carry no array columns through the shuffle") {
+    val p = plan(q("q_ngram_jaccard"))
+    // every Exchange row must be scalar-only: shingle postings and pair
+    // counts, never the shingle sets themselves
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("array<")),
+      s"array-bearing shuffle in ngram join:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ANN brute force broadcasts the query side, never the corpus") {
+    val p = plan(q("q_ann_cosine"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+}
