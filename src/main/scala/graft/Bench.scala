@@ -26,6 +26,10 @@ object Bench {
     val globalBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toLong
     val spark = Tables.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session once before timing: executor threads, codegen
+    // compiler, parquet footer cache — otherwise the alphabetically-first
+    // query absorbs ~5s of one-time JVM cost and distorts its number
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // cached pool: a cancelled-but-wedged worker must not block later queries
     val pool = Executors.newCachedThreadPool()
     val benchStart = System.nanoTime()

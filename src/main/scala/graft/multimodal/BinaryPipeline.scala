@@ -89,6 +89,58 @@ object BinaryPipeline {
     }
   }
 
+  /** Re-encoded media after a resize — same record shape so stages chain. */
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      payload: Array[Byte],
+      source: String,
+      orig_width: Int,
+      orig_height: Int)
+
+  /** Resize stage (STUB transform, real plumbing): decode the header, scale
+    * to fit `maxDim` preserving aspect ratio, re-encode. A real
+    * implementation swaps the body for an image-library scale; the
+    * per-partition batch shape, schema, and chaining contract are what a
+    * production pipeline needs and are tested.
+    */
+  def resizeMedia(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec/scaler init would go here
+      it.map { r =>
+        val (w, h) = FakeDecoder.decode(r.payload)
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val content = r.payload.drop(12) // stub "rescale": content unchanged
+        ResizedMedia(r.media_id, r.kind, encodeFake(nw, nh, content), r.source, w, h)
+      }
+    }
+  }
+
+  /** One sampled frame of a video payload. */
+  case class Frame(media_id: Long, frame_no: Int, offset: Long, frame_bytes: Array[Byte])
+
+  /** Frame sampling (STUB codec, real dataflow): emit every `stride`-th
+    * fixed-size chunk of the content as a "frame" — the 1:N generator shape
+    * (flatMap over partitions) a real video decoder produces. Frames carry
+    * (media_id, frame_no, byte offset) so downstream feature extraction can
+    * key on them.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int = 64,
+      stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        val content = r.payload.drop(12)
+        content.grouped(frameSize).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 =>
+            Frame(r.media_id, i, 12L + i.toLong * frameSize, chunk)
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` text bytes (fixture path:
     * deterministic, no external data) — payload = fake header + utf-8 text.
     */
@@ -99,7 +151,12 @@ object BinaryPipeline {
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
         val content = text.getBytes("UTF-8")
-        MediaRecord(id, if (id % 2 == 0) "image" else "audio",
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRecord(id, kind,
           encodeFake((id % 640).toInt + 1, (id % 480).toInt + 1, content), source)
       }
   }

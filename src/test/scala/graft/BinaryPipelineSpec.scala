@@ -43,6 +43,36 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(feats.values.forall(_.checksum >= 0))
   }
 
+  test("resize scales to fit, preserves aspect ratio, chains with decode") {
+    val media = Seq(
+      MediaRecord(1L, "image", BinaryPipeline.encodeFake(640, 480, "img".getBytes), "s"),
+      MediaRecord(2L, "image", BinaryPipeline.encodeFake(100, 400, "tall".getBytes), "s"),
+      MediaRecord(3L, "image", BinaryPipeline.encodeFake(32, 24, "small".getBytes), "s"))
+      .toDS()
+    val resized = BinaryPipeline.resizeMedia(media, maxDim = 128)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(FakeDecoder.decode(resized(1L).payload) == ((128, 96)))   // 640x480 -> /5
+    assert(FakeDecoder.decode(resized(2L).payload) == ((32, 128)))   // 100x400 -> /3.125
+    assert(FakeDecoder.decode(resized(3L).payload) == ((32, 24)))    // never upscale
+    assert(resized(1L).orig_width == 640 && resized(1L).orig_height == 480)
+    // content survives the stub re-encode
+    assert(new String(resized(1L).payload.drop(12)) == "img")
+  }
+
+  test("frame sampling emits every stride-th chunk of video payloads only") {
+    val content = Array.tabulate(300)(_.toByte) // 300 bytes -> 5 chunks of 64
+    val media = Seq(
+      MediaRecord(1L, "video", BinaryPipeline.encodeFake(8, 8, content), "s"),
+      MediaRecord(2L, "image", BinaryPipeline.encodeFake(8, 8, content), "s"))
+      .toDS()
+    val frames = BinaryPipeline.sampleFrames(media, frameSize = 64, stride = 2).collect()
+    assert(frames.forall(_.media_id == 1L), "non-video payloads must not emit")
+    // chunks 0,2,4 of ceil(300/64)=5
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2, 4))
+    assert(frames.find(_.frame_no == 2).get.offset == 12L + 128)
+    assert(frames.find(_.frame_no == 4).get.frame_bytes.length == 300 - 4 * 64)
+  }
+
   test("synthetic media from documents flows end-to-end (driver-visible path)") {
     val media = BinaryPipeline.syntheticMediaFromDocuments(spark, Sf)
     val feats = BinaryPipeline.extractFeatures(media)
