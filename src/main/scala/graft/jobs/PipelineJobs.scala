@@ -1,0 +1,66 @@
+package graft.jobs
+
+import graft.operators.IngestTransforms
+import graft.sources.{JsonLanding, Sensors, Sinks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's two DAGs as single lazy Spark jobs — what a user of
+  * `dendihandian/tia-data-pipeline` runs after switching to this library.
+  *
+  * Reference shape (`posts_pipeline.py:109`, `comments_pipeline.py:154`):
+  *   sensor >> sensor >> extract >> transform >> load >> cleanup
+  * Here each chain is ONE declarative plan executed by a single write — the
+  * Airflow task boundaries (temp JSON files between forked processes)
+  * disappear into Catalyst, and the per-row INSERT loop becomes a
+  * dedup + anti-join + append (`posts_pipeline.py:46-59`).
+  *
+  * Idempotency contract preserved: re-running a job with the same landing
+  * batch appends nothing (PK insert-ignore semantics), verified by
+  * `PipelineJobsSpec`.
+  */
+object PipelineJobs {
+
+  /** Hourly posts job (`posts_pipeline.py`): landing JSON → T1/T2/T3
+    * transform → insert-ignore into the posts parquet target.
+    * Returns the number of new rows loaded.
+    */
+  def runPostsJob(spark: SparkSession, landingPaths: Seq[String],
+      targetPath: String): Long = {
+    // S8 sensors: cheap preconditions before submitting the real plan
+    require(landingPaths.forall(Sensors.pathExists(spark, _)),
+      s"landing batch missing: $landingPaths")
+    val batch = JsonLanding.readPosts(spark, landingPaths: _*)
+    require(Sensors.batchLooksValid(batch, "id"), "landing batch has no posts")
+    loadInsertIgnore(spark, batch, targetPath)
+  }
+
+  /** Daily comments job (`comments_pipeline.py`): the per-post-id HTTP loop
+    * becomes a date-window scan of the posts target feeding an inner join
+    * against the landed comments (J1) — then the same transform/load.
+    */
+  def runCommentsJob(spark: SparkSession, landingPaths: Seq[String],
+      postsTargetPath: String, targetPath: String,
+      dayStart: String, dayEnd: String): Long = {
+    val windowPosts = spark.read.parquet(postsTargetPath)
+      .filter(col("date_gmt") >= lit(dayStart).cast("timestamp_ntz") &&
+        col("date_gmt") < lit(dayEnd).cast("timestamp_ntz"))
+      .select(col("id").as("post_id"))
+    val comments = JsonLanding.readComments(spark, landingPaths: _*)
+      .join(windowPosts, col("post") === col("post_id"), "inner")
+      .drop("post_id")
+    loadInsertIgnore(spark, comments, targetPath)
+  }
+
+  /** The load stage: dedup-within-batch + anti-join vs target, append. */
+  private def loadInsertIgnore(spark: SparkSession, batch: DataFrame,
+      targetPath: String): Long = {
+    val incoming =
+      if (Sensors.pathExists(spark, targetPath))
+        IngestTransforms.insertIgnore(batch, spark.read.parquet(targetPath), "id")
+      else batch.dropDuplicates("id")
+    val n = incoming.count()
+    if (n > 0) incoming.write.mode("append").parquet(targetPath)
+    n
+  }
+}
