@@ -200,14 +200,23 @@ object Dedup {
       col("doc_id").as("doc_a"), col("h").as("h_a"))
     val b = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_b"), col("h").as("h_b"))
-    // hamming = popcount(xor) — one codegen'd instruction per candidate,
-    // filtered BEFORE the pair-dedup so the distinct shuffles only survivors
+    // hamming = popcount(xor) — one codegen'd instruction per candidate.
+    // A pair colliding in several bands would duplicate; instead of a
+    // distinct() (a full extra shuffle of every surviving pair) each pair is
+    // emitted ONLY from its first matching band — earlier-band equality is a
+    // free bit-test since both packed fingerprints ride the join.
+    val xor = col("h_a").bitwiseXOR(col("h_b"))
+    def quarterDiffers(q: Int): Column =
+      shiftright(xor, 45 - 15 * q).bitwiseAND(lit(0x7fffL)) =!= 0L
+    val firstMatchingBand = (0 until 4).map(q =>
+      (col("band") === q) && (0 until q).map(quarterDiffers)
+        .foldLeft(lit(true))(_ && _))
+      .reduce(_ || _)
     a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("doc_a") < col("doc_b") && firstMatchingBand)
+      .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .distinct()
   }
 
   /** Exact dedup: one survivor (min doc_id) per normalized-content
