@@ -121,6 +121,8 @@ object SparkEntry {
     "q_approx_distinct_users" -> (Analytics.approxDistinctUsers _), // rows-only
     "q_rollup_lineitem" -> (Analytics.rollupLineitem _),
     "q_cube_lineitem" -> (Analytics.cubeLineitem _),
+    "q_pivot_lineitem" -> (Analytics.pivotLineitem _),
+    "q_percentiles" -> (Analytics.valuePercentiles _),
     "q_union_nations" -> (Analytics.nationsUnion _),
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
@@ -398,6 +400,21 @@ object SparkEntry {
     "q_cube_lineitem" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot_lineitem" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN $decQty END) AS DOUBLE) AS qty_f,
+         |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN $decQty END) AS DOUBLE) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // exact continuous quantile: same linear-interpolation definition in
+    // Spark (`percentile`) and DuckDB (`quantile_cont`)
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_union_nations" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer

@@ -148,6 +148,49 @@ object Analytics {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
 
+  /** PIVOT: returnflag rows × linestatus columns of exact quantity sums.
+    * The pivot values are declared, so Catalyst plans ONE aggregation pass
+    * (no per-column scans).
+    */
+  def pivotLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
+  /** Exact interpolated percentiles per event type (median + p95). Exact
+    * (sort-based) so an independent engine reproduces the same doubles;
+    * the approximate sketch path for 100 TB is `approx_percentile`, which
+    * is engine-private like HLL++ (see [[approxDistinctUsers]]).
+    */
+  def valuePercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
+  /** Skew-safe two-stage aggregation: partial sums over (key, salt) — spread
+    * across `salts` reducers per key — then a final reduce per key. Same
+    * result as a direct groupBy for any associative aggregate; the shape to
+    * reach for when one hot key would otherwise pin a single reducer at
+    * 100 TB. (Spark's map-side partial aggregation already handles moderate
+    * skew; explicit salting is the escape hatch when a key's post-combine
+    * volume still exceeds one task.)
+    */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+      salts: Int = 32): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
+    partial.groupBy(col(keyCol))
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pn")).as("n"))
+  }
+
   // ---- set operations (SURVEY.md §2.7, north-star) ----
 
   def nationsUnion(s: SparkSession, d: String): DataFrame =

@@ -21,6 +21,19 @@ class AnalyticsSanitySpec extends SparkSpecBase {
     }
   }
 
+  test("salted two-stage aggregation equals the direct groupBy") {
+    import org.apache.spark.sql.functions._
+    // decimal values: associative + order-independent, so equality is exact
+    val df = Tables.lineitem(spark, Sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"))
+    val direct = df.groupBy("l_returnflag")
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .as[(String, BigDecimal, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val salted = Analytics.saltedSum(df, "l_returnflag", "q", salts = 8)
+      .as[(String, BigDecimal, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(salted == direct)
+  }
+
   test("simhash fingerprints are 60-bit strings and deterministic") {
     val fps = Dedup.simhash(spark, Sf).select("simhash").as[String].collect()
     assert(fps.nonEmpty)
