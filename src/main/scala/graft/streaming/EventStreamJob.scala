@@ -146,6 +146,30 @@ object EventStreamJob extends Serializable {
       }
   }
 
+  /** Stream-stream interval join: purchases joined to the same user's views
+    * from the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event time on both ends, so state is provably
+    * evictable — the requirements Spark imposes for stream-stream inner
+    * joins. The batch face is the identical join predicate on static frames
+    * (asserted equal in `EventStreamSpec`).
+    */
+  def purchaseViewJoinStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"), col("purchase_value"))
+  }
+
   /** Run a streaming DataFrame to completion over the available input
     * (cron-batch semantics) into a named memory sink; returns the query.
     */

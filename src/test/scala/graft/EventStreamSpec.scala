@@ -81,6 +81,25 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.size == 4)
   }
 
+  test("stream-stream interval join equals the batch join on static frames") {
+    val stream = EventStreamJob.purchaseViewJoinStream(
+      EventStreamJob.readEventStream(spark, eventsDir))
+    EventStreamJob.runAvailableNow(stream, "ssj_stream", "append").stop()
+
+    val batchEvents = Tables.events(spark, Sf)
+      .withColumn("ts", col("ts").cast("timestamp")) // match the stream's LTZ face
+    val batch = EventStreamJob.purchaseViewJoinStream(batchEvents)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("purchase_id"), col("view_id"), col("user_id"))
+        .as[(Long, Long, Long)].collect().toSet
+
+    val streamed = canon(spark.table("ssj_stream"))
+    val expected = canon(batch)
+    assert(streamed.nonEmpty)
+    assert(streamed == expected)
+  }
+
   test("dropDuplicatesWithinWatermark is the streaming insert-ignore (A1)") {
     // duplicated event_ids across a small batch, raw nanos like the real table
     val base = 1700000000000000000L // nanos
