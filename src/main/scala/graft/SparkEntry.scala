@@ -121,6 +121,10 @@ object SparkEntry {
     "q_approx_distinct_users" -> (Analytics.approxDistinctUsers _), // rows-only
     "q_rollup_lineitem" -> (Analytics.rollupLineitem _),
     "q_cube_lineitem" -> (Analytics.cubeLineitem _),
+    "q_grouping_sets" -> (Analytics.groupingSetsLineitem _),
+    "q_window_distribution" -> ((s, d) =>
+      Analytics.windowDistribution(s, d)
+        .withColumn("decile", col("decile").cast("long"))),
     "q_pivot_lineitem" -> (Analytics.pivotLineitem _),
     "q_percentiles" -> (Analytics.valuePercentiles _),
     "q_union_nations" -> (Analytics.nationsUnion _),
@@ -400,6 +404,18 @@ object SparkEntry {
     "q_cube_lineitem" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
 
     "q_pivot_lineitem" ->
       s"""SELECT l_returnflag,

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the ANN hot path: dot product of two
-  * `array<float>` columns accumulated in double.
+  * numeric arrays (`array<float>` or `array<double>` on either side)
+  * accumulated in double.
   *
   * Why a custom `Expression` (SURVEY.md §2.9 preference order): the
   * higher-order-function form — `aggregate(zip_with(a, b, (x, y) -> x*y),
@@ -28,13 +29,18 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot_f expects (array<float>, array<float>), got " +
+      s"graft_dot_f expects float/double arrays, got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -46,11 +52,15 @@ case class DotProductFloat(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val lf = isFloat(left)
+      val rf = isFloat(right)
       var acc = 0.0
       var i = 0
       while (i < n) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
         i += 1
       }
       acc
@@ -62,6 +72,8 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -70,7 +82,7 @@ case class DotProductFloat(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += $getX * $getY;
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

@@ -148,6 +148,30 @@ object Analytics {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize;
+    * here: by flag, by status, and the grand total (one shared scan,
+    * Expand-based like rollup/cube).
+    */
+  def groupingSetsLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Distribution windows: percent_rank / cume_dist / ntile over event
+    * values per type — the remaining window-function family next to
+    * ranking (windowRank), analytic (windowLag) and frames (windowFrame).
+    */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(10).over(w).as("decile"))
+  }
+
   /** PIVOT: returnflag rows × linestatus columns of exact quantity sums.
     * The pivot values are declared, so Catalyst plans ONE aggregation pass
     * (no per-column scans).

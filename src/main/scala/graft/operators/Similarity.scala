@@ -58,11 +58,14 @@ object Similarity {
     }
   }
 
-  /** Sign-random-projection bucket id (8 bits) for an embedding column. */
+  /** Sign-random-projection bucket id (8 bits) for an embedding column.
+    * Each projection is the native dot expression against a double-literal
+    * plane (same left-fold doubles as the HOF form it replaced).
+    */
   def lshBucket(vec: Column): Column = {
     val bits = (0 until LshPlanes).map { p =>
       val plane = array(planeMatrix(p).map(lit).toSeq: _*)
-      val proj = foldSum(zip_with(vec, plane, (x, c) => x.cast("double") * c))
+      val proj = dot(vec, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
