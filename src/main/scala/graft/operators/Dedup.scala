@@ -75,6 +75,13 @@ object Dedup {
     * deduped (a pair can collide in several bands) *before* the sets are
     * joined back for verification, so each set crosses the wire once per
     * surviving pair side, not once per band collision.
+    *
+    * Measured alternative (rejected): verifying via a candidate-restricted
+    * shingle inverted index (fully array-free, as in [[ngramJaccardPairs]])
+    * needs `cand` as two consumers, which recomputes the whole signature
+    * pipeline — ~40% slower at sf0.1. At cluster scale the right move is to
+    * materialize the signature table once (a persisted intermediate, standard
+    * for corpus dedup) and then either verification shape is single-pass.
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
