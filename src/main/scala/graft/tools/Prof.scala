@@ -33,6 +33,24 @@ object Prof {
     time("simhash_pairs") { Dedup.simhashPairs(s, d) }
     time("ngram_jaccard") { Dedup.ngramJaccardPairs(s, d) }
     time("wordcount_by_lang") { SparkEntry.queries("q_wordcount_by_lang")(s, d) }
+    time("ann_topk_window") { Similarity.bruteForceTopK(s, d) }
+    time("ann_topk_aggregator") {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", Similarity.cosine(col("qvec"), col("nvec")))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, cos) => (id, cos) }
+        .agg(new graft.functions.TopKAggregator(5).toColumn.name("topk"))
+        .flatMap { case (q, topk) =>
+          topk.zipWithIndex.map { case ((id, cos), i) => (q, id, i + 1L, cos) }
+        }.toDF("query_id", "neighbor_id", "rnk", "cosine")
+    }
     s.stop()
   }
 }
