@@ -29,30 +29,30 @@ object TemporalJoins {
     * rows drop).
     *
     * `rightPayload` columns are carried to the output prefixed as given.
-    * Right rows are pre-reduced to one per (key, ts) — max `tieBreak` wins —
-    * so the result is deterministic under concurrent equal timestamps.
+    * Concurrent right rows at the same (key, ts) resolve deterministically to
+    * the max-`tieBreak` row — not via a separate dedup pass, but by adding
+    * the tie-break to the merge window's sort: the running `last()` then
+    * lands on the max-tieBreak row of any equal-timestamp run. ONE shuffle
+    * total.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, tieBreak: String,
       rightPayload: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
-    // one right row per (key, ts): the max-tieBreak row (deterministic)
-    val rightDedup = right
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy((keyCols :+ col(rightTs)): _*).orderBy(col(tieBreak).desc)))
-      .filter(col("__rn") === 1)
     val payload = struct(rightPayload.map(col): _*)
-    val rightTagged = rightDedup.select(
+    val rightTagged = right.select(
       keyCols :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
-        payload.as("__payload"): _*)
+        col(tieBreak).as("__tb") :+ payload.as("__payload"): _*)
     val leftCols = left.columns.filterNot(c => c.startsWith("__"))
     val leftTagged = left.select(
       keyCols :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(rightTagged.schema("__tb").dataType).as("__tb") :+
         lit(null).cast(rightTagged.schema("__payload").dataType).as("__payload") :+
         struct(leftCols.map(col): _*).as("__lrow"): _*)
-    // at equal ts the right row sorts first (__side 0 < 1) → `<=` semantics
+    // at equal ts right rows sort first (__side 0 < 1 → `<=` semantics),
+    // ordered among themselves by tieBreak so last() = max-tieBreak row
     val merge = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightTagged.withColumn("__lrow", lit(null).cast(leftTagged.schema("__lrow").dataType))
       .unionByName(leftTagged)

@@ -62,6 +62,16 @@ class PlanQualitySpec extends SparkSpecBase {
       s"array-bearing shuffle in ngram join:\n${exchanges.mkString("\n")}")
   }
 
+  test("as-of join is a single-shuffle union-merge (no range explosion)") {
+    val p = plan(q("q_asof_join"))
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      .toSeq
+    assert(exchanges.size == 1, s"expected exactly one shuffle:\n${exchanges.mkString("\n")}\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of fell back to a product join:\n$p")
+  }
+
   test("ANN brute force broadcasts the query side, never the corpus") {
     val p = plan(q("q_ann_cosine"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
