@@ -131,6 +131,17 @@ object SparkEntry {
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
 
+    // -- thread/graph traversal (pointer doubling; adjacency the reference
+    //    stores but never walks — synthetic parent = (id-1) div 2 over the
+    //    dense event_id space, so DuckDB can verify with a recursive CTE)
+    "q_thread_depth" -> ((s, d) => {
+      val nodes = Tables.events(s, d).select(
+        col("event_id").as("id"),
+        when(col("event_id") > 0,
+          expr("CAST((event_id - 1) DIV 2 AS BIGINT)")).as("parent"))
+      ThreadGraph.threadIndex(nodes, maxDepth = 32)
+    }),
+
     // -- temporal joins (as-of / bounded-range — operators Spark lacks natively)
     "q_asof_join" -> (TemporalJoins.purchaseAsOfView _),
     "q_range_join" -> (TemporalJoins.errorsFollowedByClicks _),
@@ -352,6 +363,19 @@ object SparkEntry {
         |  lead(event_type) OVER w AS next_type,
         |  CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS DOUBLE) / 1000000.0 AS gap_seconds
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    // recursive CTE as the independent implementation of the pointer-doubling
+    // traversal (root = event 0, parent = (id-1) div 2 over dense event_ids)
+    "q_thread_depth" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT CAST(event_id AS BIGINT) AS id, CAST(event_id AS BIGINT) AS root_id,
+        |         CAST(0 AS BIGINT) AS depth
+        |  FROM events WHERE event_id = 0
+        |  UNION ALL
+        |  SELECT CAST(e.event_id AS BIGINT), t.root_id, t.depth + 1
+        |  FROM events e JOIN t ON (e.event_id - 1) // 2 = t.id AND e.event_id > 0
+        |)
+        |SELECT id, root_id, depth, true AS resolved FROM t""".stripMargin,
 
     // ASOF JOIN is native in DuckDB 1.0 — an independent implementation of
     // the same semantics as the Spark union-merge construction. Both sides
