@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] keeps up to 32 concurrent tasks' shuffle/agg state in ONE JVM;
+  // an 8g default starved the GC and turned plan-sound queries into 100s+
+  // outliers. 32g leaves headroom for the 128 GiB sandbox without promising
+  // more than CI machines have.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

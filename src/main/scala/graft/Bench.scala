@@ -28,8 +28,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the session once before timing: executor threads, codegen
     // compiler, parquet footer cache — otherwise the alphabetically-first
-    // query absorbs ~5s of one-time JVM cost and distorts its number
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // query absorbs ~5s of one-time JVM cost and distorts its number.
+    // Warm against the bench's own SF_DIR (not a hardcoded fixture path) and
+    // never let a warmup failure kill the run before the summary line — the
+    // worst case is a slower first query, not a silent no-output bench.
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // cached pool: a cancelled-but-wedged worker must not block later queries
     val pool = Executors.newCachedThreadPool()
     val benchStart = System.nanoTime()
@@ -56,6 +61,15 @@ object Bench {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(name)
             fut.cancel(true)
+            // cancellation is async: tasks of the cancelled group can keep
+            // running (and eating all cores) into the next query's window,
+            // contaminating its timing. Block (bounded) until the stages
+            // actually drain before moving on.
+            val drainDeadline = System.nanoTime() + 60L * 1000000000L
+            while (spark.sparkContext.statusTracker.getActiveJobIds().nonEmpty
+                   && System.nanoTime() < drainDeadline) {
+              Thread.sleep(200)
+            }
             err = Some(s"timeout after ${budget}s")
           case e: java.util.concurrent.ExecutionException =>
             err = Some(Option(e.getCause).getOrElse(e).toString.take(300))

@@ -207,8 +207,17 @@ object Analytics {
     */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
       salts: Int = 32): DataFrame = {
+    // The salt must be DETERMINISTIC per row: spark_partition_id /
+    // monotonically_increasing_id change across task retries, so a
+    // shuffle-fetch failure would re-salt recomputed rows into different
+    // reducers and double-count or drop partial sums — precisely at the
+    // cluster scale this helper exists for. Hashing the whole row is stable
+    // under retries. Limitation: byte-identical duplicate rows share a salt;
+    // if the hot key is millions of IDENTICAL rows, include a stable row key
+    // (e.g. a source line number) in the hash instead.
+    val rowHash = hash(df.columns.map(col).toIndexedSeq: _*)
     val partial = df
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt", pmod(rowHash, lit(salts)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pn"))
     partial.groupBy(col(keyCol))

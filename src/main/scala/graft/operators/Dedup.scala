@@ -70,21 +70,32 @@ object Dedup {
     * self-join on band key for candidates, then verify with exact Jaccard on
     * the shingle sets. Output: pairs with exact Jaccard ≥ 0.35.
     *
-    * Scale shape: the band self-join carries ONLY (band_key, doc_id) — the
-    * heavy shingle sets stay out of the candidate shuffle. Candidate pairs are
-    * deduped (a pair can collide in several bands) *before* the sets are
-    * joined back for verification, so each set crosses the wire once per
-    * surviving pair side, not once per band collision.
+    * Scale shape: the shingle-set table is computed ONCE and persisted — the
+    * canonical materialized intermediate of corpus dedup (on a cluster this
+    * is a parquet/bucketed table, here an in-memory persist). The signature
+    * pipeline and both verification sides read it, so the tokenizer/shingler
+    * runs once instead of three times. The band self-join carries ONLY
+    * (band_key, doc_id) — no array ever enters the candidate shuffle — and
+    * candidate pairs are deduped (a pair can collide in several bands)
+    * *before* the sets are joined back for verification, so each set crosses
+    * the wire once per surviving pair side, not once per band collision.
     *
     * Measured alternative (rejected): verifying via a candidate-restricted
     * shingle inverted index (fully array-free, as in [[ngramJaccardPairs]])
-    * needs `cand` as two consumers, which recomputes the whole signature
-    * pipeline — ~40% slower at sf0.1. At cluster scale the right move is to
-    * materialize the signature table once (a persisted intermediate, standard
-    * for corpus dedup) and then either verification shape is single-pass.
+    * re-shuffles every posting of every candidate doc to compute overlaps the
+    * array intersection gets for free off the persisted sets — at the
+    * measured candidate density (~1.2k pairs from 5k docs at sf0.1) the
+    * array verify is the cheaper side.
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("sset"))
+      .filter(size(col("sset")) > 0)
+      .persist()
+    val postings = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+    val mins = (0 until NumHashes).map(k =>
+      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+    val sig = postings.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val banded = sig.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map(b =>
@@ -99,9 +110,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val sets = Tables.documents(s, d)
-      .select(col("doc_id"), shingles3(col("text")).as("sset"))
-      .filter(size(col("sset")) > 0)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
@@ -193,25 +201,39 @@ object Dedup {
   /** SimHash near-duplicate pairs: block on 4 substrings of 15 bits (any
     * identical quarter makes a candidate — guarantees recall for hamming ≤ 3
     * by pigeonhole), then verify exact hamming ≤ maxHamming.
+    *
+    * The banded self-join runs over DISTINCT fingerprints, not documents:
+    * near-dup-dense corpora collapse hard (sf0.1: 5000 docs → 3638 distinct
+    * fingerprints, hottest 15-bit band group 1515 → 459 members, total
+    * candidate pairs 3.8M → 0.72M), and it is the distinct-fingerprint count —
+    * not the corpus size — that a hot low-entropy quarter can funnel into one
+    * reducer. Doc pairs are recovered afterwards by two narrow (long, long)
+    * expansion joins, so the quadratic intra-group blowup never enters the
+    * band join at all. Exactness: identical fingerprints share all four
+    * quarters and have hamming 0 ≤ maxHamming, so every intra-group pair
+    * belongs in the output by construction, and a cross-group pair's band
+    * collision and hamming depend only on the two fingerprint values.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
-    val sh = simhashLong(s, d)
+    // (doc_id, h) — two longs per row; persisted because the fingerprint
+    // table feeds the distinct-band join AND both expansion sides (tiny:
+    // 16 bytes × corpus, the canonical materialize-once dedup intermediate)
+    val sh = simhashLong(s, d).persist()
     // band key = 15-bit quarter of the packed long (same quarters as the
     // bit-string substring form: quarter q covers bits 59-15q .. 45-15q)
-    val banded = sh.select(col("doc_id"), col("h"),
+    val banded = sh.select(col("h")).distinct().select(col("h"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("h"), 45 - 15 * q).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("h").as("h_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("h").as("h_b"))
+    val a = banded.select(col("band"), col("band_key"), col("h").as("h_a"))
+    val b = banded.select(col("band"), col("band_key"), col("h").as("h_b"))
     // hamming = popcount(xor) — one codegen'd instruction per candidate.
-    // A pair colliding in several bands would duplicate; instead of a
-    // distinct() (a full extra shuffle of every surviving pair) each pair is
-    // emitted ONLY from its first matching band — earlier-band equality is a
-    // free bit-test since both packed fingerprints ride the join.
+    // A fingerprint pair colliding in several bands would duplicate; instead
+    // of a distinct() (a full extra shuffle of every surviving pair) each
+    // pair is emitted ONLY from its first matching band — earlier-band
+    // equality is a free bit-test since both packed fingerprints ride the
+    // join.
     val xor = col("h_a").bitwiseXOR(col("h_b"))
     def quarterDiffers(q: Int): Column =
       shiftright(xor, 45 - 15 * q).bitwiseAND(lit(0x7fffL)) =!= 0L
@@ -219,11 +241,74 @@ object Dedup {
       (col("band") === q) && (0 until q).map(quarterDiffers)
         .foldLeft(lit(true))(_ && _))
       .reduce(_ || _)
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b") && firstMatchingBand)
+    val fpairs = a.join(b, Seq("band", "band_key"))
+      .filter(col("h_a") < col("h_b") && firstMatchingBand)
       .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("h_a"), col("h_b"), col("hamming"))
+    // cross-group doc pairs: canonical fingerprint order (h_a < h_b) does not
+    // imply doc order, so re-order per expanded pair
+    val cross = fpairs
+      .join(sh.select(col("h").as("h_a"), col("doc_id").as("id_a")), Seq("h_a"))
+      .join(sh.select(col("h").as("h_b"), col("doc_id").as("id_b")), Seq("h_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    // intra-group doc pairs: identical fingerprint ⇒ hamming 0
+    val intra = sh.select(col("h"), col("doc_id").as("doc_a"))
+      .join(sh.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
+    cross.unionByName(intra)
+  }
+
+  /** Cluster assignment over a verified near-duplicate pair list: every
+    * document gets `cluster_id` = the smallest doc_id reachable through the
+    * pair graph (connected components); documents in no pair keep their own
+    * id. This — not the all-pairs list — is what a 100 TB training-data
+    * pipeline materializes: pair output is quadratic in cluster size, cluster
+    * ids are linear, and "keep one doc per cluster" downstream is a trivial
+    * `filter(doc_id === cluster_id)`.
+    *
+    * Algorithm: min-label propagation (hash-to-min) to fixpoint. Each round
+    * is ONE narrow (long, long) shuffle — labels flood along edges and the
+    * component minimum wins; rounds needed = eccentricity of the minimum
+    * node ≤ component diameter (near-dup clusters are dense, so 2–3 rounds
+    * in practice). Every round is `localCheckpoint`ed: iterative self-joins
+    * without lineage truncation re-execute the base plan 2^rounds times (the
+    * ThreadGraph lesson). The convergence probe is a LIMIT-1 existence check,
+    * not a collect. For graphs with huge diameters swap in pointer doubling
+    * ([[graft.operators.ThreadGraph]]); near-dup graphs never need it.
+    */
+  def dedupClusters(s: SparkSession, d: String, pairs: DataFrame,
+      maxRounds: Int = 16): DataFrame = {
+    // symmetric adjacency — the min label must flow both directions
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val viaNeighbor = edges
+        .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
+        .select(col("u"), col("label"))
+      val next = viaNeighbor.union(labels)
+        .groupBy(col("u")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("u"))
+        .filter(col("label") < col("old"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("u").as("doc_id"), col("label").as("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   /** Exact dedup: one survivor (min doc_id) per normalized-content

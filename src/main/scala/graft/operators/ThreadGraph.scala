@@ -41,6 +41,13 @@ object ThreadGraph {
           col("id"),
           coalesce(col("h_ptr"), col("ptr")).as("ptr"),
           (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
+        // Iterative self-joins REQUIRE lineage truncation: without it round
+        // k's plan embeds two copies of round k−1's, so the base scan+join
+        // work re-executes ~2^rounds times (measured 120s at sf0.1; seconds
+        // with the checkpoint). localCheckpoint materializes the (id, ptr,
+        // dist) triples — on a resilient cluster prefer
+        // `spark.sparkContext.setCheckpointDir` + `.checkpoint()`, same shape.
+        .localCheckpoint()
     }
     val roots = comments.filter(col("parent").isNull)
       .select(col("id").as("r_id"))
