@@ -78,6 +78,14 @@ object Bench {
         }
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      // query isolation: drop whatever the query persisted/checkpointed
+      // (operators legitimately cache intermediates INSIDE their own timed
+      // window; leaving those blocks behind would pollute every later
+      // query's session and compound over a 50-query run)
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      } catch { case _: Throwable => () }
       System.err.println(f"[bench] $name%-30s ${secs}%8.2fs ${err.getOrElse("ok")}")
       (name, secs, err)
     }
@@ -88,7 +96,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // perf budget (BENCH_BUDGET.md): every query must finish under the
+    // ceiling at sf0.1 — a dedicated JSON field + stderr WARN makes a perf
+    // regression loud instead of letting it drift run over run
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_BUDGET_CEILING_SEC", "30").toDouble
+    val over = results.collect { case (k, v, None) if v > ceiling => (k, v) }
+    over.foreach { case (k, v) =>
+      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs > ${ceiling}%.0fs ceiling") }
+    val overJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

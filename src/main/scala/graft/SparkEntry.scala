@@ -155,6 +155,8 @@ object SparkEntry {
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_simhash" -> (Dedup.simhash _),
     "q_simhash_pairs" -> ((s, d) =>
@@ -167,6 +169,11 @@ object SparkEntry {
       Similarity.lshTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(s, d).withColumn("rnk", col("rnk").cast("long"))
+        .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
+    // rows-only: the fitted k-means model is not one SQL statement; the
+    // search-side dataflow is identical to the oracle-checked q_ann_ivf
+    "q_ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTopKTrained(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, 0.2)),
 
@@ -255,6 +262,27 @@ object SparkEntry {
        |    THEN CAST(1::BIGINT << p AS BIGINT) ELSE CAST(0 AS BIGINT) END),
        |  (x, y) -> x + y)""".stripMargin
   }
+
+  /** Mirror of Dedup.minhashLshPairs — shared by the pair query's oracle and
+    * the cluster query's oracle (which clusters exactly these pairs).
+    */
+  private val sqlMinhashPairs =
+    s"""WITH sh AS ($sqlShingles),
+       |sig AS (
+       |  SELECT doc_id, sset, list_transform(range(0, ${Dedup.NumHashes}), k ->
+       |    list_min(list_transform(sset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sset, r.b AS band,
+       |    md5(concat(CAST(sig[2*r.b+1] AS VARCHAR), ',', CAST(sig[2*r.b+2] AS VARCHAR))) AS band_key
+       |  FROM sig, range(0, ${Dedup.Bands}) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+       |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
   private val decRevenue =
@@ -509,23 +537,25 @@ object SparkEntry {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 2""".stripMargin,
 
-    "q_dedup_minhash_lsh" ->
-      s"""WITH sh AS ($sqlShingles),
-         |sig AS (
-         |  SELECT doc_id, sset, list_transform(range(0, ${Dedup.NumHashes}), k ->
-         |    list_min(list_transform(sset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
-         |  FROM sh),
-         |bands AS (
-         |  SELECT doc_id, sset, r.b AS band,
-         |    md5(concat(CAST(sig[2*r.b+1] AS VARCHAR), ',', CAST(sig[2*r.b+2] AS VARCHAR))) AS band_key
-         |  FROM sig, range(0, ${Dedup.Bands}) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
-         |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin,
+    "q_dedup_minhash_lsh" -> sqlMinhashPairs,
+
+    // independent implementation of connected components: transitive closure
+    // by recursive CTE (UNION's set semantics terminate cycles), then the
+    // component minimum as the label — versus Spark's min-label propagation
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($sqlMinhashPairs),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH base AS (

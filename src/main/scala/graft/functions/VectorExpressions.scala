@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the ANN hot path: dot product of two
   * numeric arrays (`array<float>` or `array<double>` on either side)
@@ -94,6 +95,79 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native hex-prefix parse for the dedup hot path: the first 15 hex chars of
+  * a (md5) hex string as a 60-bit long — value-identical to
+  * `conv(substring(s, 1, 15), 16, 10) CAST AS LONG`, which the DuckDB oracle
+  * still computes with its own `CAST(concat('0x', …) AS BIGINT)`.
+  *
+  * Why native: `conv` routes through `NumberConverter` (generic any-radix
+  * conversion with per-call byte-array copies and a decimal string
+  * round-trip). The minhash signature stage evaluates this 16× per posting —
+  * millions of calls per partition — and profiling showed `NumberConverter`
+  * dominating the single hottest task. This expression is a 15-iteration
+  * fused loop inside whole-stage codegen. Malformed input (shorter than 15
+  * chars or non-hex) yields null; md5 output never is.
+  */
+case class Hex15ToLong(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_hex15 expects a string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hex15"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length < 15) return null
+    var acc = 0L
+    var i = 0
+    while (i < 15) {
+      val b = bytes(i)
+      val d =
+        if (b >= '0' && b <= '9') b - '0'
+        else if (b >= 'a' && b <= 'f') b - 'a' + 10
+        else if (b >= 'A' && b <= 'F') b - 'A' + 10
+        else return null
+      acc = acc * 16 + d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val d = ctx.freshName("d")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |if ($bytes.length < 15) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < 15 && !${ev.isNull}; $i++) {
+         |    byte $b = $bytes[$i];
+         |    int $d;
+         |    if ($b >= '0' && $b <= '9') { $d = $b - '0'; }
+         |    else if ($b >= 'a' && $b <= 'f') { $d = $b - 'a' + 10; }
+         |    else if ($b >= 'A' && $b <= 'F') { $d = $b - 'A' + 10; }
+         |    else { ${ev.isNull} = true; $d = 0; }
+         |    $acc = $acc * 16L + $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registers graft's native functions on a session via
   * `SparkSessionExtensions` — the standard extension point, so any session
   * (Bench, Verify, tests, a user's own builder) gets them with
@@ -103,7 +177,10 @@ object VectorExpressions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f"),
-      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))),
+    (new FunctionIdentifier("graft_hex15"),
+      new ExpressionInfo(classOf[Hex15ToLong].getName, "graft_hex15"),
+      (args: Seq[Expression]) => Hex15ToLong(args(0))))
 
   def register(e: SparkSessionExtensions): Unit =
     functions.foreach(f => e.injectFunction(f))

@@ -52,15 +52,20 @@ object PipelineJobs {
     loadInsertIgnore(spark, comments, targetPath)
   }
 
-  /** The load stage: dedup-within-batch + anti-join vs target, append. */
+  /** The load stage: dedup-within-batch + anti-join vs target, append.
+    * The loaded-row count rides the write as an [[Observation]] metric —
+    * a separate `count()` action would execute the whole anti-join plan
+    * twice (once to count, once to write).
+    */
   private def loadInsertIgnore(spark: SparkSession, batch: DataFrame,
       targetPath: String): Long = {
     val incoming =
       if (Sensors.pathExists(spark, targetPath))
         IngestTransforms.insertIgnore(batch, spark.read.parquet(targetPath), "id")
       else batch.dropDuplicates("id")
-    val n = incoming.count()
-    if (n > 0) incoming.write.mode("append").parquet(targetPath)
-    n
+    val obs = new org.apache.spark.sql.Observation()
+    incoming.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(targetPath)
+    obs.get("n").asInstanceOf[Long]
   }
 }

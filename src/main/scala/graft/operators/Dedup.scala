@@ -23,10 +23,13 @@ object Dedup {
 
   /** 60-bit hash from md5 — identical in DuckDB as
     * `CAST(concat('0x', substring(md5(s || '#' || k), 1, 15)) AS BIGINT)`.
+    * The hex→long parse is the native [[graft.functions.Hex15ToLong]]
+    * (registered as `graft_hex15`): `conv()` routes through the generic
+    * any-radix `NumberConverter` and dominated the signature stage's hottest
+    * task at millions of evaluations per partition.
     */
   def md5Hash60(s: Column, seed: Column): Column =
-    conv(substring(md5(concat(s, lit("#"), seed.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    call_function("graft_hex15", md5(concat(s, lit("#"), seed.cast("string"))))
 
   /** Word 3-shingles (distinct) of a text column; docs with <3 tokens drop.
     *
@@ -61,6 +64,12 @@ object Dedup {
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val postings = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+      // the 16-hash partial aggregation is the pipeline's CPU hot spot; its
+      // parallelism must not be hostage to the scan's partition count (one
+      // smallish parquet file = ONE partition = one task hashing the whole
+      // corpus — profiled as exactly that). A narrow (long, string) shuffle
+      // buys corpus-wide parallelism.
+      .repartition(col("doc_id"))
     val mins = (0 until NumHashes).map(k =>
       min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
     postings.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -93,6 +102,10 @@ object Dedup {
       .filter(size(col("sset")) > 0)
       .persist()
     val postings = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
+      // same reason as [[minhashSignatures]]: the persisted set table has
+      // the scan's (often single) partitioning; re-spread before the 16-hash
+      // partial agg so signature hashing is corpus-parallel
+      .repartition(col("doc_id"))
     val mins = (0 until NumHashes).map(k =>
       min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
     val sig = postings.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -279,37 +292,70 @@ object Dedup {
     * not a collect. For graphs with huge diameters swap in pointer doubling
     * ([[graft.operators.ThreadGraph]]); near-dup graphs never need it.
     */
-  def dedupClusters(s: SparkSession, d: String, pairs: DataFrame,
-      maxRounds: Int = 16): DataFrame = {
+  /** Core of [[dedupClusters]]: label every node that appears in `pairs`
+    * (columns doc_a, doc_b) with the minimum doc_id of its connected
+    * component. Exposed separately so synthetic graphs are unit-testable.
+    *
+    * Each round min-reduces THREE label sources — the node's own label,
+    * its neighbors' labels (flooding), and its label's label (pointer
+    * jumping) — so chains converge in O(log diameter) rounds instead of
+    * the O(diameter) of plain flooding. Convergence is detected by the
+    * label-sum: labels only ever decrease, so an unchanged sum ⇔ a fixpoint
+    * — one tiny scalar agg over the just-checkpointed table instead of a
+    * comparison join. (A label is always a node id that occurs as `u`:
+    * initial labels are least(u, neighbor), and both propagation sources
+    * only move existing labels — so the pointer-jump inner join is total.)
+    */
+  def clusterLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    // persist the pair list FIRST: the symmetric union below references it
+    // twice, and without the persist the (possibly expensive) pair-producing
+    // plan would execute twice just to fill the edge cache
+    val p = pairs.persist()
     // symmetric adjacency — the min label must flow both directions
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("label"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val viaNeighbor = edges
         .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
         .select(col("u"), col("label"))
-      val next = viaNeighbor.union(labels)
+      val viaJump = labels.select(col("u"), col("label").as("l0"))
+        .join(labels.select(col("u").as("l0"), col("label").as("l1")), Seq("l0"))
+        .select(col("u"), col("l1").as("label"))
+      val next = viaNeighbor.union(viaJump).union(labels)
         .groupBy(col("u")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), Seq("u"))
-        .filter(col("label") < col("old"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      // release the superseded round's checkpoint blocks NOW — a long
+      // iteration otherwise pins rounds × |labels| blocks in the block
+      // manager and degrades everything that runs after in the session
+      labels.unpersist()
       labels = next
       round += 1
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[clusterLabels] round $round sum $s converged $converged")
     }
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(labels.select(col("u").as("doc_id"), col("label").as("cluster_id")),
-        Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    edges.unpersist()
+    p.unpersist()
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  def dedupClusters(s: SparkSession, d: String, pairs: DataFrame,
+      maxRounds: Int = 16): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(clusterLabels(pairs, maxRounds).withColumnRenamed("cluster_id", "cl"),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
 
   /** Exact dedup: one survivor (min doc_id) per normalized-content
     * fingerprint. At 100 TB this is a single hash-shuffle on a 32-char key —

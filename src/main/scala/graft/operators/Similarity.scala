@@ -174,6 +174,98 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Spherical k-means (Lloyd's) coarse-quantizer training for IVF.
+    *
+    * Each iteration: assign every (sampled) vector to its nearest centroid by
+    * cosine — broadcast-literal centroids, `max_by` aggregation, no window
+    * funnel, exactly the shape of the search-time assignment — then recompute
+    * each cell's per-dimension mean (cosine ignores scale, so the plain mean
+    * IS the spherical update). The driver holds only the nlist×dim centroid
+    * matrix (the model, a few KB); data never leaves the executors except as
+    * per-cell dimension means. Deterministic: init = the nlist lowest vec_ids,
+    * ties in assignment break to the lowest centroid id, empty cells keep
+    * their previous centroid.
+    *
+    * At 100 TB: train on `sampleFraction` (k-means needs ~100·nlist samples,
+    * not the corpus), nlist ~ √N, and persist the centroid matrix next to the
+    * index — the returned array is exactly that artifact.
+    */
+  def trainIvfCentroids(emb: DataFrame, nlist: Int = IvfCentroids,
+      iters: Int = 3, sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    val data = (if (sampleFraction < 1.0) emb.sample(sampleFraction, seed = 7) else emb)
+      .select(col("vec_id"), col("embedding"))
+    var centroids: Array[Array[Double]] = data.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val centsLit = array(centroids.map(c =>
+        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+      val best = data
+        .select(col("vec_id"), col("embedding"), posexplode(centsLit))
+        .withColumn("ccos",
+          dot(col("embedding"), col("col")) / (norm(col("embedding")) * norm(col("col"))))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("pos"), struct(col("ccos"), -col("pos"))).as("cid"))
+      // per-dimension means, assembled back into ordered vectors
+      val dimMeans = data
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
+        .join(best, Seq("vec_id"))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        dimMeans.getOrElse(i, old)
+      }
+    }
+    centroids
+  }
+
+  /** IVF search against TRAINED centroids ([[trainIvfCentroids]]): same
+    * dataflow as [[ivfTopK]] — broadcast centroid literals, `max_by` cell
+    * assignment, probe-cells candidate join, exact-cosine rerank — but the
+    * quantizer is the fitted model, so cells are balanced by the data's
+    * actual geometry instead of by luck of the first nlist rows. Rows-only
+    * in the oracle harness: a fitted model is not expressible in one SQL
+    * statement (the search-side plan is identical to the oracle-checked
+    * [[ivfTopK]]).
+    */
+  def ivfTopKTrained(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val trained = trainIvfCentroids(emb, IvfCentroids, iters = 3)
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val centsLit = array(trained.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val crossed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(centsLit))
+      .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
+      .withColumn("ccos",
+        dot(col("embedding"), col("cvec")) / (col("nrm") * norm(col("cvec"))))
+      .drop("cvec")
+    val assign = crossed.groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    val probes = crossed.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val scored = probes
+      .join(assign, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("nvec"),
+        col("nrm").as("nn")), Seq("vec_id"))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket
     * with cosine above threshold (doc-level near-dup by vector similarity).
     */

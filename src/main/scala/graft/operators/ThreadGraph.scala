@@ -36,6 +36,7 @@ object ThreadGraph {
       val hop = state.select(col("id").as("h_id"), col("ptr").as("h_ptr"),
         col("dist").as("h_dist"))
       // dangling parent (h_id missing) → pointer stays put, flagged below
+      val prev = state
       state = state.join(hop, state("ptr") === hop("h_id"), "left_outer")
         .select(
           col("id"),
@@ -48,6 +49,10 @@ object ThreadGraph {
         // dist) triples — on a resilient cluster prefer
         // `spark.sparkContext.setCheckpointDir` + `.checkpoint()`, same shape.
         .localCheckpoint()
+      // the superseded round's blocks are dead the moment the new checkpoint
+      // exists — release them instead of letting them pile up in the block
+      // manager for the rest of the session
+      prev.unpersist()
     }
     val roots = comments.filter(col("parent").isNull)
       .select(col("id").as("r_id"))

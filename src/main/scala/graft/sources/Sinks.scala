@@ -18,6 +18,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *  - [[appendInsertIgnore]]: the re-runnable append the reference's
   *    `ON CONFLICT DO NOTHING` load gives: dedup-within-batch + anti-join
   *    against the current target state, then append.
+  *
+  * Keeping Postgres as the target instead: feed the same deduped/anti-joined
+  * plan to Spark's batched JDBC sink (`df.write.format("jdbc")
+  * .option("batchsize", 10000).mode("append")`) — see README "Migrating the
+  * reference's Postgres (JDBC) load" for the full call shape and the
+  * staging-table MERGE needed for true upsert. The parquet mapping here is
+  * semantics-equivalent and what the no-Postgres sandbox verifies.
   */
 object Sinks {
 

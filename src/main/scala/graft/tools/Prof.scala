@@ -29,6 +29,7 @@ object Prof {
         .select(col("doc_id"), Dedup.md5Hash60(col("sh"), lit(0)).as("h")) }
     time("minhash_signatures") { Dedup.minhashSignatures(s, d) }
     time("lsh_pairs_full") { Dedup.minhashLshPairs(s, d) }
+    time("dedup_clusters") { Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d)) }
     time("simhash") { Dedup.simhash(s, d) }
     time("simhash_pairs") { Dedup.simhashPairs(s, d) }
     time("ngram_jaccard") { Dedup.ngramJaccardPairs(s, d) }

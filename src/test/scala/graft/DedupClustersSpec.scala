@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Connected-components labeling over near-duplicate pair lists: chains that
+  * need label flooding, multiple components, cliques, and convergence.
+  */
+class DedupClustersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.clusterLabels(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("a chain floods the minimum to every member") {
+    // 10-9, 9-8, ..., 2-1: min label 1 must travel 9 hops
+    val out = labelsOf((2L to 10L).map(i => (i - 1, i)))
+    (1L to 10L).foreach(i => assert(out(i) == 1L, s"node $i"))
+  }
+
+  test("separate components keep separate labels; cliques collapse") {
+    val out = labelsOf(Seq(
+      (5L, 6L), (6L, 7L), (5L, 7L), // triangle (cycle-safe)
+      (20L, 21L)))                  // unrelated pair
+    assert(out(5L) == 5L && out(6L) == 5L && out(7L) == 5L)
+    assert(out(20L) == 20L && out(21L) == 20L)
+    assert(!out.contains(1L))
+  }
+
+  test("pair order does not matter (doc_a > doc_b tolerated)") {
+    val out = labelsOf(Seq((9L, 3L), (3L, 12L)))
+    assert(out == Map(3L -> 3L, 9L -> 3L, 12L -> 3L))
+  }
+
+  test("dedupClusters maps every document, singletons to themselves") {
+    val pairs = Seq((1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(spark, Sf, pairs)
+      .as[(Long, Long)].collect().toMap
+    val allDocs = Tables.documents(spark, Sf).count()
+    assert(out.size == allDocs)
+    assert(out(3L) == 1L)
+    assert(out(1L) == 1L)
+    // every doc not in the single pair is its own cluster
+    assert(out.count { case (d, c) => d == c } == allDocs - 1)
+  }
+}

@@ -44,6 +44,31 @@ class PipelineJobsSpec extends SparkSpecBase {
       commentsTarget, "2022-01-01 00:00:00", "2022-01-02 00:00:00") == 0)
   }
 
+  test("backfill: a late comment lands by re-running a historical window") {
+    // The reference computes its day window from datetime.now()
+    // (`comments_pipeline.py:27-33`), so a comment arriving after its post's
+    // day has passed is MISSED FOREVER (SURVEY.md §2.8). Because this
+    // engine's window is a query parameter, backfill = run the same job over
+    // the historical window — and insert-ignore makes doing so idempotent.
+    val base = Files.createTempDirectory("graft_backfill_t").toString
+    val postsTarget = base + "/posts"
+    val commentsTarget = base + "/comments"
+    PipelineJobs.runPostsJob(spark,
+      Seq(fixture("/fixtures/posts/posts_batch.json")), postsTarget)
+    val landing = Seq(fixture("/fixtures/comments/2022-01-02_1.json"))
+    // "today's" run looks at the 2022-01-03 window: post 1 is older, so its
+    // late-arriving comments load nothing — the reference's failure mode
+    assert(PipelineJobs.runCommentsJob(spark, landing, postsTarget,
+      commentsTarget, "2022-01-03 00:00:00", "2022-01-04 00:00:00") == 0)
+    // backfill the historical window the post actually lives in
+    assert(PipelineJobs.runCommentsJob(spark, landing, postsTarget,
+      commentsTarget, "2022-01-01 00:00:00", "2022-01-02 00:00:00") == 2)
+    // backfill re-run: no duplicates
+    assert(PipelineJobs.runCommentsJob(spark, landing, postsTarget,
+      commentsTarget, "2022-01-01 00:00:00", "2022-01-02 00:00:00") == 0)
+    assert(spark.read.parquet(commentsTarget).count() == 2)
+  }
+
   test("posts job refuses a missing landing batch (sensor precondition)") {
     val target = Files.createTempDirectory("graft_posts_m").toString + "/posts"
     intercept[IllegalArgumentException] {

@@ -52,14 +52,55 @@ class PlanQualitySpec extends SparkSpecBase {
       s"no partial aggregation in q1:\n$p")
   }
 
+  /** Output attribute lists of every shuffle in the pre-AQE physical plan —
+    * the programmatic (type-level) form of the array-free-shuffle contract;
+    * grepping Exchange plan lines only sees partitioning KEYS, not the
+    * columns riding along.
+    */
+  private def shuffleOutputs(df: DataFrame) = {
+    // under AQE, EnsureRequirements runs inside the adaptive preparation —
+    // sparkPlan has no exchanges yet; the (pre-execution) adaptive plan does
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o                        => o
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output
+    }
+  }
+
+  private def arrayCols(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) =
+    out.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]).map(_.name)
+
   test("dedup candidate joins carry no array columns through the shuffle") {
-    val p = plan(q("q_ngram_jaccard"))
-    // every Exchange row must be scalar-only: shingle postings and pair
+    val shuffles = shuffleOutputs(q("q_ngram_jaccard"))
+    // every shuffle row must be scalar-only: shingle postings and pair
     // counts, never the shingle sets themselves
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty)
-    assert(!exchanges.exists(_.contains("array<")),
-      s"array-bearing shuffle in ngram join:\n${exchanges.mkString("\n")}")
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(out =>
+      assert(arrayCols(out).isEmpty, s"array-bearing shuffle: ${arrayCols(out)}"))
+  }
+
+  test("minhash LSH moves arrays only in the verification set joins") {
+    // verification joins the (persisted) shingle sets back per surviving
+    // candidate — arrays there are the point; everything else (signature
+    // aggregation, band self-join, candidate dedup) must shuffle scalars
+    // only. (At spec scale small sides broadcast, so candidate shuffles may
+    // not exist at all — the contract is that NO array moves outside the
+    // explicitly set-carrying verify exchanges.)
+    val shuffles = shuffleOutputs(q("q_dedup_minhash_lsh"))
+    assert(shuffles.nonEmpty)
+    val offenders = shuffles.filter(out => arrayCols(out).nonEmpty &&
+      !out.exists(a => Set("sset", "set_a", "set_b").contains(a.name)))
+    assert(offenders.isEmpty,
+      s"array outside the verify set joins: ${offenders.map(arrayCols)}")
+  }
+
+  test("simhash pairs never shuffle an array (fingerprints are packed longs)") {
+    val shuffles = shuffleOutputs(q("q_simhash_pairs"))
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(out =>
+      assert(arrayCols(out).isEmpty, s"array-bearing shuffle: ${arrayCols(out)}"))
   }
 
   test("as-of join is a single-shuffle union-merge (no range explosion)") {
