@@ -47,6 +47,15 @@ object Tables {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner reclaims broadcast blocks and shuffle files only when
+      // their weak references get GC'd. The default periodic-GC interval is
+      // 30 MINUTES — longer than a whole bench run — and under a 32g heap
+      // organic full GCs essentially never fire, so a long session
+      // accumulates every query's broadcasts/shuffles until the block
+      // manager strangles unrelated queries (round-3 bench: nonreproducible
+      // 100-200s spikes on innocent queries). 30s keeps a long-lived session
+      // flat; a full GC on a mostly-dead heap costs well under a second.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -56,6 +56,14 @@ object PipelineJobs {
     * The loaded-row count rides the write as an [[Observation]] metric —
     * a separate `count()` action would execute the whole anti-join plan
     * twice (once to count, once to write).
+    *
+    * A zero-row batch still appends (creating an empty, schema-bearing
+    * target on a first-ever run) — deliberate: the reference's target table
+    * always exists (`init_db_tables.sh` creates it before any pipeline run),
+    * so "target present with zero rows" is the faithful post-state, and it
+    * keeps this method one action (a pre-count guard would run the anti-join
+    * plan twice). [[Sensors.pathExists]] flipping true after a no-op run is
+    * the reference's own semantics, not drift.
     */
   private def loadInsertIgnore(spark: SparkSession, batch: DataFrame,
       targetPath: String): Long = {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
@@ -95,6 +95,13 @@ object Dedup {
     * array intersection gets for free off the persisted sets — at the
     * measured candidate density (~1.2k pairs from 5k docs at sf0.1) the
     * array verify is the cheaper side.
+    *
+    * Caching contract: the returned frame's plan references an internal
+    * `persist()`ed intermediate (the shingle-set table) that lives until the
+    * session drops it — `Bench`/`Verify` sweep `getPersistentRDDs` between
+    * queries; a library caller embedding this in a long-lived session should
+    * `spark.catalog.clearCache()` (or unpersist via `getPersistentRDDs`)
+    * after its terminal action. Same contract for [[simhashPairs]].
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val sets = Tables.documents(s, d)
@@ -307,6 +314,7 @@ object Dedup {
     * only move existing labels — so the pointer-jump inner join is total.)
     */
   def clusterLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val sess = pairs.sparkSession
     // persist the pair list FIRST: the symmetric union below references it
     // twice, and without the persist the (possibly expensive) pair-producing
     // plan would execute twice just to fill the edge cache
@@ -315,35 +323,59 @@ object Dedup {
     val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
-    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("u"), col("mv")).as("label"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    // Round 0 is ONE job: the Observation rides the checkpoint's
+    // materialization, delivering label count + sum without a separate
+    // action. The count sizes every later round's state table — a near-dup
+    // label set is orders of magnitude smaller than the corpus, and leaving
+    // it at spark.sql.shuffle.partitions makes each round pay ~5 jobs of
+    // fixed scheduling cost over partitions holding a handful of rows
+    // (measured ~70s of pure overhead at sf0.1).
+    val obs0 = Observation()
+    val (labels0, ids0) = IterCheckpoint.checkpoint(
+      edges.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("label"))
+        .observe(obs0, count(lit(1)).as("n"), sum(col("label")).as("lsum")))
+    val n0 = obs0.get("n").asInstanceOf[Long]
+    // ~4M (long,long) rows per partition ≈ a few hundred MB working set;
+    // grows with the graph, so a 1B-node label table still gets ~250-way
+    // parallelism while sf0.1's hundreds of rows collapse to one task
+    val parts = math.max(1L, math.min(10000L, n0 / 4000000L)).toInt
+    var labels = labels0
+    var ids = ids0
+    var prevSum = Option(obs0.get("lsum")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    var converged = n0 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
+      val tRound = System.nanoTime()
       val viaNeighbor = edges
         .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
         .select(col("u"), col("label"))
       val viaJump = labels.select(col("u"), col("label").as("l0"))
         .join(labels.select(col("u").as("l0"), col("label").as("l1")), Seq("l0"))
         .select(col("u"), col("l1").as("label"))
-      val next = viaNeighbor.union(viaJump).union(labels)
-        .groupBy(col("u")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      // one job per round: the convergence sum is an observed metric of the
+      // checkpoint job itself (labels only ever decrease, so an unchanged
+      // sum ⇔ fixpoint), and coalesce(parts) keeps the materialized state —
+      // and the NEXT round's task count — proportional to the label table,
+      // not to the session's shuffle-partition default
+      val obs = Observation()
+      val (next, nextIds) = IterCheckpoint.checkpoint(
+        viaNeighbor.union(viaJump).union(labels)
+          .groupBy(col("u")).agg(min(col("label")).as("label"))
+          .observe(obs, sum(col("label")).as("lsum"))
+          .coalesce(parts))
+      val s = obs.get("lsum").asInstanceOf[Long]
       converged = s == prevSum
       prevSum = s
-      // release the superseded round's checkpoint blocks NOW — a long
-      // iteration otherwise pins rounds × |labels| blocks in the block
-      // manager and degrades everything that runs after in the session
-      labels.unpersist()
+      // release the superseded round's checkpoint blocks NOW (by RDD id —
+      // Dataset.unpersist is a no-op on checkpoints, see [[IterCheckpoint]])
+      IterCheckpoint.free(sess, ids)
       labels = next
+      ids = nextIds
       round += 1
       if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(s"[clusterLabels] round $round sum $s converged $converged")
+        System.err.println(f"[clusterLabels] round $round sum $s converged $converged " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     edges.unpersist()
     p.unpersist()

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lineage truncation for iterative dataflows (label propagation, pointer
+  * doubling): each round's state must be `localCheckpoint`ed — otherwise
+  * round k's plan embeds two copies of round k−1's and the base work
+  * re-executes ~2^rounds times — and each *superseded* round's blocks must
+  * actually be released.
+  *
+  * The release is the subtle part: `Dataset.unpersist()` on a checkpointed
+  * frame is a NO-OP — it routes through `CacheManager.uncacheQuery`, which
+  * never registered the checkpoint's RDD, so a long iteration silently pins
+  * rounds × |state| blocks for the rest of the session. The working lever is
+  * the underlying RDD id: diff `sparkContext.getPersistentRDDs` around the
+  * eager checkpoint, and unpersist the superseded ids once the next round's
+  * checkpoint exists.
+  */
+private[graft] object IterCheckpoint {
+
+  /** Eagerly localCheckpoints `df`; returns the truncated frame plus the ids
+    * of the RDDs the checkpoint registered (to pass to [[free]] when this
+    * round is superseded). The id diff is safe here because operators drive
+    * their iteration single-threaded.
+    */
+  def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint()
+    (ck, sc.getPersistentRDDs.keySet.diff(before).toSet)
+  }
+
+  /** Release a superseded round's checkpoint blocks (non-blocking). */
+  def free(s: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+}

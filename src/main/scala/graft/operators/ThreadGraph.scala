@@ -32,27 +32,29 @@ object ThreadGraph {
       coalesce(col("parent"), col("id")).as("ptr"),
       when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("dist"))
     val rounds = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxDepth - 1)))
+    var ids = Set.empty[Int]
     (1 to rounds).foreach { _ =>
       val hop = state.select(col("id").as("h_id"), col("ptr").as("h_ptr"),
         col("dist").as("h_dist"))
       // dangling parent (h_id missing) → pointer stays put, flagged below
-      val prev = state
-      state = state.join(hop, state("ptr") === hop("h_id"), "left_outer")
-        .select(
-          col("id"),
-          coalesce(col("h_ptr"), col("ptr")).as("ptr"),
-          (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist"))
-        // Iterative self-joins REQUIRE lineage truncation: without it round
-        // k's plan embeds two copies of round k−1's, so the base scan+join
-        // work re-executes ~2^rounds times (measured 120s at sf0.1; seconds
-        // with the checkpoint). localCheckpoint materializes the (id, ptr,
-        // dist) triples — on a resilient cluster prefer
-        // `spark.sparkContext.setCheckpointDir` + `.checkpoint()`, same shape.
-        .localCheckpoint()
+      // Iterative self-joins REQUIRE lineage truncation: without it round
+      // k's plan embeds two copies of round k−1's, so the base scan+join
+      // work re-executes ~2^rounds times (measured 120s at sf0.1; seconds
+      // with the checkpoint). localCheckpoint materializes the (id, ptr,
+      // dist) triples — on a resilient cluster prefer
+      // `spark.sparkContext.setCheckpointDir` + `.checkpoint()`, same shape.
+      val (next, nextIds) = IterCheckpoint.checkpoint(
+        state.join(hop, state("ptr") === hop("h_id"), "left_outer")
+          .select(
+            col("id"),
+            coalesce(col("h_ptr"), col("ptr")).as("ptr"),
+            (col("dist") + coalesce(col("h_dist"), lit(0L))).as("dist")))
       // the superseded round's blocks are dead the moment the new checkpoint
-      // exists — release them instead of letting them pile up in the block
-      // manager for the rest of the session
-      prev.unpersist()
+      // exists — release them by RDD id (Dataset.unpersist is a no-op on
+      // checkpoints, see [[IterCheckpoint]])
+      IterCheckpoint.free(next.sparkSession, ids)
+      state = next
+      ids = nextIds
     }
     val roots = comments.filter(col("parent").isNull)
       .select(col("id").as("r_id"))
