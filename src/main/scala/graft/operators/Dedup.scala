@@ -315,14 +315,23 @@ object Dedup {
     */
   def clusterLabels(pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
     val sess = pairs.sparkSession
-    // persist the pair list FIRST: the symmetric union below references it
-    // twice, and without the persist the (possibly expensive) pair-producing
-    // plan would execute twice just to fill the edge cache
-    val p = pairs.persist()
-    // symmetric adjacency — the min label must flow both directions
+    val tStart = System.nanoTime()
+    def dbg(msg: => String): Unit = if (sys.env.contains("GRAFT_DEBUG"))
+      System.err.println(f"[clusterLabels] ${(System.nanoTime() - tStart) / 1e9}%7.2fs $msg")
+    // Materialize the pair list FIRST — via localCheckpoint, NOT persist():
+    // a persist() compiles the (possibly expensive) pair-producing plan into
+    // an InMemoryRelation, and cached plans don't get AQE's runtime
+    // re-planning — the MinHash candidate/expansion joins degrade from
+    // AQE-broadcast to static sort-merge (measured 65s for a pipeline that
+    // runs in 8.5s standalone at sf0.1). The eager checkpoint executes the
+    // pair plan ONCE as a normal fully-AQE query, then truncates lineage, so
+    // the symmetric union below reads materialized (long, long) rows twice
+    // instead of compiling the producer twice.
+    val (p, pIds) = IterCheckpoint.checkpoint(pairs)
+    // symmetric adjacency — the min label must flow both directions; off the
+    // checkpoint this is a trivial narrow scan, no cache needed
     val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist()
     // Round 0 is ONE job: the Observation rides the checkpoint's
     // materialization, delivering label count + sum without a separate
     // action. The count sizes every later round's state table — a near-dup
@@ -336,6 +345,7 @@ object Dedup {
         .select(col("u"), least(col("u"), col("mv")).as("label"))
         .observe(obs0, count(lit(1)).as("n"), sum(col("label")).as("lsum")))
     val n0 = obs0.get("n").asInstanceOf[Long]
+    dbg(s"round 0 done, n=$n0")
     // ~4M (long,long) rows per partition ≈ a few hundred MB working set;
     // grows with the graph, so a 1B-node label table still gets ~250-way
     // parallelism while sf0.1's hundreds of rows collapse to one task
@@ -373,12 +383,10 @@ object Dedup {
       labels = next
       ids = nextIds
       round += 1
-      if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(f"[clusterLabels] round $round sum $s converged $converged " +
-          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
+      dbg(f"round $round sum $s converged $converged ${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
-    edges.unpersist()
-    p.unpersist()
+    IterCheckpoint.free(sess, pIds)
+    dbg("iteration complete, returning labels")
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 
