@@ -152,6 +152,28 @@ object SparkEntry {
     "q_window_session" -> (EventWindows.sessionize _),
     "q_json_extract_agg" -> (EventWindows.jsonExtractAgg _),
 
+    // -- streaming under the same perf budget + oracle as the batch face:
+    //    a REAL Structured Streaming run (file source over the events
+    //    parquet, Trigger.AvailableNow ≡ the reference's cron-batch model,
+    //    memory sink), settled table returned for the driver's check.
+    //    Complete output mode makes the settled result the full aggregation
+    //    — identical to q_window_tumbling — rather than the
+    //    watermark-truncated tail append mode would emit.
+    "q_stream_tumbling" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      // the file-stream source consumes a LANDING DIRECTORY (files arriving
+      // over time); the testdata table is a single parquet file, so stage it
+      // as the directory's first arrival via symlink — zero-copy, read-only
+      val landing = java.nio.file.Files.createTempDirectory("graft_stream_landing")
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      EventStreamJob.runAvailableNow(
+        EventStreamJob.tumblingAgg(EventStreamJob.readEventStream(s, landing.toString)),
+        "q_stream_tumbling_sink", "complete")
+      s.table("q_stream_tumbling_sink")
+    }),
+
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -501,6 +523,13 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // the streaming face must settle to exactly the batch aggregation —
+    // same oracle as q_window_tumbling, checked against the streaming run
+    "q_stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_window_sliding" ->
       """WITH b AS (SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
         |    CAST(floor(epoch_us(ts) / 43200000000) * 43200 AS BIGINT) AS s, value
@@ -707,4 +736,58 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin
     },
   )
+
+  // ------------------------------------------------- generated oracle SQL
+  /** Oracles that need values only known at run time. A fitted model is not
+    * one SQL statement — but the trained centroid MATRIX is just 16×64
+    * doubles, so Verify serializes it into the oracle as literals (the same
+    * trick as the LSH plane matrix, which is md5-derivable and therefore
+    * static). `Double.toString` emits the shortest decimal that round-trips,
+    * and DuckDB parses decimal literals to the nearest double, so the oracle
+    * computes against bit-identical centroids. [[Similarity.trainedCentroids]]
+    * memoizes per (dataset, nlist, iters): the query run and this generator
+    * see the SAME model instance, which is what makes the hash-compare fair.
+    */
+  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = {
+    val cents = Similarity.trainedCentroids(s, d)
+    val centsLit = cents.map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    Map(
+      // mirror of Similarity.ivfTopKTrained: literal trained centroids, then
+      // the exact q_ann_ivf search dataflow (assign all vectors via
+      // ccos-desc/centroid-asc argmax, probe 4 cells per query, exact-cosine
+      // rerank, top-5 with neighbor_id tiebreak)
+      "q_ann_ivf_trained" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+           |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+           |cn AS (SELECT centroid_id, cvec,
+           |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+           |       FROM c),
+           |crossed AS (
+           |  SELECT e.vec_id, cn.centroid_id,
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+           |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+           |  FROM e CROSS JOIN cn),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn
+           |    FROM crossed WHERE vec_id < 10) WHERE rn <= ${Similarity.IvfProbe}),
+           |pairs AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |  FROM probes p
+           |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+           |  JOIN e q ON q.vec_id = p.query_id
+           |  JOIN e n ON n.vec_id = a.vec_id)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+           |WHERE rnk <= 5""".stripMargin)
+  }
 }

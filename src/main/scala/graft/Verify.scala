@@ -55,7 +55,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + run-time-generated ones (e.g. the trained-IVF oracle
+    // embeds this run's fitted centroid matrix as literals); a generator
+    // failure must not zero the whole round's correctness artifact
+    val dynamic =
+      try SparkEntry.oracleSqlDynamic(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle generation FAILED: $e")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -206,12 +206,25 @@ object Similarity {
           dot(col("embedding"), col("col")) / (norm(col("embedding")) * norm(col("col"))))
         .groupBy(col("vec_id"))
         .agg(max_by(col("pos"), struct(col("ccos"), -col("pos"))).as("cid"))
-      // per-dimension means, assembled back into ordered vectors
+      // Per-dimension means, assembled back into ordered vectors. The mean is
+      // an order-FIXED fold (sort by vec_id, then left-fold the sum), not
+      // avg(): float partial-aggregate merge order follows shuffle-fetch
+      // arrival, so avg() can differ in the last ulp run-to-run — and the
+      // trained model must be a reproducible artifact (its literals are
+      // embedded into generated oracle SQL). The sorted list per (cell, dim)
+      // is cell-member-count long — training-sample sized, not corpus sized.
       val dimMeans = data
         .select(col("vec_id"), posexplode(col("embedding")))
         .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
         .join(best, Seq("vec_id"))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+        // sort OUTSIDE the fold lambda: a non-lambda subtree inside a HOF
+        // argument is re-evaluated per element
+        .select(col("cid"), col("dim"), array_sort(col("vs")).as("vs"))
+        .select(col("cid"), col("dim"),
+          (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v"))
+            / size(col("vs"))).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           x => x.getField("m")).as("cvec"))
@@ -233,9 +246,24 @@ object Similarity {
     * statement (the search-side plan is identical to the oracle-checked
     * [[ivfTopK]]).
     */
+  /** The fitted coarse-quantizer for a dataset, trained once per JVM:
+    * [[ivfTopKTrained]] (the query) and the generated oracle SQL
+    * ([[graft.SparkEntry.oracleSqlDynamic]]) must see the SAME model
+    * instance — the oracle embeds these doubles as SQL literals and the
+    * hash-compare demands the query ran against exactly them. (Training is
+    * also order-deterministic in itself; the memo makes the sharing
+    * explicit and saves a second training pass.)
+    */
+  private val trainedModels =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Double]]]
+  def trainedCentroids(s: SparkSession, d: String, nlist: Int = IvfCentroids,
+      iters: Int = 3): Array[Array[Double]] =
+    trainedModels.getOrElseUpdate((d, nlist, iters),
+      trainIvfCentroids(Tables.embeddings(s, d), nlist, iters))
+
   def ivfTopKTrained(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val trained = trainIvfCentroids(emb, IvfCentroids, iters = 3)
+    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
     val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
     val centsLit = array(trained.map(c =>

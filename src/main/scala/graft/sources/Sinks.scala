@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.util.Properties
 
 /** Write-side surface of the engine (SURVEY.md §2.1 S6/S7 generalized).
   *
@@ -53,5 +54,43 @@ object Sinks {
       }
     graft.operators.IngestTransforms.insertIgnore(incoming, existing, key)
       .write.mode(SaveMode.Append).parquet(targetPath)
+  }
+
+  /** The reference's actual sink, Spark-native: Postgres row-at-a-time
+    * `INSERT ... ON CONFLICT DO NOTHING` (`posts_pipeline.py:53-59`) becomes
+    * dedup-within-batch + anti-join against the target table's current keys
+    * (read back over the same JDBC connection, key column only), then ONE
+    * batched `df.write.jdbc` append. A missing target is created by the
+    * append itself (Spark's JDBC `SaveMode.Append` creates absent tables).
+    *
+    * Semantics match [[appendInsertIgnore]] exactly — re-running the same
+    * batch appends nothing (integration-tested against embedded Derby in
+    * `SinksSpec`). Contract: the anti-join guards against keys present
+    * BEFORE this batch; concurrent writers racing the same key still need
+    * the database's own conflict clause (the staging-table MERGE the README
+    * documents) — same caveat the reference's per-row loop has between its
+    * SELECT and INSERT.
+    *
+    * Scale shape: only the key column crosses the wire on the read side
+    * (column pruning is pushed into the JDBC SELECT); the write is batched
+    * (`batchsize`) and parallel per partition — `incoming`'s partition count
+    * is the write concurrency, so `coalesce` upstream if the database can't
+    * take that many connections.
+    */
+  def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
+      key: String, props: Properties = new Properties(),
+      batchSize: Int = 10000): Unit = {
+    val spark = incoming.sparkSession
+    // read.jdbc resolves the schema eagerly, so an absent target throws here
+    val existing =
+      try Some(spark.read.jdbc(url, table, props).select(key))
+      catch { case _: Throwable => None } // first load: no target yet
+    val toWrite = existing match {
+      case Some(keys) => graft.operators.IngestTransforms.insertIgnore(incoming, keys, key)
+      case None       => incoming.dropDuplicates(key)
+    }
+    toWrite.write.mode(SaveMode.Append)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
   }
 }

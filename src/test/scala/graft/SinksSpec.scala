@@ -65,4 +65,22 @@ class SinksSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
       == Seq(1L, 2L, 3L))
   }
+
+  test("writeJdbcInsertIgnore is idempotent against a real JDBC database") {
+    // embedded Derby (ships with Spark for the Hive metastore) — a real
+    // df.write.jdbc round-trip, the same call shape the README documents
+    // for the reference's Postgres target
+    val url = "jdbc:derby:memory:graft_sink_spec;create=true"
+    val table = "posts"
+    def ids = spark.read.jdbc(url, table, new java.util.Properties())
+      .select("id").as[Long].collect().sorted.toSeq
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
+    Sinks.writeJdbcInsertIgnore(batch, url, table, "id")  // creates the table
+    assert(ids == Seq(1L, 2L))                            // within-batch dedup
+    Sinks.writeJdbcInsertIgnore(batch, url, table, "id")  // re-run: no-op
+    assert(ids == Seq(1L, 2L))
+    val next = Seq((2L, "dup"), (3L, "c")).toDF("id", "v")
+    Sinks.writeJdbcInsertIgnore(next, url, table, "id")   // only the new key
+    assert(ids == Seq(1L, 2L, 3L))
+  }
 }
