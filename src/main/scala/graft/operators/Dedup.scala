@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
@@ -181,6 +182,14 @@ object Dedup {
 
   val SimHashBits = 60
 
+  /** Target sub-bucket size for the simhash band self-join: band groups with
+    * more distinct fingerprints than this are split so no single reducer sees
+    * more than ~cap×m candidate rows. Sized so a capped task is a few ms of
+    * popcount work — small enough to parallelize hot bands, large enough
+    * that healthy bands (almost all of them) keep g = 1 and zero overhead.
+    */
+  val HotBandCap = 64
+
   /** SimHash fingerprint (60-bit, md5-derived token hashes, emitted as a
     * bit-string so the oracle avoids 64-bit shift overflow). Majority vote per
     * bit over the distinct token set.
@@ -235,10 +244,13 @@ object Dedup {
     * collision and hamming depend only on the two fingerprint values.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
-    // (doc_id, h) — two longs per row; persisted because the fingerprint
-    // table feeds the distinct-band join AND both expansion sides (tiny:
-    // 16 bytes × corpus, the canonical materialize-once dedup intermediate)
-    val sh = simhashLong(s, d).persist()
+    // (doc_id, h) — two longs per row; the fingerprint table feeds the
+    // distinct-band join AND both expansion sides, so materialize it ONCE —
+    // via eager localCheckpoint, not persist(): a cached plan is excluded
+    // from AQE runtime re-planning, which demotes every downstream join of
+    // this query to static sort-merge (the clusterLabels lesson; measured
+    // 21s → seconds at sf0.1)
+    val (sh, shIds) = IterCheckpoint.checkpoint(simhashLong(s, d))
     // band key = 15-bit quarter of the packed long (same quarters as the
     // bit-string substring form: quarter q covers bits 59-15q .. 45-15q)
     val banded = sh.select(col("h")).distinct().select(col("h"),
@@ -246,8 +258,25 @@ object Dedup {
         shiftright(col("h"), 45 - 15 * q).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"), col("h").as("h_a"))
-    val b = banded.select(col("band"), col("band_key"), col("h").as("h_b"))
+    // Hot-band cap: a low-entropy quarter (e.g. the all-zero band of short
+    // docs) can funnel m distinct fingerprints → m²/2 candidates through ONE
+    // reducer — the scale-killer at 100 TB corpus sizes. Split every band
+    // group into ceil(m / HotBandCap) sub-buckets keyed by a hash of the
+    // OTHER fingerprint bits: side A lands in its own sub-bucket, side B is
+    // replicated to all of them, so each unordered pair still meets exactly
+    // once (at ba = bucket(h_a); the mirror meeting fails h_a < h_b) —
+    // recall-exact, oracle unchanged. Per-task work drops from m² to
+    // cap × m with parallelism m/cap; replication cost is g× only for the
+    // few oversized groups (g = 1 leaves singleton rows untouched).
+    val popln = Window.partitionBy(col("band"), col("band_key"))
+    val sized = banded
+      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(HotBandCap)).cast("int"))
+    val a = sized
+      .select(col("band"), col("band_key"),
+        pmod(xxhash64(col("h")), col("g")).cast("int").as("ba"), col("h").as("h_a"))
+    val b = sized
+      .select(col("band"), col("band_key"), col("h").as("h_b"),
+        explode(sequence(lit(0), col("g") - 1)).as("ba"))
     // hamming = popcount(xor) — one codegen'd instruction per candidate.
     // A fingerprint pair colliding in several bands would duplicate; instead
     // of a distinct() (a full extra shuffle of every surviving pair) each
@@ -261,7 +290,7 @@ object Dedup {
       (col("band") === q) && (0 until q).map(quarterDiffers)
         .foldLeft(lit(true))(_ && _))
       .reduce(_ || _)
-    val fpairs = a.join(b, Seq("band", "band_key"))
+    val fpairs = a.join(b, Seq("band", "band_key", "ba"))
       .filter(col("h_a") < col("h_b") && firstMatchingBand)
       .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
