@@ -213,6 +213,11 @@ object SparkEntry {
         .withColumn("n_bpe_tokens", col("n_bpe_tokens").cast("long"))),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_corpus_clean" -> ((s, d) => TextAnalysis.corpusClean(s, d)),
+    "q_repetition_score" -> (TextAnalysis.repetitionScore _),
+
+    // -- corpus preparation (split + decontamination)
+    "q_hash_split" -> ((s, d) => TrainingData.hashSplit(s, d)),
+    "q_contamination" -> ((s, d) => TrainingData.contamination(s, d)),
 
     // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
     //    not SQL-expressible; this makes BinaryPipeline driver-visible)
@@ -734,6 +739,55 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
          |  FROM kept)
          |WHERE rn = 1""".stripMargin
+    },
+
+    "q_repetition_score" -> {
+      val t = sqlTokens("text")
+      s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+         |g AS (SELECT doc_id, t,
+         |  CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END AS g2,
+         |  CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS g3
+         |  FROM tok)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(t) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS dup_word_ratio,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup_2gram_ratio,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_3gram_ratio
+         |FROM g""".stripMargin
+    },
+
+    // 0.9 + 0.05 is COMPUTED in both engines (IEEE addition is deterministic,
+    // and the Scala default params sum the same way) — a 0.95 literal would
+    // sit one ulp off the Spark boundary
+    "q_hash_split" ->
+      s"""SELECT doc_id, u,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < 0.9 + 0.05 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "0")} AS DOUBLE)
+         |          / 1152921504606846976.0 AS u
+         |      FROM documents)""".stripMargin,
+
+    "q_contamination" -> {
+      val t = sqlTokens("text")
+      val gram5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+      s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct(list_transform(range(1, len(t) - 3),
+         |          i -> ${sqlMd5Hash60(gram5, "0")}))) AS gh
+         |      FROM tok WHERE len(t) >= 5)
+         |SELECT tr.doc_id, count(DISTINCT tr.gh) AS n_shared_grams,
+         |  count(DISTINCT ev.eval_id) AS n_eval_docs
+         |FROM g tr
+         |JOIN (SELECT gh, doc_id AS eval_id FROM g WHERE doc_id < 50) ev
+         |  ON tr.gh = ev.gh
+         |WHERE tr.doc_id >= 50
+         |GROUP BY tr.doc_id""".stripMargin
     },
   )
 

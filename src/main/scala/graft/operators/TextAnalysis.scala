@@ -74,6 +74,38 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
         .as("n_bpe_tokens"))
 
+  /** Gopher-style repetition signals: the fraction of duplicated words,
+    * 2-grams and 3-grams per document — the standard cheap screens for
+    * degenerate/templated text (high duplicate-n-gram fraction ⇒ boilerplate
+    * or model-loop output). Pure per-row projection — gram lists are built
+    * and deduped inside one codegen'd expression, no shuffle at any scale.
+    *
+    * The gram transforms index a BOUND token column (`t`), not the tokenizer
+    * expression: a non-lambda subtree inside a higher-order function is
+    * re-evaluated per element, which would make each gram re-run the regex
+    * split.
+    */
+  def repetitionScore(s: SparkSession, d: String): DataFrame = {
+    def grams(nGram: Int) = when(size(col("t")) < nGram,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("t")) - (nGram - 1)),
+        i => concat_ws(" ", (0 until nGram).map(k => element_at(col("t"), i + k)): _*)))
+    def dupRatio(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        grams(2).as("g2"), grams(3).as("g3"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        dupRatio(col("t")).as("dup_word_ratio"),
+        dupRatio(col("g2")).as("dup_2gram_ratio"),
+        dupRatio(col("g3")).as("dup_3gram_ratio"))
+  }
+
   /** Content fingerprinting: md5 over whitespace-normalized lowercased text.
     * md5 is bit-identical across engines → oracle-checkable, unlike
     * engine-private hashes (xxhash64). Used as the exact-dedup key.
