@@ -215,9 +215,11 @@ object SparkEntry {
     "q_corpus_clean" -> ((s, d) => TextAnalysis.corpusClean(s, d)),
     "q_repetition_score" -> (TextAnalysis.repetitionScore _),
 
-    // -- corpus preparation (split + decontamination)
+    // -- corpus preparation (split, decontamination, packing, balancing)
     "q_hash_split" -> ((s, d) => TrainingData.hashSplit(s, d)),
     "q_contamination" -> ((s, d) => TrainingData.contamination(s, d)),
+    "q_seq_packing" -> ((s, d) => TrainingData.packSequences(s, d)),
+    "q_lang_balance" -> ((s, d) => TrainingData.languageBalance(s, d)),
 
     // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
     //    not SQL-expressible; this makes BinaryPipeline driver-visible)
@@ -788,6 +790,31 @@ object SparkEntry {
          |  ON tr.gh = ev.gh
          |WHERE tr.doc_id >= 50
          |GROUP BY tr.doc_id""".stripMargin
+    },
+
+    // the oracle computes the NAIVE global cumulative sum; the Spark side's
+    // two-stage bucketed prefix sum must land on identical numbers
+    "q_seq_packing" -> {
+      val t = sqlTokens("text")
+      s"""WITH n AS (SELECT doc_id, CAST(len($t) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS strt
+         |      FROM n)
+         |SELECT doc_id, n AS n_tokens,
+         |  strt // 512 AS pack_id,
+         |  strt % 512 AS offset_in_pack,
+         |  (strt // 512) <> ((strt + greatest(n, 1) - 1) // 512) AS straddles
+         |FROM c""".stripMargin
+    },
+
+    "q_lang_balance" -> {
+      val t = sqlTokens("text")
+      s"""SELECT doc_id, lang, n_tokens, rnk FROM (
+         |  SELECT doc_id, lang, CAST(len($t) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY CAST(len($t) AS BIGINT) DESC, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 50""".stripMargin
     },
   )
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-preparation operators a training-data pipeline runs after cleaning
@@ -71,5 +72,63 @@ object TrainingData {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Sequence packing for LLM training: documents are concatenated in
+    * doc_id order and chunked into fixed token-budget sequences ("concat and
+    * chunk"); each doc gets the pack it starts in, its offset there, and
+    * whether it straddles a pack boundary.
+    *
+    * The global running token count is the scale problem: a bare
+    * `sum() OVER (ORDER BY doc_id)` window sorts the corpus into ONE task.
+    * Instead, the prefix sum is two-stage: per-bucket running sums (buckets =
+    * contiguous doc_id ranges, partition-parallel) plus an exclusive prefix
+    * over the per-bucket totals — a table 1/bucketWidth the corpus size,
+    * broadcast back. Same numbers as the naive window (the oracle computes
+    * the plain global cumulative sum), no single-task stage over corpus-sized
+    * data.
+    */
+  def packSequences(s: SparkSession, d: String,
+      tokenBudget: Int = 512, bucketWidth: Long = 1000): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"),
+        expr(s"doc_id DIV $bucketWidth").as("bkt")) // integer div: exact at any id
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("lcum", sum(col("n")).over(wLocal))
+    // exclusive prefix of bucket totals: tiny (corpus/bucketWidth rows), so
+    // the single-task global-order window is over metadata, not data
+    val wBuckets = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wBuckets), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n"),
+        (col("boff") + col("lcum") - col("n")).as("strt"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        expr(s"strt DIV $tokenBudget").as("pack_id"),
+        (col("strt") % tokenBudget).as("offset_in_pack"),
+        (expr(s"strt DIV $tokenBudget") =!=
+          expr(s"(strt + greatest(n, 1) - 1) DIV $tokenBudget")).as("straddles"))
+  }
+
+  /** Corpus balancing: cap every language at its `perLang` longest documents
+    * (token count, doc_id tiebreak) — the standard rebalance before training
+    * so high-resource languages don't drown the mixture. Per-language window
+    * ranking — partition-parallel across languages; for a language so hot it
+    * skews a single reducer, the two-stage salted top-k in
+    * [[Similarity.bruteForceTopK]] is the drop-in replacement.
+    */
+  def languageBalance(s: SparkSession, d: String, perLang: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perLang)
   }
 }

@@ -118,4 +118,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
   }
+
+  test("hash split and repetition score are pure projections (zero shuffles)") {
+    // both must scale as embarrassingly parallel scans — any exchange here
+    // is a structural regression
+    assert(shuffleOutputs(q("q_hash_split")).isEmpty)
+    assert(shuffleOutputs(q("q_repetition_score")).isEmpty)
+  }
+
+  test("contamination broadcasts the eval side and shuffles only longs") {
+    val df = q("q_contamination")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    // gram TEXT must never move: the join and the per-doc count aggregation
+    // carry only (long, long) gram-hash/doc-id rows
+    val offenders = shuffleOutputs(df).flatMap(out => out.filter(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+      a.dataType == org.apache.spark.sql.types.StringType).map(_.name))
+    assert(offenders.isEmpty, s"non-scalar/string columns in shuffle: $offenders")
+  }
 }

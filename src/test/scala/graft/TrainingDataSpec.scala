@@ -43,6 +43,43 @@ class TrainingDataSpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("bucketed prefix-sum packing equals the naive global window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val packed = TrainingData.packSequences(spark, Sf, tokenBudget = 512,
+      bucketWidth = 7).cache() // tiny buckets → many boundary crossings
+    // naive single-window reference, same numbers expected bit-for-bit
+    val naive = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("strt", sum(col("n")).over(
+        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)) - col("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr("strt DIV 512").as("pack_id"), (col("strt") % 512).as("offset_in_pack"),
+        (expr("strt DIV 512") =!= expr("(strt + greatest(n, 1) - 1) DIV 512")).as("straddles"))
+    assert(packed.except(naive).isEmpty && naive.except(packed).isEmpty)
+    // packing invariants
+    assert(packed.filter(col("offset_in_pack") < 0 ||
+      col("offset_in_pack") >= 512).count() == 0)
+    assert(packed.filter(col("pack_id") < 0).count() == 0)
+    packed.unpersist()
+  }
+
+  test("languageBalance keeps at most perLang docs per language, longest first") {
+    val kept = TrainingData.languageBalance(spark, Sf, perLang = 10).cache()
+    val perLang = kept.groupBy("lang").count().collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(1) <= 10))
+    // every kept doc is at least as long as any dropped doc of its language
+    val minKept = kept.groupBy("lang").agg(min(col("n_tokens")).as("mn"))
+    val dropped = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept.select("doc_id").withColumn("k", lit(1)), Seq("doc_id"), "left_anti")
+    val violations = dropped.join(minKept, Seq("lang"))
+      .filter(col("n_tokens") > col("mn")).count()
+    assert(violations == 0, "a dropped doc outranks a kept one")
+    kept.unpersist()
+  }
+
   test("repetitionScore ratios are in [0,1] and consistent with token counts") {
     val r = TextAnalysis.repetitionScore(spark, Sf).cache()
     assert(r.count() == Tables.documents(spark, Sf).count())
