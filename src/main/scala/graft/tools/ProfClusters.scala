@@ -22,6 +22,10 @@ object ProfClusters {
     }
     val labels = t("cluster_labels_loop") { Dedup.clusterLabels(pairs) }
     t("final_count") { System.err.println(s"[profc] n_labeled = ${labels.count()}") }
+    // drop the phase probes' cached/checkpointed state before the full-query
+    // run so it measures a clean session, not a second persisted copy
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     t("full_query_write") {
       Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))
         .write.format("noop").mode("overwrite").save()
