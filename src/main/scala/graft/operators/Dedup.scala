@@ -243,7 +243,8 @@ object Dedup {
     * belongs in the output by construction, and a cross-group pair's band
     * collision and hamming depend only on the two fingerprint values.
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6,
+      hotBandCap: Int = HotBandCap): DataFrame = {
     // (doc_id, h) — two longs per row; the fingerprint table feeds the
     // distinct-band join AND both expansion sides, so materialize it ONCE —
     // via eager localCheckpoint, not persist(): a cached plan is excluded
@@ -270,7 +271,7 @@ object Dedup {
     // few oversized groups (g = 1 leaves singleton rows untouched).
     val popln = Window.partitionBy(col("band"), col("band_key"))
     val sized = banded
-      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(HotBandCap)).cast("int"))
+      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
     val a = sized
       .select(col("band"), col("band_key"),
         pmod(xxhash64(col("h")), col("g")).cast("int").as("ba"), col("h").as("h_a"))

@@ -8,6 +8,16 @@ import graft.operators.Dedup
 class DedupClustersSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("hot-band cap never changes the simhash pair set") {
+    // cap = 2 forces aggressive sub-bucketing of every band group; cap =
+    // MaxValue disables splitting entirely. The outputs must be identical —
+    // the cap's exactly-once pair-meeting argument, checked adversarially.
+    val split = Dedup.simhashPairs(spark, Sf, hotBandCap = 2)
+    val whole = Dedup.simhashPairs(spark, Sf, hotBandCap = Int.MaxValue)
+    assert(split.except(whole).isEmpty && whole.except(split).isEmpty)
+    assert(split.count() == whole.count()) // no duplicate emissions either
+  }
+
   private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
     Dedup.clusterLabels(pairs.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap
