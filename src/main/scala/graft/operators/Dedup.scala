@@ -80,64 +80,104 @@ object Dedup {
     * self-join on band key for candidates, then verify with exact Jaccard on
     * the shingle sets. Output: pairs with exact Jaccard ≥ 0.35.
     *
-    * Scale shape: the shingle-set table is computed ONCE and persisted — the
-    * canonical materialized intermediate of corpus dedup (on a cluster this
-    * is a parquet/bucketed table, here an in-memory persist). The signature
-    * pipeline and both verification sides read it, so the tokenizer/shingler
-    * runs once instead of three times. The band self-join carries ONLY
-    * (band_key, doc_id) — no array ever enters the candidate shuffle — and
-    * candidate pairs are deduped (a pair can collide in several bands)
-    * *before* the sets are joined back for verification, so each set crosses
-    * the wire once per surviving pair side, not once per band collision.
+    * The ENTIRE pair search runs over DISTINCT shingle sets, not documents
+    * (the same design as [[simhashPairs]]): real corpora — and dedup inputs
+    * in particular — are full of exact duplicates, and per-document banding
+    * makes every m-duplicate group cost m² candidate pairs through the band
+    * join AND m sset copies through verification (measured 84 s at a 10×
+    * replica of sf0.1 where the per-doc form's candidate volume grew 100×).
+    * Docs are grouped by an exact set fingerprint (md5 over the sorted set);
+    * one representative per distinct set goes through signature → capped
+    * band join → Jaccard verification; doc pairs are recovered afterwards by
+    * two narrow expansion joins. Exactness: identical ssets ⇒ identical
+    * signatures and bands ⇒ every intra-group pair is a candidate with
+    * Jaccard exactly 1.0; a cross-group pair's band collision and Jaccard
+    * depend only on the two set values, which the representatives carry.
+    * The band self-join is population-capped like simhash's (oversized
+    * (band, band_key) groups sub-bucketed — recall-exact, see there).
+    *
+    * Scale shape: the keyed set table is materialized ONCE via eager
+    * localCheckpoint (persist() would exclude the plan from AQE — the
+    * clusterLabels lesson) and feeds signatures, verification and both
+    * expansions; the band join carries only (band_key, rep_id); candidate
+    * pairs are deduped before sets are joined back, so each distinct set
+    * crosses the wire once per surviving pair side, not once per duplicate
+    * document. Cleanup contract: Bench/Verify sweep `getPersistentRDDs`
+    * between queries; long-lived library callers should do the same after
+    * their terminal action. Same contract for [[simhashPairs]].
     *
     * Measured alternative (rejected): verifying via a candidate-restricted
     * shingle inverted index (fully array-free, as in [[ngramJaccardPairs]])
     * re-shuffles every posting of every candidate doc to compute overlaps the
-    * array intersection gets for free off the persisted sets — at the
-    * measured candidate density (~1.2k pairs from 5k docs at sf0.1) the
-    * array verify is the cheaper side.
-    *
-    * Caching contract: the returned frame's plan references an internal
-    * `persist()`ed intermediate (the shingle-set table) that lives until the
-    * session drops it — `Bench`/`Verify` sweep `getPersistentRDDs` between
-    * queries; a library caller embedding this in a long-lived session should
-    * `spark.catalog.clearCache()` (or unpersist via `getPersistentRDDs`)
-    * after its terminal action. Same contract for [[simhashPairs]].
+    * array intersection gets for free off the materialized sets — at the
+    * measured candidate density the array verify is the cheaper side.
     */
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sets = Tables.documents(s, d)
-      .select(col("doc_id"), shingles3(col("text")).as("sset"))
-      .filter(size(col("sset")) > 0)
-      .persist()
-    val postings = sets.select(col("doc_id"), explode(col("sset")).as("shingle"))
-      // same reason as [[minhashSignatures]]: the persisted set table has
-      // the scan's (often single) partitioning; re-spread before the 16-hash
-      // partial agg so signature hashing is corpus-parallel
-      .repartition(col("doc_id"))
+  def minhashLshPairs(s: SparkSession, d: String,
+      hotBandCap: Int = HotBandCap): DataFrame = {
+    // (doc_id, sset, skey): skey = exact set identity, order-normalized.
+    // Shingles never contain NUL, so the join is collision-free up to md5.
+    val (keyed, _) = IterCheckpoint.checkpoint(
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles3(col("text")).as("sset"))
+        .filter(size(col("sset")) > 0)
+        .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset"))))))
+    // one representative per distinct set (min doc_id for reproducibility;
+    // Jaccard is order-independent so any member's array would do)
+    val (reps, _) = IterCheckpoint.checkpoint(
+      keyed.groupBy(col("skey"))
+        .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset")))
+    val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
+      // same reason as [[minhashSignatures]]: the checkpointed table has few
+      // partitions at small scale; re-spread before the 16-hash partial agg
+      // so signature hashing is corpus-parallel
+      .repartition(col("rid"))
     val mins = (0 until NumHashes).map(k =>
       min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
-    val sig = postings.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sig = postings.groupBy(col("rid")).agg(mins.head, mins.tail: _*)
     val banded = sig.select(
-      col("doc_id"),
+      col("rid"),
       posexplode(array((0 until Bands).map(b =>
         md5(concat_ws(",",
           col(s"h${2 * b}").cast("string"),
           col(s"h${2 * b + 1}").cast("string")))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    // population cap — identical construction to [[simhashPairs]]'s
+    val popln = Window.partitionBy(col("band"), col("band_key"))
+    val sized = banded
+      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
+    val a = sized.select(col("band"), col("band_key"),
+      pmod(xxhash64(col("rid")), col("g")).cast("int").as("ba"), col("rid").as("rid_a"))
+    val b = sized.select(col("band"), col("band_key"), col("rid").as("rid_b"),
+      explode(sequence(lit(0), col("g") - 1)).as("ba"))
+    val cand = a.join(b, Seq("band", "band_key", "ba"))
+      .filter(col("rid_a") < col("rid_b"))
+      .select(col("rid_a"), col("rid_b"))
       .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    // verify on representative sets; carry both skeys for the expansion
+    val repPairs = cand
+      .join(reps.select(col("rid").as("rid_a"), col("skey").as("skey_a"),
+        col("sset").as("set_a")), Seq("rid_a"))
+      .join(reps.select(col("rid").as("rid_b"), col("skey").as("skey_b"),
+        col("sset").as("set_b")), Seq("rid_b"))
+      .select(col("skey_a"), col("skey_b"),
         (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.35)
+    // cross-set doc pairs: representative order does not imply doc order
+    val members = keyed.select(col("skey"), col("doc_id"))
+    val cross = repPairs
+      .join(members.select(col("skey").as("skey_a"), col("doc_id").as("id_a")), Seq("skey_a"))
+      .join(members.select(col("skey").as("skey_b"), col("doc_id").as("id_b")), Seq("skey_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    // intra-set doc pairs: identical sets ⇒ Jaccard exactly 1.0 (the oracle's
+    // |S∩S| / |S∪S| division yields exactly 1.0 too)
+    val intra = members.select(col("skey"), col("doc_id").as("doc_a"))
+      .join(members.select(col("skey"), col("doc_id").as("doc_b")), Seq("skey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Exact n-gram (3-shingle) Jaccard similarity within (lang, ±20%
