@@ -56,15 +56,24 @@ object TrainingData {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= n)
-    // n-gram hashes off the BOUND token column (a lambda re-evaluates
-    // non-lambda subtrees per element — t must be an attribute, not the
-    // tokenizer expression)
-    val gramHashes = array_distinct(transform(
+    // gram STRINGS in the lambda (off the BOUND token column — a lambda
+    // re-evaluates non-lambda subtrees per element), but the md5 hashing
+    // AFTER the explode: higher-order lambdas are interpreted, so a hash
+    // inside the lambda runs outside whole-stage codegen (measured 9.4 s vs
+    // 1.3 s for the string form at a 10× sf0.1 replica); as a post-explode
+    // projection it codegens with the stage
+    val gramStrings = array_distinct(transform(
       sequence(lit(1), size(col("t")) - (n - 1)),
-      i => Dedup.md5Hash60(
-        concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + k)): _*),
-        lit(0))))
-    val grams = docs.select(col("doc_id"), explode(gramHashes).as("gh"))
+      i => concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + k)): _*)))
+    // Materialized ONCE (eager checkpoint): both join sides and the count
+    // aggregation otherwise re-execute the gram pipeline, and the combined
+    // agg stage — expand + join + two inlined copies of the interpreted
+    // lambda chain — hit a pathological ~40 s whole-stage-codegen compile
+    // at ANY data size. Off the checkpoint, every downstream stage compiles
+    // over two long columns.
+    val (grams, _) = IterCheckpoint.checkpoint(
+      docs.select(col("doc_id"), explode(gramStrings).as("g"))
+        .select(col("doc_id"), Dedup.md5Hash60(col("g"), lit(0)).as("gh")))
     val evalGrams = grams.filter(col("doc_id") < evalMaxDocId)
       .select(col("gh"), col("doc_id").as("eval_id"))
     val trainGrams = grams.filter(col("doc_id") >= evalMaxDocId)
