@@ -258,8 +258,18 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Double]]]
   def trainedCentroids(s: SparkSession, d: String, nlist: Int = IvfCentroids,
       iters: Int = 3): Array[Array[Double]] =
-    trainedModels.getOrElseUpdate((d, nlist, iters),
-      trainIvfCentroids(Tables.embeddings(s, d), nlist, iters))
+    trainedModels.getOrElseUpdate((d, nlist, iters), {
+      val emb = Tables.embeddings(s, d)
+      // k-means needs ~hundreds of samples per centroid, not the corpus:
+      // train on a deterministic (seeded) sample capped at 200·nlist
+      // vectors. Below the cap the fraction saturates at 1.0 (identical to
+      // full-corpus training); above it, training cost stays O(nlist) no
+      // matter the corpus size. The generated oracle serializes whatever
+      // model this produced, so the hash check is self-consistent.
+      val n = emb.count()
+      val frac = math.min(1.0, 200.0 * nlist / math.max(1L, n))
+      trainIvfCentroids(emb, nlist, iters, frac)
+    })
 
   def ivfTopKTrained(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
