@@ -174,6 +174,26 @@ object SparkEntry {
       s.table("q_stream_tumbling_sink")
     }),
 
+    //    streaming insert-ignore (dropDuplicatesWithinWatermark ≡ the
+    //    reference's ON CONFLICT DO NOTHING): the landing dir stages the
+    //    events table TWICE (two symlinks), so every event arrives duplicated
+    //    and the settled append output must be exactly one row per event_id.
+    //    AvailableNow with no maxFilesPerTrigger plans ONE batch over both
+    //    files, so in-batch dedup is exhaustive regardless of watermark
+    //    (EventStreamSpec asserts the single-batch exact-dedup contract).
+    "q_stream_dedup" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val landing = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      for (name <- Seq("a.parquet", "b.parquet"))
+        java.nio.file.Files.createSymbolicLink(
+          landing.resolve(name), java.nio.file.Paths.get(s"$d/events.parquet"))
+      EventStreamJob.runAvailableNow(
+        EventStreamJob.dedupStream(EventStreamJob.readEventStream(s, landing.toString))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+        "q_stream_dedup_sink", "append")
+      s.table("q_stream_dedup_sink")
+    }),
+
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -214,12 +234,28 @@ object SparkEntry {
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
     "q_corpus_clean" -> ((s, d) => TextAnalysis.corpusClean(s, d)),
     "q_repetition_score" -> (TextAnalysis.repetitionScore _),
+    "q_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    // PII redaction over a deterministically AUGMENTED corpus: the synthetic
+    // text contains no addresses (checked), so every 5th doc gets a
+    // constructed email + IPv4 appended — built identically in the oracle —
+    // and the redactor must find and mask exactly those
+    "q_pii_redact" -> ((s, d) =>
+      TextAnalysis.piiRedact(
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+              lit("@example.com at 10.2."), (col("doc_id") % 200).cast("string"),
+              lit(".7 now.")))
+            .otherwise(col("text")).as("text")))),
 
     // -- corpus preparation (split, decontamination, packing, balancing)
     "q_hash_split" -> ((s, d) => TrainingData.hashSplit(s, d)),
     "q_contamination" -> ((s, d) => TrainingData.contamination(s, d)),
     "q_seq_packing" -> ((s, d) => TrainingData.packSequences(s, d)),
     "q_lang_balance" -> ((s, d) => TrainingData.languageBalance(s, d)),
+    "q_sample_stratified" -> ((s, d) => TrainingData.stratifiedSample(s, d)),
 
     // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
     //    not SQL-expressible; this makes BinaryPipeline driver-visible)
@@ -537,6 +573,11 @@ object SparkEntry {
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // the doubled stream must settle to exactly one row per event_id —
+    // event_ids are unique in the table, so the oracle is the plain table
+    "q_stream_dedup" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+
     "q_window_sliding" ->
       """WITH b AS (SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
         |    CAST(floor(epoch_us(ts) / 43200000000) * 43200 AS BIGINT) AS s, value
@@ -815,6 +856,62 @@ object SparkEntry {
          |      ORDER BY CAST(len($t) AS BIGINT) DESC, doc_id) AS rnk
          |  FROM documents)
          |WHERE rnk <= 50""".stripMargin
+    },
+
+    // the window form IS the definition; the Spark side computes the same
+    // set with a bounded-buffer aggregation (order: u asc, doc_id tiebreak)
+    "q_sample_stratified" ->
+      s"""SELECT lang, doc_id, u, rnk FROM (
+         |  SELECT lang, doc_id, u,
+         |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rnk
+         |  FROM (SELECT lang, doc_id,
+         |          CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "1")} AS DOUBLE)
+         |            / 1152921504606846976.0 AS u
+         |        FROM documents))
+         |WHERE rnk <= 64""".stripMargin,
+
+    // linear idf (N/df): transcendental-free so the score is the identical
+    // IEEE (double * int) / int chain in both engines (see tfidfTopK scaladoc)
+    "q_tfidf_topk" -> {
+      val toks = sqlTokens("text")
+      s"""WITH terms AS (
+         |  SELECT doc_id, lower(unnest($toks)) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, score, rnk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC, tf.term) AS rnk
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |WHERE rnk <= 3""".stripMargin
+    },
+
+    "q_vocab_topk" -> {
+      val toks = sqlTokens("text")
+      s"""SELECT lower(t.term) AS term, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest($toks) AS term FROM documents) t
+         |GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT 50""".stripMargin
+    },
+
+    // same augmentation, same patterns (ASCII-only constructs Java regex and
+    // RE2 agree on), email replaced before IP — mirrors TextAnalysis.piiRedact
+    "q_pii_redact" -> {
+      // single line: a leading "||" on a continuation line would lose a pipe
+      // to the outer stripMargin
+      val aug = "CASE WHEN doc_id % 5 = 0 THEN text || ' Contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com at 10.2.' || " +
+        "CAST(doc_id % 200 AS VARCHAR) || '.7 now.' ELSE text END"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4,
+         |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g') AS clean_text
+         |FROM (SELECT doc_id, $aug AS t FROM documents)""".stripMargin
     },
   )
 

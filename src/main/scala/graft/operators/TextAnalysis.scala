@@ -106,6 +106,85 @@ object TextAnalysis {
         dupRatio(col("g3")).as("dup_3gram_ratio"))
   }
 
+  /** Per-document top-k terms by TF-IDF — the standard relevance signal for
+    * keyword extraction / quality triage over a corpus. The idf factor is
+    * LINEAR (`N / df`) rather than logarithmic: `ln` is a libm call whose
+    * last-ulp rounding differs across engines, which would break the
+    * bit-exact oracle hash; for a fixed tf the linear and log forms rank
+    * identically (both are strictly decreasing in df), and the score stays a
+    * pure IEEE `(double × exact-int) / exact-int` chain both engines compute
+    * identically.
+    *
+    * Scale shape: tf is a (doc_id, term) partial-aggregated count; df is a
+    * vocab-sized rollup OF the tf table (one row per (doc, term) already, so
+    * a plain count — no distinct pass over the corpus); N rides in as a
+    * broadcast 1-row cross join, never a driver-side action. The tf⋈df join
+    * shuffles on `term` — hot stopword terms are exactly the AQE skew-join
+    * case, and the per-doc ranking window partitions on doc_id (unskewed by
+    * construction).
+    */
+  def tfidfTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  /** Corpus-wide vocabulary statistics: the k most frequent (lowercased)
+    * terms with occurrence and document frequencies. Explode → one partial-
+    * aggregated count keyed on the term, then a global top-k that fuses to
+    * `TakeOrderedAndProject` — per-partition k-buffers, no full sort at any
+    * corpus size.
+    */
+  def vocabTopK(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
+
+  /** Email-address pattern shared by redaction and counting. ASCII classes
+    * only — Java regex and RE2 (DuckDB) agree on every construct used here
+    * (classes, `{m,}` bounds, `\b`, non-capturing groups).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 pattern (shape-level: no 0-255 range check — this is a
+    * redaction screen, over-matching is the safe direction).
+    */
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII redaction over a (doc_id, text) frame: count and mask email
+    * addresses and IPv4 literals — the scrub every crawl-derived training
+    * corpus runs before release. Pure per-row regex projection: no shuffle at
+    * any scale, fully codegen'd. Emails are replaced BEFORE IPs so a dotted
+    * quad inside a just-inserted `<EMAIL>` token can't double-redact
+    * (the patterns as written cannot overlap the other's replacement token).
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ipv4"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>").as("clean_text"))
+
   /** Content fingerprinting: md5 over whitespace-normalized lowercased text.
     * md5 is bit-identical across engines → oracle-checkable, unlike
     * engine-private hashes (xxhash64). Used as the exact-dedup key.

@@ -124,6 +124,40 @@ object TrainingData {
           expr(s"(strt + greatest(n, 1) - 1) DIV $tokenBudget")).as("straddles"))
   }
 
+  /** Exact-size stratified sampling: a deterministic uniform sample of
+    * `perStratum` documents per language — the standard way to draw an
+    * inspection/eval slice whose membership is reproducible run-to-run and
+    * auditable row-by-row. "Random" order is the md5-derived hash `u`
+    * (seed 1, independent of [[hashSplit]]'s seed-0 stream): the sample is
+    * the `perStratum` smallest `u` per stratum.
+    *
+    * Scale shape: this is per-key top-k where groups are HUGE (a stratum can
+    * be most of a 100 TB corpus) and k is tiny — exactly the regime where a
+    * ranking window collapses into one sort per stratum. So no window: the
+    * bounded-buffer [[graft.functions.TopKAggregator]] runs as a typed
+    * aggregation with map-side partial merge — each task ships at most k
+    * (id, u) pairs per stratum, the shuffle is k×strata rows total, and
+    * nothing ever sorts a full stratum. (Negated u turns the aggregator's
+    * score-descending order into u-ascending; negation is IEEE-exact both
+    * ways.)
+    */
+  def stratifiedSample(s: SparkSession, d: String, perStratum: Int = 64): DataFrame = {
+    import s.implicits._
+    val u = (Dedup.md5Hash60(col("doc_id").cast("string"), lit(1)).cast("double")
+      / lit(1152921504606846976.0)) // 2^60, exactly representable
+    val picked = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), u.as("u"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, uu) => (id, -uu) }
+      .agg(new graft.functions.TopKAggregator(perStratum).toColumn.name("topk"))
+      .toDF("lang", "topk")
+    picked
+      .select(col("lang"), posexplode(col("topk")))
+      .select(col("lang"), col("col._1").as("doc_id"),
+        negate(col("col._2")).as("u"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Corpus balancing: cap every language at its `perLang` longest documents
     * (token count, doc_id tiebreak) — the standard rebalance before training
     * so high-resource languages don't drown the mixture. Per-language window

@@ -120,4 +120,20 @@ class EventStreamSpec extends SparkSpecBase {
     val ids = spark.table("dedup_stream").select("event_id").as[Long].collect()
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), "exactly one row per event_id")
   }
+
+  test("doubled landing dir settles to exact distinct (q_stream_dedup contract)") {
+    // the q_stream_dedup query stages the SAME file twice; AvailableNow with
+    // no maxFilesPerTrigger must plan one batch over both arrivals, so the
+    // dedup is exhaustive regardless of watermark age
+    val dir = Files.createTempDirectory("graft_dedup_doubled")
+    for (name <- Seq("a.parquet", "b.parquet"))
+      Files.createSymbolicLink(dir.resolve(name), Paths.get(s"$Sf/events.parquet"))
+    val deduped = EventStreamJob.dedupStream(
+      EventStreamJob.readEventStream(spark, dir.toString))
+      .select(col("event_id"))
+    EventStreamJob.runAvailableNow(deduped, "dedup_doubled", "append").stop()
+    val got = spark.table("dedup_doubled").count()
+    val distinctIds = Tables.events(spark, Sf).select("event_id").distinct().count()
+    assert(got == distinctIds, s"expected $distinctIds distinct events, got $got")
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** TF-IDF ranking, vocabulary stats, and PII redaction. Exact value parity
+  * lives in the DuckDB oracles; these are the semantic contracts.
+  */
+class TextRelevanceSpec extends SparkSpecBase {
+
+  test("tfidfTopK ranks rarer terms above commoner ones at equal tf") {
+    val top = TextAnalysis.tfidfTopK(spark, Sf, k = 3).cache()
+    assert(top.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    // at most k rows per doc, ranks dense from 1
+    val badDocs = top.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      .filter(col("n") > 3 || col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(badDocs == 0)
+    // within a doc, scores are non-increasing with rank; a term with the
+    // same tf but strictly larger df can never outrank one with smaller df
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val nonMonotone = top
+      .withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev")).count()
+    assert(nonMonotone == 0, "score must be non-increasing in rank")
+    top.unpersist()
+  }
+
+  test("tfidfTopK score definition: tf * N / df on a hand-built corpus") {
+    // df("common") = 2, df("rare") = 1, N = 2
+    import spark.implicits._
+    val docs = Seq((1L, "common rare common"), (2L, "common x"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tfidf_fixture")
+    // inline the operator's core over the fixture rather than testdata
+    val terms = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), lower(col("t")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") * lit(2) / col("df"))
+      .collect().map(r => (r.getLong(1), r.getString(0)) -> r.getDouble(4)).toMap
+    assert(scored((1L, "common")) == 2.0) // tf=2 * 2 / df=2
+    assert(scored((1L, "rare")) == 2.0)   // tf=1 * 2 / df=1
+    assert(scored((2L, "x")) == 2.0)
+    assert(scored((2L, "common")) == 1.0)
+  }
+
+  test("vocabTopK returns frequency-ordered terms with document frequencies") {
+    val v = TextAnalysis.vocabTopK(spark, Sf, k = 10).collect()
+    assert(v.nonEmpty && v.length <= 10)
+    val occ = v.map(_.getLong(1))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b }, "ordered by count desc")
+    assert(v.forall(r => r.getLong(2) <= r.getLong(1)), "n_docs <= n_occurrences")
+  }
+
+  test("piiRedact masks emails and IPv4s and counts them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at alice.smith+test@sub.example.org thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 are down"),
+      (3L, "both bob@x.io from 172.16.4.2"),
+      (4L, "clean text, no pii; not-an-ip 1.2.3 and a@b only"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 1 && out(1L).getString(3) == "reach me at <EMAIL> thanks")
+    assert(out(2L).getLong(2) == 2 && out(2L).getString(3) == "server <IP> and <IP> are down")
+    assert(out(3L).getLong(1) == 1 && out(3L).getLong(2) == 1 &&
+      out(3L).getString(3) == "both <EMAIL> from <IP>")
+    // "a@b" has no dot-TLD; "1.2.3" has only three octets — neither matches
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0 &&
+      out(4L).getString(3) == "clean text, no pii; not-an-ip 1.2.3 and a@b only")
+    assert(out(5L).getLong(1) == 0 && out(5L).getLong(2) == 0 && out(5L).getString(3) == "")
+  }
+}

@@ -80,6 +80,28 @@ class TrainingDataSpec extends SparkSpecBase {
     kept.unpersist()
   }
 
+  test("stratifiedSample matches the ranking-window definition exactly") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val n = 7
+    val got = TrainingData.stratifiedSample(spark, Sf, perStratum = n).cache()
+    // window-form reference (the oracle's definition)
+    val u = (operators.Dedup.md5Hash60(col("doc_id").cast("string"), lit(1))
+      .cast("double") / lit(1152921504606846976.0))
+    val ref = Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"), u.as("u"))
+      .withColumn("rnk", row_number().over(
+        W.partitionBy("lang").orderBy(col("u"), col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= n)
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+    // exact stratum sizes: min(n, stratum population)
+    val pops = Tables.documents(spark, Sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.min(n.toLong, r.getLong(1))).toMap
+    val sizes = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == pops, s"expected $pops got $sizes")
+    got.unpersist()
+  }
+
   test("repetitionScore ratios are in [0,1] and consistent with token counts") {
     val r = TextAnalysis.repetitionScore(spark, Sf).cache()
     assert(r.count() == Tables.documents(spark, Sf).count())
