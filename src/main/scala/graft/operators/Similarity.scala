@@ -304,6 +304,49 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication: cluster every vector with the
+    * TRAINED IVF quantizer ([[trainedCentroids]]), then within each cluster
+    * drop every vector that has a smaller-id neighbor at cosine ≥ threshold
+    * (greedy keep-lowest-id — the deterministic, single-pass variant of
+    * SemDeDup's per-cluster pruning). Output: every vector with its cluster
+    * and a `keep` verdict; the deduped corpus is `filter(keep)`.
+    *
+    * Scale shape: clustering IS the blocking — the all-pairs cost is
+    * Σ_cell m², bounded by training nlist ∝ √N so cells stay ~√N-sized; the
+    * pair join carries (cluster, id, vector) with no shuffle wider than the
+    * cluster assignment itself. Same model memo as the trained-IVF search,
+    * so the generated oracle (centroid literals) and this query see one
+    * fitted instance.
+    */
+  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.2): DataFrame = {
+    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val centsLit = array(trained.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val crossed = e.select(col("vec_id"), col("nrm"), col("embedding"),
+        posexplode(centsLit))
+      .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
+      .withColumn("ccos",
+        dot(col("embedding"), col("cvec")) / (col("nrm") * norm(col("cvec"))))
+    val assign = crossed.groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    val m = e.join(assign, Seq("vec_id"))
+    val a = m.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = m.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b") &&
+        dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    m.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("cluster_id"),
+        (!coalesce(col("is_dup"), lit(false))).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket
     * with cosine above threshold (doc-level near-dup by vector similarity).
     */
