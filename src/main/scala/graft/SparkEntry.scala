@@ -218,6 +218,10 @@ object SparkEntry {
       Similarity.ivfTopKTrained(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, 0.2)),
+    // SemDeDup-style semantic dedup: trained-quantizer clustering as the
+    // blocking, drop-by-any-smaller-id within a cluster at cosine ≥ 0.2.
+    // Oracle is generated (centroid literals) — see oracleSqlDynamic.
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, 0.2)),
 
     // -- text analysis
     "q_quality_score" -> ((s, d) =>
@@ -966,6 +970,38 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, rnk, cosine FROM (
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
-           |WHERE rnk <= 5""".stripMargin)
+           |WHERE rnk <= 5""".stripMargin,
+
+      // mirror of Similarity.semanticDedup: literal trained centroids, the
+      // same ccos-desc/centroid-asc argmax cluster assignment as the trained
+      // IVF oracle, then drop-by-any-smaller-id within a cluster at
+      // cosine >= 0.2 (the relaxed single-pass SemDeDup variant — a vector
+      // with ANY smaller-id neighbor over threshold is dropped, whether or
+      // not that neighbor was itself dropped)
+      "q_semantic_dedup" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+           |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+           |cn AS (SELECT centroid_id, cvec,
+           |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+           |       FROM c),
+           |crossed AS (
+           |  SELECT e.vec_id, cn.centroid_id,
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+           |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+           |  FROM e CROSS JOIN cn),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1),
+           |m AS (SELECT a.vec_id, a.centroid_id, e.embedding, e.nrm2
+           |      FROM assign a JOIN e USING (vec_id)),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM m a JOIN m b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.nrm2) * sqrt(b.nrm2)) >= 0.2)
+           |SELECT m.vec_id, CAST(m.centroid_id AS BIGINT) AS cluster_id,
+           |  (dr.vec_id IS NULL) AS keep
+           |FROM m LEFT JOIN dropped dr ON m.vec_id = dr.vec_id""".stripMargin)
   }
 }

@@ -15,7 +15,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional third arg: comma-separated query-name filter (dev-only — the
+    // driver always runs the full set)
+    val only = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,7 +27,9 @@ object Verify {
     // A failed query must leave an explicit error record, never a silent gap
     // (round-1 lesson: q_window_lag vanished from the correctness report).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val ntz = df.schema.fields.foldLeft(df) { (acc, f) =>

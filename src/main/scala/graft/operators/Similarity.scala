@@ -306,23 +306,36 @@ object Similarity {
 
   /** SemDeDup-style semantic deduplication: cluster every vector with the
     * TRAINED IVF quantizer ([[trainedCentroids]]), then within each cluster
-    * drop every vector that has a smaller-id neighbor at cosine ≥ threshold
-    * (greedy keep-lowest-id — the deterministic, single-pass variant of
-    * SemDeDup's per-cluster pruning). Output: every vector with its cluster
-    * and a `keep` verdict; the deduped corpus is `filter(keep)`.
+    * drop every vector that has ANY smaller-id neighbor at cosine ≥
+    * threshold — including neighbors that are themselves dropped. This is a
+    * single-pass, order-deterministic relaxation of SemDeDup's sequential
+    * greedy variant (which compares only against already-KEPT vectors): it
+    * prunes at least as much, and unlike the greedy chain it has no
+    * sequential dependency, so it is one declarative self-join instead of an
+    * iteration. Output: every vector with its cluster and a `keep` verdict;
+    * the deduped corpus is `filter(keep)`.
     *
     * Scale shape: clustering IS the blocking — the all-pairs cost is
     * Σ_cell m², bounded by training nlist ∝ √N so cells stay ~√N-sized; the
     * pair join carries (cluster, id, vector) with no shuffle wider than the
     * cluster assignment itself. Same model memo as the trained-IVF search,
-    * so the generated oracle (centroid literals) and this query see one
-    * fitted instance.
+    * so the generated oracle (centroid literals, [[graft.SparkEntry
+    * .oracleSqlDynamic]]) and this query see one fitted instance.
     */
-  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.2): DataFrame = {
-    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  def semanticDedup(s: SparkSession, d: String, threshold: Double = 0.2): DataFrame =
+    semanticDedupFrame(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      trainedCentroids(s, d, IvfCentroids, iters = 3), threshold)
+
+  /** Core of [[semanticDedup]] over an explicit (vec_id, embedding) frame and
+    * centroid matrix — separated so the drop-by-any-smaller-id rule is
+    * unit-testable on handcrafted geometry (`SemanticDedupSpec`).
+    */
+  def semanticDedupFrame(emb: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
-    val centsLit = array(trained.map(c =>
+    val centsLit = array(centroids.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val crossed = e.select(col("vec_id"), col("nrm"), col("embedding"),
         posexplode(centsLit))

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Pins the exact pruning rule of [[Similarity.semanticDedupFrame]]: a vector
+  * is dropped iff ANY smaller-id vector in its cluster is at cosine ≥
+  * threshold — including smaller-id vectors that were themselves dropped.
+  * (SemDeDup's sequential greedy variant compares only against KEPT vectors;
+  * the generated DuckDB oracle mirrors the relaxation implemented here, so
+  * this spec is what keeps the scaladoc, the query, and the oracle aligned.)
+  */
+class SemanticDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("drop-by-any-smaller-id: an already-dropped neighbor still drops you") {
+    // chain geometry in one cluster: cos(v0,v1)=0.6, cos(v1,v2)=0.8,
+    // cos(v0,v2)=0.0. Sequential-greedy would KEEP v2 (its only
+    // over-threshold smaller-id neighbor, v1, was dropped); the implemented
+    // single-pass relaxation drops v2 too.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedupFrame(emb, Array(Array(1.0, 1.0, 0.0)), 0.5)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L))
+    assert(out.map(_.getBoolean(2)).toSeq == Seq(true, false, false))
+  }
+
+  test("clustering is the blocking: near-identical vectors in different cells are both kept") {
+    // v0 lands in cell 0, v1 in cell 1 (nearest-centroid, ties impossible
+    // here); their mutual cosine ≈ 0.995 is far over threshold, but
+    // cross-cluster pairs are never compared — both keep.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.9f, 0.0f)),
+      (1L, Array(0.9f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = Similarity.semanticDedupFrame(emb, cents, 0.5)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((0L, 0L, true), (1L, 1L, true)))
+  }
+
+  test("equal-cosine assignment ties break to the lowest centroid id") {
+    // duplicate centroids: every vector's ccos ties across both cells; the
+    // max_by(struct(ccos, -centroid_id)) tiebreak must pick cell 0, matching
+    // the oracle's ORDER BY ccos DESC, centroid_id
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (7L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(1.0, 0.0))
+    val out = Similarity.semanticDedupFrame(emb, cents, 0.99)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((0L, 0L, true), (7L, 0L, false)))
+  }
+}
