@@ -159,19 +159,23 @@ object SparkEntry {
     //    Complete output mode makes the settled result the full aggregation
     //    — identical to q_window_tumbling — rather than the
     //    watermark-truncated tail append mode would emit.
+    //    Landing dirs are staged once per (query, dataset) and sinks get
+    //    unique per-invocation names whose catalog entries are dropped after
+    //    the settled read — repeated in-session runs leave no new dirs or
+    //    tables behind (see stagedLanding/settledStream).
     "q_stream_tumbling" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       // the file-stream source consumes a LANDING DIRECTORY (files arriving
       // over time); the testdata table is a single parquet file, so stage it
       // as the directory's first arrival via symlink — zero-copy, read-only
-      val landing = java.nio.file.Files.createTempDirectory("graft_stream_landing")
-      java.nio.file.Files.createSymbolicLink(
-        landing.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      EventStreamJob.runAvailableNow(
-        EventStreamJob.tumblingAgg(EventStreamJob.readEventStream(s, landing.toString)),
+      val landing = stagedLanding("tumbling", d) { dir =>
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+      }
+      settledStream(s,
+        EventStreamJob.tumblingAgg(EventStreamJob.readEventStream(s, landing)),
         "q_stream_tumbling_sink", "complete")
-      s.table("q_stream_tumbling_sink")
     }),
 
     //    streaming insert-ignore (dropDuplicatesWithinWatermark ≡ the
@@ -183,15 +187,54 @@ object SparkEntry {
     //    (EventStreamSpec asserts the single-batch exact-dedup contract).
     "q_stream_dedup" -> ((s, d) => {
       import graft.streaming.EventStreamJob
-      val landing = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
-      for (name <- Seq("a.parquet", "b.parquet"))
-        java.nio.file.Files.createSymbolicLink(
-          landing.resolve(name), java.nio.file.Paths.get(s"$d/events.parquet"))
-      EventStreamJob.runAvailableNow(
-        EventStreamJob.dedupStream(EventStreamJob.readEventStream(s, landing.toString))
+      val landing = stagedLanding("dedup", d) { dir =>
+        for (name <- Seq("a.parquet", "b.parquet"))
+          java.nio.file.Files.createSymbolicLink(
+            dir.resolve(name), java.nio.file.Paths.get(s"$d/events.parquet"))
+      }
+      settledStream(s,
+        EventStreamJob.dedupStream(EventStreamJob.readEventStream(s, landing))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
         "q_stream_dedup_sink", "append")
-      s.table("q_stream_dedup_sink")
+    }),
+
+    //    custom-state sessionization (flatMapGroupsWithState) under the SAME
+    //    oracle as the batch q_window_session: the landing dir stages the
+    //    events file plus a generated far-future sentinel event per user
+    //    (max ts + 1 day, its own session by construction), so every REAL
+    //    session is provably closed and emitted in-batch; the sentinel
+    //    sessions stay in state (no later event, and the end-of-stream
+    //    watermark of max+1d−1h never passes their max+1d+30m timeout) and
+    //    are never emitted. Append-mode settled output = exactly the batch
+    //    session set, independent of how AvailableNow slices the batches.
+    "q_stream_sessions" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val landing = stagedLanding("sessions", d) { dir =>
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+        // raw read: ts stays INT64 nanos (nanosAsLong), same as the source
+        // file, so the stream's explicit schema reads both files alike
+        val raw = Tables.table(s, d, "events")
+        val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+        val sentinel = raw.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"),
+            lit(maxTs + 86400L * 1000000000L).as("ts"),
+            col("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, dir.resolve("sentinel.parquet"))
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      settledStream(s,
+        EventStreamJob.sessionizeStream(EventStreamJob.readEventStream(s, landing))
+          .toDF(),
+        "q_stream_sessions_sink", "append")
     }),
 
     // -- dedup (training-data pipeline surface)
@@ -273,6 +316,43 @@ object SparkEntry {
           sum(col("height").cast("long")).as("sum_height"),
           sum(col("checksum")).as("sum_checksum"))),
   )
+
+  // ----------------------------------------------- streaming harness plumbing
+
+  /** Landing dirs, staged once per (query, dataset): the file-stream source
+    * consumes a directory, so repeated in-session runs must reuse the staged
+    * one instead of accumulating temp dirs (round-4 ADVICE). Contents are
+    * registered for JVM-exit deletion — children after the dir, since
+    * `deleteOnExit` deletes in reverse registration order.
+    */
+  private val stagedLandings =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def stagedLanding(key: String, d: String)(
+      stage: java.nio.file.Path => Unit): String =
+    stagedLandings.getOrElseUpdate((key, d), {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$key")
+      stage(dir)
+      dir.toFile.deleteOnExit()
+      java.nio.file.Files.list(dir).forEach(p => p.toFile.deleteOnExit())
+      dir.toString
+    })
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a streaming frame to completion (AvailableNow) into a uniquely-named
+    * memory sink and return the settled result. The catalog entry is dropped
+    * immediately after the read — `Dataset` analysis is eager, so the
+    * returned frame's resolved plan keeps the sink's rows alive while the
+    * session's table list stays flat across repeated runs.
+    */
+  private def settledStream(s: SparkSession, df: DataFrame, base: String,
+      mode: String): DataFrame = {
+    val name = s"${base}_${sinkSeq.incrementAndGet()}"
+    graft.streaming.EventStreamJob.runAvailableNow(df, name, mode)
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
+  }
 
   // ------------------------------------------------------------- oracle SQL
   // DuckDB 1.0 dialect notes: regexp_replace needs the 'g' flag (Spark
@@ -581,6 +661,23 @@ object SparkEntry {
     // event_ids are unique in the table, so the oracle is the plain table
     "q_stream_dedup" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+
+    // the sentinel-flushed fMGWS stream must settle to exactly the batch
+    // session set — same oracle as q_window_session
+    "q_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, sid""".stripMargin,
 
     "q_window_sliding" ->
       """WITH b AS (SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *

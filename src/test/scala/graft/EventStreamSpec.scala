@@ -136,4 +136,36 @@ class EventStreamSpec extends SparkSpecBase {
     val distinctIds = Tables.events(spark, Sf).select("event_id").distinct().count()
     assert(got == distinctIds, s"expected $distinctIds distinct events, got $got")
   }
+
+  test("q_stream_sessions settles to the batch session set (sentinel flush)") {
+    val streamed = SparkEntry.queries("q_stream_sessions")(spark, Sf)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long, Double)] =
+      df.select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col("n_events").cast("long"), col("sum_value"))
+        .as[(Long, String, String, Long, Double)].collect().toSet
+    val batch = canon(EventWindows.sessionize(spark, Sf))
+    val got = canon(streamed)
+    assert(got == batch, "settled fMGWS output must equal the batch sessions")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming harness hygiene: repeated runs leave no new temp dirs or tables") {
+    // round-4 ADVICE: the harness entries used to leak one graft_stream_*
+    // temp dir per invocation and silently replace a fixed-name memory-sink
+    // table. Landing dirs are now cached per (query, dataset) and sink names
+    // are unique with their catalog entries dropped after the settled read.
+    import scala.jdk.CollectionConverters._
+    val q = SparkEntry.queries("q_stream_tumbling")
+    val first = q(spark, Sf).count()
+    def streamDirs: Long = Files.list(Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("graft_stream_")).toLong
+    val dirs = streamDirs
+    val tables = spark.catalog.listTables().count()
+    val second = q(spark, Sf).count()
+    assert(second == first)
+    assert(streamDirs == dirs, "no new landing dirs on rerun")
+    assert(spark.catalog.listTables().count() == tables, "no new catalog tables on rerun")
+  }
 }
