@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Checkpoint ids pinned by the LAST invocation of each pair pipeline, per
+    * (session, pipeline): the returned frames are lazy, so their
+    * materialized inputs must stay alive until the caller's terminal action
+    * — no function-local point can free them. Instead a NEW invocation of
+    * the same pipeline supersedes the previous one's blocks (frees them by
+    * RDD id — `Dataset.unpersist` is a no-op on checkpoints, see
+    * [[IterCheckpoint]]), so a long-lived library caller running these
+    * repeatedly pins at most one generation of blocks per pipeline instead
+    * of accumulating one per call. Contract: calling a pipeline again
+    * invalidates the PREVIOUS call's returned frame (its checkpointed inputs
+    * are gone); callers that need overlapping lifetimes should go through
+    * Bench/Verify-style explicit sweeps of `getPersistentRDDs`.
+    * `DedupLeakSpec` asserts the flat double-invocation count.
+    */
+  private val liveCkpts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
+  private def supersede(s: SparkSession, pipeline: String, ids: Set[Int]): Unit =
+    liveCkpts.put((s, pipeline), ids).foreach(old => IterCheckpoint.free(s, old))
+
   /** 60-bit hash from md5 — identical in DuckDB as
     * `CAST(concat('0x', substring(md5(s || '#' || k), 1, 15)) AS BIGINT)`.
     * The hex→long parse is the native [[graft.functions.Hex15ToLong]]
@@ -102,9 +121,10 @@ object Dedup {
     * expansions; the band join carries only (band_key, rep_id); candidate
     * pairs are deduped before sets are joined back, so each distinct set
     * crosses the wire once per surviving pair side, not once per duplicate
-    * document. Cleanup contract: Bench/Verify sweep `getPersistentRDDs`
-    * between queries; long-lived library callers should do the same after
-    * their terminal action. Same contract for [[simhashPairs]].
+    * document. Cleanup contract: a repeat invocation supersedes the previous
+    * call's checkpoint blocks (see [[supersede]]); Bench/Verify additionally
+    * sweep `getPersistentRDDs` between queries. Same contract for
+    * [[simhashPairs]] and [[ngramJaccardPairs]].
     *
     * Measured alternative (rejected): verifying via a candidate-restricted
     * shingle inverted index (fully array-free, as in [[ngramJaccardPairs]])
@@ -116,16 +136,17 @@ object Dedup {
       hotBandCap: Int = HotBandCap): DataFrame = {
     // (doc_id, sset, skey): skey = exact set identity, order-normalized.
     // Shingles never contain NUL, so the join is collision-free up to md5.
-    val (keyed, _) = IterCheckpoint.checkpoint(
+    val (keyed, keyedIds) = IterCheckpoint.checkpoint(
       Tables.documents(s, d)
         .select(col("doc_id"), shingles3(col("text")).as("sset"))
         .filter(size(col("sset")) > 0)
         .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset"))))))
     // one representative per distinct set (min doc_id for reproducibility;
     // Jaccard is order-independent so any member's array would do)
-    val (reps, _) = IterCheckpoint.checkpoint(
+    val (reps, repIds) = IterCheckpoint.checkpoint(
       keyed.groupBy(col("skey"))
         .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset")))
+    supersede(s, "minhashLshPairs", keyedIds ++ repIds)
     val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
       // same reason as [[minhashSignatures]]: the checkpointed table has few
       // partitions at small scale; re-spread before the 16-hash partial agg
@@ -205,12 +226,13 @@ object Dedup {
     // The set key includes lang because the blocking does — two identical
     // texts under different langs are never compared, so they must not
     // share a group.
-    val (keyed, _) = IterCheckpoint.checkpoint(
+    val (keyed, keyedIds) = IterCheckpoint.checkpoint(
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sset"))
         .filter(size(col("sset")) > 0)
         .withColumn("skey",
           md5(concat_ws(" ", array(col("lang")), array_sort(col("sset"))))))
+    supersede(s, "ngramJaccardPairs", keyedIds)
     val reps = keyed.groupBy(col("skey"))
       .agg(min_by(col("sset"), col("doc_id")).as("sset"), first(col("lang")).as("lang"))
       .withColumn("n", size(col("sset")))
@@ -318,6 +340,7 @@ object Dedup {
     // this query to static sort-merge (the clusterLabels lesson; measured
     // 21s → seconds at sf0.1)
     val (sh, shIds) = IterCheckpoint.checkpoint(simhashLong(s, d))
+    supersede(s, "simhashPairs", shIds)
     // band key = 15-bit quarter of the packed long (same quarters as the
     // bit-string substring form: quarter q covers bits 59-15q .. 45-15q)
     val banded = sh.select(col("h")).distinct().select(col("h"),
@@ -482,6 +505,10 @@ object Dedup {
       dbg(f"round $round sum $s converged $converged ${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     IterCheckpoint.free(sess, pIds)
+    // the FINAL round's checkpoint must outlive this call (the returned
+    // frame reads it); register it so the next clusterLabels invocation on
+    // this session supersedes it — same contract as the pair pipelines
+    supersede(sess, "clusterLabels", ids)
     dbg("iteration complete, returning labels")
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
