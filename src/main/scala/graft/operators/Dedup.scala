@@ -215,11 +215,34 @@ object Dedup {
     * Σ_shingle freq², which distinct-shingles-per-doc bounds by document
     * frequency (measured max df = 14 at sf0.1) instead of the O(block²)
     * all-pairs of the naive plan (3.2M array-bearing rows at sf0.1 — the
-    * round-1 bench killer). At much larger corpora, stop-shingle capping or
-    * frequency-ordered prefix filtering (AllPairs/PPJoin) bounds the hot-key
-    * quadratic term.
+    * round-1 bench killer).
+    *
+    * Two defenses against the corpus-scale stop-shingle ("in the way")
+    * funneling df² pair rows through ONE shuffle key:
+    *
+    *  - Always on, recall-exact: the posting self-join is population-capped
+    *    exactly like the simhash/minhash band joins — a (lang, shingle) group
+    *    with df > `hotShingleCap` is split into ceil(df / cap) sub-buckets
+    *    keyed by a hash of side A's set key, side B replicated per
+    *    sub-bucket. Each matching posting pair still meets exactly once (at
+    *    ba = bucket(skey_a); the mirror meeting fails skey_a < skey_b), so
+    *    the per-pair COUNT the Jaccard is built from is unchanged —
+    *    `DedupClustersSpec` checks cap=2 ≡ cap=∞ adversarially. Per-task
+    *    work drops from df² to cap × df with df/cap-way parallelism; the
+    *    total Σ df² row volume is unchanged but spread across reducers.
+    *
+    *  - Opt-in, recall-lossy, work-bounding: `maxDf = Some(m)` drops
+    *    shingles with df > m from the index entirely (candidate generation
+    *    only), eliminating — not just spreading — their df² term. Emitted
+    *    pairs are then re-verified against the full representative sets
+    *    (array intersect/union, the [[minhashLshPairs]] verify shape), so
+    *    every output Jaccard is still EXACT over all shingles including the
+    *    dropped ones; what is lost is only pairs whose entire overlap lies
+    *    in dropped stop-shingles (they produce no candidate). The number of
+    *    dropped shingles is logged so the loss surface is visible.
     */
-  def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.2): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.2,
+      hotShingleCap: Int = HotBandCap, maxDf: Option[Long] = None): DataFrame = {
     // Distinct-set collapse, exactly as in [[minhashLshPairs]]: the inverted
     // index's Σ freq² work multiplies by m² per m-duplicate group when run
     // per document (measured 22 s standalone at a 10× replica of sf0.1).
@@ -232,26 +255,70 @@ object Dedup {
         .filter(size(col("sset")) > 0)
         .withColumn("skey",
           md5(concat_ws(" ", array(col("lang")), array_sort(col("sset"))))))
-    supersede(s, "ngramJaccardPairs", keyedIds)
+    val needReps = maxDf.isDefined
+    // the rep table is read by postings + (maxDf only) the verify join — at
+    // most twice; off the keyed checkpoint both reads are one narrow agg
     val reps = keyed.groupBy(col("skey"))
       .agg(min_by(col("sset"), col("doc_id")).as("sset"), first(col("lang")).as("lang"))
       .withColumn("n", size(col("sset")))
-    val postings = reps.select(col("lang"), col("skey"), col("n"),
+    val (repsCk, repIds) =
+      if (needReps) IterCheckpoint.checkpoint(reps) else (reps, Set.empty[Int])
+    supersede(s, "ngramJaccardPairs", keyedIds ++ repIds)
+    val postings = repsCk.select(col("lang"), col("skey"), col("n"),
       explode(col("sset")).as("shingle"))
-    val a = postings.select(col("lang"), col("shingle"),
+    // per-(lang, shingle) document frequency — the population the cap and the
+    // opt-in drop both key off. The window shuffles on the same key as the
+    // self-join below and its per-group work is linear in df (a count), so it
+    // adds no quadratic term of its own.
+    val popln = Window.partitionBy(col("lang"), col("shingle"))
+    val counted = postings.withColumn("df", count(lit(1)).over(popln))
+    val indexed = maxDf match {
+      case Some(m) =>
+        // eager one-off: surface how much of the index the drop removes —
+        // opt-in path, so the extra small agg job is acceptable
+        val nDropped = counted.filter(col("df") > m)
+          .select(col("lang"), col("shingle")).distinct().count()
+        System.err.println(
+          s"[ngramJaccardPairs] maxDf=$m dropped $nDropped hot shingles from the index")
+        counted.filter(col("df") <= m)
+      case None => counted
+    }
+    // population cap — same sub-bucket construction as [[simhashPairs]]'s
+    // band join: A lands in bucket hash(skey_a) mod g, B replicated to all g
+    val sized = indexed
+      .withColumn("g", ceil(col("df") / lit(hotShingleCap)).cast("int"))
+    val a = sized.select(col("lang"), col("shingle"),
+      pmod(xxhash64(col("skey")), col("g")).cast("int").as("ba"),
       col("skey").as("skey_a"), col("n").as("n_a"))
-    val b = postings.select(col("lang"), col("shingle"),
-      col("skey").as("skey_b"), col("n").as("n_b"))
+    val b = sized.select(col("lang"), col("shingle"),
+      col("skey").as("skey_b"), col("n").as("n_b"),
+      explode(sequence(lit(0), col("g") - 1)).as("ba"))
     // rep pairs are canonicalized by skey; doc order is applied after the
     // expansion (skey order says nothing about doc_id order)
-    val repPairs = a.join(b, Seq("lang", "shingle"))
+    val matched = a.join(b, Seq("lang", "shingle", "ba"))
       .filter(col("skey_a") < col("skey_b") &&
         col("n_a") * 5 >= col("n_b") * 4 && col("n_b") * 5 >= col("n_a") * 4)
-      .groupBy(col("skey_a"), col("skey_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
-      .filter(col("jaccard") >= threshold)
+    val repPairs = maxDf match {
+      case None =>
+        // exact count path: every shared shingle contributes exactly one row
+        matched
+          .groupBy(col("skey_a"), col("skey_b"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("jaccard",
+            col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+          .filter(col("jaccard") >= threshold)
+      case Some(_) =>
+        // dropped shingles undercount the join, so the count is only a
+        // candidate signal — re-verify each candidate pair against the FULL
+        // sets so the emitted Jaccard is exact over every shingle
+        matched.select(col("skey_a"), col("skey_b")).distinct()
+          .join(repsCk.select(col("skey").as("skey_a"), col("sset").as("set_a")), Seq("skey_a"))
+          .join(repsCk.select(col("skey").as("skey_b"), col("sset").as("set_b")), Seq("skey_b"))
+          .select(col("skey_a"), col("skey_b"),
+            (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+              size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+    }
     val members = keyed.select(col("skey"), col("doc_id"))
     val cross = repPairs
       .join(members.select(col("skey").as("skey_a"), col("doc_id").as("id_a")), Seq("skey_a"))

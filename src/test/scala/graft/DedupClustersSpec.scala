@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.Row
 
 /** Connected-components labeling over near-duplicate pair lists: chains that
   * need label flooding, multiple components, cliques, and convergence.
@@ -8,14 +9,48 @@ import graft.operators.Dedup
 class DedupClustersSpec extends SparkSpecBase {
   import spark.implicits._
 
+  /** Eagerly collected multiset of a pair frame's rows. The pair pipelines'
+    * checkpoint contract (Dedup.supersede) invalidates the PREVIOUS call's
+    * lazy frame on a repeat invocation, so adversarial A-vs-B comparisons
+    * must land each result before requesting the next.
+    */
+  private def landed(df: org.apache.spark.sql.DataFrame): Map[Row, Int] = {
+    val rows = df.collect().toSeq
+    rows.groupBy(identity).view.mapValues(_.size).toMap
+  }
+
   test("hot-band cap never changes the simhash pair set") {
     // cap = 2 forces aggressive sub-bucketing of every band group; cap =
     // MaxValue disables splitting entirely. The outputs must be identical —
-    // the cap's exactly-once pair-meeting argument, checked adversarially.
-    val split = Dedup.simhashPairs(spark, Sf, hotBandCap = 2)
-    val whole = Dedup.simhashPairs(spark, Sf, hotBandCap = Int.MaxValue)
-    assert(split.except(whole).isEmpty && whole.except(split).isEmpty)
-    assert(split.count() == whole.count()) // no duplicate emissions either
+    // the cap's exactly-once pair-meeting argument, checked adversarially
+    // (multiset compare: a duplicate emission would fail too).
+    val split = landed(Dedup.simhashPairs(spark, Sf, hotBandCap = 2))
+    val whole = landed(Dedup.simhashPairs(spark, Sf, hotBandCap = Int.MaxValue))
+    assert(split == whole)
+  }
+
+  test("hot-shingle cap never changes the ngram Jaccard pair set") {
+    // cap = 2 sub-buckets every (lang, shingle) posting group with df > 2;
+    // cap = MaxValue disables splitting. Identical output — including the
+    // per-pair shared-shingle COUNTS the Jaccard divides by, which is the
+    // stronger property (a pair meeting twice would inflate c, not just
+    // duplicate a row).
+    val split = landed(Dedup.ngramJaccardPairs(spark, Sf, hotShingleCap = 2))
+    val whole = landed(Dedup.ngramJaccardPairs(spark, Sf, hotShingleCap = Int.MaxValue))
+    assert(split == whole)
+  }
+
+  test("opt-in stop-shingle drop: lossless above max df, exact-valued below") {
+    val full = landed(Dedup.ngramJaccardPairs(spark, Sf))
+    // a threshold above every real df drops nothing — output identical even
+    // though the maxDf path verifies via array sets instead of join counts
+    val high = landed(Dedup.ngramJaccardPairs(spark, Sf, maxDf = Some(Long.MaxValue)))
+    assert(high == full)
+    // an aggressive threshold may lose pairs (overlap entirely in dropped
+    // shingles) but every emitted pair must carry the exact full-set Jaccard
+    val low = landed(Dedup.ngramJaccardPairs(spark, Sf, maxDf = Some(2L)))
+    assert(low.keySet.subsetOf(full.keySet),
+      "maxDf output must be a subset with exact values")
   }
 
   private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
