@@ -400,12 +400,16 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  /** Mirror of Similarity.lshBucket: 8 sign-random-projection bits. */
-  private val sqlLshBucket: String = {
+  /** Mirror of Similarity.lshBucket: `planes` sign-random-projection bits.
+    * The plane count is corpus-derived (Similarity.lshPlanes), so the two
+    * queries that bucket are generated oracles (oracleSqlDynamic) — the
+    * generator and the query share one memoized count.
+    */
+  private def sqlLshBucket(planes: Int): String = {
     val plane = "((CAST(" +
       "CAST(concat('0x', substring(md5('plane' || CAST(p AS VARCHAR) || '~' || CAST(i-1 AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)" +
       " AS DOUBLE) / 576460752303423488.0) - 1.0)"
-    s"""list_reduce(list_transform(range(0, 8), p ->
+    s"""list_reduce(list_transform(range(0, $planes), p ->
        |  CASE WHEN list_reduce(list_transform(range(1, 65),
        |      i -> CAST(embedding[i] AS DOUBLE) * $plane), (x, y) -> x + y) >= 0
        |    THEN CAST(1::BIGINT << p AS BIGINT) ELSE CAST(0 AS BIGINT) END),
@@ -777,19 +781,6 @@ object SparkEntry {
          |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
          |WHERE rnk <= 5""".stripMargin,
 
-    "q_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket,
-         |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
-         |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
-         |    AND q.bucket = n.bucket)
-         |SELECT query_id, neighbor_id, rnk, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
-         |WHERE rnk <= 5""".stripMargin,
-
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
          |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm2 AS cnrm2
@@ -818,15 +809,6 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
          |WHERE rnk <= 5""".stripMargin,
-
-    "q_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $sqlLshBucket AS bucket,
-         |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings)
-         |SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |WHERE cosine >= 0.2""".stripMargin,
 
     "q_quality_score" -> {
       val toks = sqlTokens("text")
@@ -1017,11 +999,12 @@ object SparkEntry {
   )
 
   // ------------------------------------------------- generated oracle SQL
-  /** Oracles that need values only known at run time. A fitted model is not
-    * one SQL statement — but the trained centroid MATRIX is just 16×64
-    * doubles, so Verify serializes it into the oracle as literals (the same
-    * trick as the LSH plane matrix, which is md5-derivable and therefore
-    * static). `Double.toString` emits the shortest decimal that round-trips,
+  /** Oracles that need values only known at run time: the trained-IVF model
+    * (a fitted model is not one SQL statement — but the centroid MATRIX is
+    * just 16×64 doubles, so Verify serializes it into the oracle as
+    * literals) and the LSH-bucketed queries (the plane COUNT is derived from
+    * the corpus size; the plane values themselves stay md5-derivable in
+    * SQL). `Double.toString` emits the shortest decimal that round-trips,
     * and DuckDB parses decimal literals to the nearest double, so the oracle
     * computes against bit-identical centroids. [[Similarity.trainedCentroids]]
     * memoizes per (dataset, nlist, iters): the query run and this generator
@@ -1031,7 +1014,31 @@ object SparkEntry {
     val cents = Similarity.trainedCentroids(s, d)
     val centsLit = cents.map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
       .mkString("[", ", ", "]")
+    // corpus-derived LSH plane count: the memoized count means the query run
+    // and this generator compute the same value by construction
+    val planes = Similarity.lshPlanes(s, d)
     Map(
+      "q_ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlLshBucket(planes)} AS bucket,
+           |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id
+           |    AND q.bucket = n.bucket)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+           |WHERE rnk <= 5""".stripMargin,
+
+      "q_embed_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlLshBucket(planes)} AS bucket,
+           |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings)
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine
+           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.2""".stripMargin,
       // mirror of Similarity.ivfTopKTrained: literal trained centroids, then
       // the exact q_ann_ivf search dataflow (assign all vectors via
       // ccos-desc/centroid-asc argmax, probe 4 cells per query, exact-cosine

@@ -39,8 +39,44 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  val LshPlanes = 8
   val Dims = 64
+
+  /** Target mean LSH bucket occupancy. Bucket population drives the
+    * intra-bucket all-pairs work in [[embeddingNearDupPairs]] and the probe
+    * scan in [[lshTopK]], so it must stay ~constant as the corpus grows —
+    * which means the PLANE COUNT must grow with log N, not stay fixed (a
+    * fixed 8-plane/256-bucket split makes pair work grow ~N²/256 — the same
+    * defect class as a fixed nlist in IVF, where nlist ∝ √N is the rule).
+    */
+  val LshTargetBucket = 8L
+
+  /** Floor (driver SFs land here — ≤2k vectors keep the historical 8-plane
+    * behavior) and ceiling (2^30 buckets ≈ 1 per vector at 8B vectors; the
+    * bucket id must stay a positive long).
+    */
+  val LshMinPlanes = 8
+  val LshMaxPlanes = 30
+
+  /** planes = clamp(ceil(log2(ceil(n / target))), min, max) — the smallest
+    * plane count whose 2^planes buckets hold ≤ [[LshTargetBucket]] vectors
+    * each at uniform occupancy. Exact integer log so powers of two don't
+    * wobble on float rounding.
+    */
+  def planesFor(n: Long): Int = {
+    // overflow-safe ceil-div (n + target - 1 wraps at Long.MaxValue)
+    val t = if (n <= 1L) 1L else (n - 1L) / LshTargetBucket + 1L
+    val ceilLog2 = if (t <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(t - 1L)
+    math.min(LshMaxPlanes, math.max(LshMinPlanes, ceilLog2))
+  }
+
+  /** Corpus-derived plane count for a dataset dir, memoized: the count is one
+    * cheap parquet-metadata job, and the SAME value must be seen by the query
+    * and by the generated oracle SQL ([[graft.SparkEntry.oracleSqlDynamic]])
+    * within a run — the memo makes that sharing explicit.
+    */
+  private val corpusSizes = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def lshPlanes(s: SparkSession, d: String): Int =
+    planesFor(corpusSizes.getOrElseUpdate(d, Tables.embeddings(s, d).count()))
 
   /** Deterministic pseudo-random hyperplane matrix, md5-derived (same formula
     * as [[Dedup.md5Hash60]] on "plane{p}~{i}" seed 0, scaled to [-1, 1)) —
@@ -48,23 +84,31 @@ object Similarity {
     * of a row-independent constant (8 planes × 64 dims = 512 digests/row in
     * the naive expression) was pure wasted CPU; the values are identical, so
     * the DuckDB oracle (which recomputes them from md5 in SQL) still matches.
+    * Plane p's hyperplane depends only on (p, i) — NOT on the total plane
+    * count — so growing the count refines buckets: vectors sharing a
+    * p2-plane bucket share every p1 < p2 bucket too (`LshPlanesSpec`).
     */
-  private[operators] lazy val planeMatrix: Array[Array[Double]] = {
-    val mdigest = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshPlanes, Dims) { (p, i) =>
-      val hex = mdigest.digest(s"plane$p~$i#0".getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString.take(15)
-      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
-    }
-  }
+  private val planeMatrices =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  private[operators] def planeMatrix(planes: Int): Array[Array[Double]] =
+    planeMatrices.getOrElseUpdate(planes, {
+      val mdigest = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(planes, Dims) { (p, i) =>
+        val hex = mdigest.digest(s"plane$p~$i#0".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59).toDouble - 1.0
+      }
+    })
 
-  /** Sign-random-projection bucket id (8 bits) for an embedding column.
-    * Each projection is the native dot expression against a double-literal
-    * plane (same left-fold doubles as the HOF form it replaced).
+  /** Sign-random-projection bucket id (`planes` bits) for an embedding
+    * column. Each projection is the native dot expression against a
+    * double-literal plane (same left-fold doubles as the HOF form it
+    * replaced).
     */
-  def lshBucket(vec: Column): Column = {
-    val bits = (0 until LshPlanes).map { p =>
-      val plane = array(planeMatrix(p).map(lit).toSeq: _*)
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val m = planeMatrix(planes)
+    val bits = (0 until planes).map { p =>
+      val plane = array(m(p).map(lit).toSeq: _*)
       val proj = dot(vec, plane)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -111,11 +155,13 @@ object Similarity {
   /** LSH-bucketed ANN: probes only scan their own bucket, then exact cosine
     * rerank within the bucket. Approximate (recall < 1 across bucket
     * boundaries) — the scale path; oracle-checked exactly because the buckets
-    * are md5-deterministic in both engines.
+    * are md5-deterministic in both engines and the plane count is a pure
+    * function of the corpus size ([[lshPlanes]]) that the generated oracle
+    * recomputes identically.
     */
   def lshTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", lshBucket(col("embedding")))
+      .withColumn("bucket", lshBucket(col("embedding"), lshPlanes(s, d)))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("bucket"))
       .withColumn("qn", norm(col("qvec")))
@@ -362,10 +408,13 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket
     * with cosine above threshold (doc-level near-dup by vector similarity).
+    * The bucket count scales with the corpus ([[lshPlanes]]) so the
+    * intra-bucket all-pairs term stays ~[[LshTargetBucket]]² per bucket
+    * instead of growing N²/2^planes under a fixed plane count.
     */
   def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", lshBucket(col("embedding")))
+      .withColumn("bucket", lshBucket(col("embedding"), lshPlanes(s, d)))
     val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
       .withColumn("na", norm(col("va")))
     val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
