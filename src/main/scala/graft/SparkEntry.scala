@@ -989,12 +989,16 @@ object SparkEntry {
         "CAST(doc_id % 200 AS VARCHAR) || '.7 now.' ELSE text END"
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      // n_ipv4 counts on the email-redacted text e (matches piiRedact):
+      // counts stay auditable against clean_text when an IP hides inside
+      // an email's matched span.
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4,
-         |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
-         |    '$ip', '<IP>', 'g') AS clean_text
-         |FROM (SELECT doc_id, $aug AS t FROM documents)""".stripMargin
+         |  CAST(len(regexp_extract_all(e, '$ip')) AS BIGINT) AS n_ipv4,
+         |  regexp_replace(e, '$ip', '<IP>', 'g') AS clean_text
+         |FROM (SELECT doc_id, t,
+         |        regexp_replace(t, '$email', '<EMAIL>', 'g') AS e
+         |      FROM (SELECT doc_id, $aug AS t FROM documents))""".stripMargin
     },
   )
 

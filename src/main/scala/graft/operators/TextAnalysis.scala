@@ -171,19 +171,24 @@ object TextAnalysis {
     * addresses and IPv4 literals — the scrub every crawl-derived training
     * corpus runs before release. Pure per-row regex projection: no shuffle at
     * any scale, fully codegen'd. Emails are replaced BEFORE IPs so a dotted
-    * quad inside a just-inserted `<EMAIL>` token can't double-redact
-    * (the patterns as written cannot overlap the other's replacement token).
+    * quad inside a just-inserted `<EMAIL>` token can't double-redact.
+    *
+    * `n_ipv4` counts over the email-redacted text, not the raw text, so the
+    * counts are auditable against `clean_text`: a dotted quad living inside
+    * an email's matched span (`bob@10.1.2.3.io`) is consumed by the email
+    * mask and never appears as `<IP>`, and counting it would make
+    * n_emails + n_ipv4 exceed the inserted tokens.
     */
-  def piiRedact(docs: DataFrame): DataFrame =
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val emailClean = regexp_replace(col("text"), EmailPattern, "<EMAIL>")
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Pattern), lit(0)))
+      size(regexp_extract_all(emailClean, lit(Ipv4Pattern), lit(0)))
         .cast("long").as("n_ipv4"),
-      regexp_replace(
-        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-        Ipv4Pattern, "<IP>").as("clean_text"))
+      regexp_replace(emailClean, Ipv4Pattern, "<IP>").as("clean_text"))
+  }
 
   /** Content fingerprinting: md5 over whitespace-normalized lowercased text.
     * md5 is bit-identical across engines → oracle-checkable, unlike

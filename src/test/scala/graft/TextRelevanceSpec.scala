@@ -63,7 +63,8 @@ class TextRelevanceSpec extends SparkSpecBase {
       (2L, "server 192.168.0.1 and 10.0.0.255 are down"),
       (3L, "both bob@x.io from 172.16.4.2"),
       (4L, "clean text, no pii; not-an-ip 1.2.3 and a@b only"),
-      (5L, "")).toDF("doc_id", "text")
+      (5L, ""),
+      (6L, "mail bob@10.1.2.3.io or ping 10.1.2.3")).toDF("doc_id", "text")
     val out = TextAnalysis.piiRedact(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(1) == 1 && out(1L).getString(3) == "reach me at <EMAIL> thanks")
@@ -74,5 +75,10 @@ class TextRelevanceSpec extends SparkSpecBase {
     assert(out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0 &&
       out(4L).getString(3) == "clean text, no pii; not-an-ip 1.2.3 and a@b only")
     assert(out(5L).getLong(1) == 0 && out(5L).getLong(2) == 0 && out(5L).getString(3) == "")
+    // the dotted quad inside the email's matched span is consumed by the
+    // email mask — n_ipv4 counts post-email-redaction, so it sees only the
+    // free-standing IP and the counts reconcile with clean_text's tokens
+    assert(out(6L).getLong(1) == 1 && out(6L).getLong(2) == 1 &&
+      out(6L).getString(3) == "mail <EMAIL> or ping <IP>")
   }
 }
