@@ -303,6 +303,22 @@ object SparkEntry {
     "q_seq_packing" -> ((s, d) => TrainingData.packSequences(s, d)),
     "q_lang_balance" -> ((s, d) => TrainingData.languageBalance(s, d)),
     "q_sample_stratified" -> ((s, d) => TrainingData.stratifiedSample(s, d)),
+    "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
+    "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
+
+    // -- graph analytics (part co-order graph from the lineitem incidence)
+    "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
+
+    // -- Bloom-filter semi-join-reduced insert-ignore: same result as the
+    //    plain anti-join (no false negatives), existing side probed via a
+    //    broadcast sketch so only might-contain keys reach the exact join
+    "q_bloom_insert_ignore" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      IngestTransforms.bloomInsertIgnore(
+        orders.filter(col("o_orderkey") % 2 === 1),
+        orders.filter(col("o_orderkey") % 5 === 0), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    }),
 
     // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
     //    not SQL-expressible; this makes BinaryPipeline driver-visible)
@@ -1000,6 +1016,50 @@ object SparkEntry {
          |        regexp_replace(t, '$email', '<EMAIL>', 'g') AS e
          |      FROM (SELECT doc_id, $aug AS t FROM documents))""".stripMargin
     },
+
+    // exponent emitted via Double.toString of the SAME Scala expression the
+    // query evaluates (alpha - 1.0) — shortest round-trip decimal, parsed by
+    // DuckDB to the identical double; output carries no float columns, so
+    // only the keep decision must agree (see temperatureSample scaladoc)
+    "q_temperature_sample" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN counts c USING (lang)
+         |WHERE CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "7")} AS DOUBLE)
+         |    / 1152921504606846976.0
+         |  < POWER(CAST(c.n_l AS DOUBLE) / (SELECT min(n_l) FROM counts),
+         |      ${(0.3 - 1.0).toString})""".stripMargin,
+
+    // integer df/sum aggregations + ONE final IEEE division — order-free on
+    // both engines, so the double column is exact (see unigramScore scaladoc)
+    "q_unigram_score" -> {
+      val toks = sqlTokens("text")
+      s"""WITH occ AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM occ GROUP BY tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(df) AS BIGINT) AS sum_df,
+         |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+         |FROM occ JOIN dfq USING (tok)
+         |GROUP BY doc_id""".stripMargin
+    },
+
+    // canonical u<v<w triple join — a DIFFERENT algorithm than the Spark
+    // side's degree-ordered node-iterator, same exact integer count
+    "q_triangle_count" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT count(*) AS n_triangles
+        |FROM edges e1
+        |JOIN edges e2 ON e2.u = e1.v
+        |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // the Bloom pre-filter is exact by the no-false-negative property, so
+    // the oracle is the plain set-difference semantics
+    "q_bloom_insert_ignore" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0""".stripMargin,
   )
 
   // ------------------------------------------------- generated oracle SQL

@@ -174,13 +174,31 @@ case class Hex15ToLong(child: Expression) extends UnaryExpression {
   * `.withExtensions(VectorExpressions.register)`.
   */
 object VectorExpressions {
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f"),
       (args: Seq[Expression]) => DotProductFloat(args(0), args(1))),
     (new FunctionIdentifier("graft_hex15"),
       new ExpressionInfo(classOf[Hex15ToLong].getName, "graft_hex15"),
-      (args: Seq[Expression]) => Hex15ToLong(args(0))))
+      (args: Seq[Expression]) => Hex15ToLong(args(0))),
+    // Spark's own runtime-filter Bloom expressions (the machinery behind
+    // InjectRuntimeFilter), surfaced as callable functions so
+    // [[graft.operators.IngestTransforms.bloomInsertIgnore]] can build the
+    // sketch where the OPTIMIZER cannot: the runtime-filter rule only fires
+    // on equi-joins it can see at plan time, not on a semantic "is this key
+    // already loaded" contract against a table read earlier in the job.
+    // graft_bloom_agg(xxhash64(key), estItems, numBits) -> binary sketch;
+    // graft_bloom_might(sketch, xxhash64(key)) -> boolean, codegen'd, no
+    // false negatives (the property bloomInsertIgnore's exactness rests on).
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),
+    (new FunctionIdentifier("graft_bloom_might"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
 
   def register(e: SparkSessionExtensions): Unit =
     functions.foreach(f => e.injectFunction(f))

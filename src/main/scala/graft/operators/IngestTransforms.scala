@@ -60,6 +60,58 @@ object IngestTransforms {
     incoming.dropDuplicates(key)
       .join(existing.select(key).dropDuplicates(key), Seq(key), "left_anti")
 
+  /** [[insertIgnore]] with a Bloom-filter semi-join reduction — the shape the
+    * anti-join needs when `existing` is the 100 TB already-loaded corpus and
+    * `incoming` is a batch: a one-pass mergeable sketch over the existing
+    * keys replaces "shuffle the whole target against the batch" with "probe
+    * a broadcast bitset, then exact-check only the might-contain survivors".
+    *
+    * Exactness does not depend on the filter's quality: Bloom filters have
+    * no false NEGATIVES, so a key the probe rejects is definitely absent
+    * from `existing` and is kept outright; only might-contain keys (true
+    * hits + fpp false positives) reach the exact anti-join, whose existing
+    * side Catalyst can now semi-join-reduce to the candidate keys. A
+    * degraded (undersized) sketch degrades pruning, never correctness —
+    * `BloomJoinSpec` checks result ≡ plain [[insertIgnore]] and that the
+    * sketch actually prunes.
+    *
+    * Cost model vs [[insertIgnore]] at scale: one extra narrow pass over
+    * `existing` (count + sketch build, both key-column-only scans that
+    * combine map-side) + one sketch broadcast (~1.2 bytes/key at 3% fpp —
+    * 120 MB per 100M keys; above that, raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` or shard by key
+    * range), against shuffling `existing` in full. The in-batch dedup still
+    * shuffles `incoming` once; the two post-dedup branches reuse that
+    * exchange (same child plan), so the batch is shuffled once, not twice.
+    *
+    * The probe column is computed BEFORE `dropDuplicates`: it is a pure
+    * function of the key, so every duplicate row of a key agrees on it and
+    * the arbitrary-survivor semantics of [[insertIgnore]] are preserved.
+    */
+  def bloomInsertIgnore(incoming: DataFrame, existing: DataFrame, key: String,
+      fpp: Double = 0.03): DataFrame = {
+    val existingKeys = existing.select(col(key))
+    // sizing pass: the sketch must be built for the real key cardinality or
+    // fpp degrades silently. At 100 TB this count comes from table metadata;
+    // here it is one key-only columnar scan.
+    val nKeys = math.max(existingKeys.count(), 1L)
+    // optimal bits m = -n ln p / (ln 2)^2 (standard Bloom sizing)
+    val nBits = math.max(64L,
+      math.ceil(-nKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val sketch = existingKeys
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col(key)), lit(nKeys), lit(nBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain =
+      call_function("graft_bloom_might", lit(sketch), xxhash64(col(key)))
+    val deduped = incoming.withColumn("__might", mightContain)
+      .dropDuplicates(key)
+    val definitelyNew = deduped.filter(!col("__might")).drop("__might")
+    val candidates = deduped.filter(col("__might")).drop("__might")
+      .join(existingKeys.dropDuplicates(key), Seq(key), "left_anti")
+    definitelyNew.unionByName(candidates)
+  }
+
   /** Deterministic first-writer-wins variant of [[insertIgnore]]: the survivor
     * per key is the row with the smallest `orderCols` (arrival order made
     * explicit), mirroring the reference's sequential INSERT ... ON CONFLICT DO

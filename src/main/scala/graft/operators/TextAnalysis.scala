@@ -141,6 +141,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Unigram rarity score: the mean corpus document-frequency of a doc's
+    * token occurrences — the cheap stand-in for the LM-perplexity quality
+    * signal (CCNet-style): documents made of globally common words score
+    * high, documents full of rare/garbage tokens score low. Emitted per doc:
+    * occurrence count, Σ df over occurrences, and their ratio.
+    *
+    * Numeric contract with the oracle: `df` and the per-doc Σ are exact
+    * 64-bit integer aggregations (order-independent, bit-identical across
+    * engines); the only floating-point step is ONE IEEE division per output
+    * row — deliberately NOT a mean over per-token doubles, whose
+    * summation-order low bits would break the exact-value gate.
+    *
+    * Scale shape: tokens explode once and feed both sides — the df table is
+    * a distinct-(token, doc) count with map-side partials, vocab-sized
+    * (~millions of rows at 100 TB: broadcastable, and AQE will pick that);
+    * the occurrences⋈df join shuffles on the token key, where stopword skew
+    * is the AQE skew-join case ([[tfidfTopK]]'s note applies verbatim); the
+    * final per-doc rollup is key-unskewed by construction.
+    */
+  def unigramScore(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dfreq = occ.distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    occ.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus-wide vocabulary statistics: the k most frequent (lowercased)
     * terms with occurrence and document frequencies. Explode → one partial-
     * aggregated count keyed on the term, then a global top-k that fuses to

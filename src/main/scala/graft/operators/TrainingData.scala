@@ -158,6 +158,45 @@ object TrainingData {
         negate(col("col._2")).as("u"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Temperature-based language resampling (the XLM/mT5 mixture rule):
+    * language `l` with `n_l` documents is kept with probability
+    * `(n_l / n_min)^(alpha-1)` — the per-language fraction that makes
+    * post-sample language mass ∝ `n_l^alpha`, normalized so the
+    * smallest language keeps everything. `alpha < 1` flattens the mixture
+    * (high-resource languages downsampled, low-resource kept); `alpha = 1`
+    * keeps the natural distribution.
+    *
+    * Selection is the deterministic hash-u rule ([[hashSplit]]'s property
+    * set): doc kept iff `u < keep_frac(lang)` where `u` is the doc's
+    * md5-derived uniform (seed 7 — independent of the seed-0 split and
+    * seed-1 sample streams). So membership is reproducible run-to-run,
+    * stable under corpus growth WITHIN a language count profile, and
+    * join-free to audit — no RNG state, no sampling order.
+    *
+    * Scale shape: the language histogram is langs-sized (tiny), broadcast
+    * back; the selection itself is a per-row projection + filter — no
+    * corpus shuffle at any scale. Output carries no floating-point columns
+    * (the pow-derived fraction stays internal), so the oracle comparison
+    * rests only on the keep decision; a last-ulp `pow` divergence between
+    * engines would need a doc's 2^-60-granular `u` to land inside that
+    * ~2^-53 window to flip a row — ~n_docs·2^-53 odds, negligible.
+    */
+  def temperatureSample(s: SparkSession, d: String,
+      alpha: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val fracs = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+      .select(col("lang"),
+        pow(col("n_l").cast("double") / col("n_min"), lit(alpha - 1.0))
+          .as("keep_frac"))
+    val u = (Dedup.md5Hash60(col("doc_id").cast("string"), lit(7)).cast("double")
+      / lit(1152921504606846976.0)) // 2^60, exactly representable
+    docs.join(broadcast(fracs), Seq("lang"))
+      .filter(u < col("keep_frac"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Corpus balancing: cap every language at its `perLang` longest documents
     * (token count, doc_id tiebreak) — the standard rebalance before training
     * so high-resource languages don't drown the mixture. Per-language window

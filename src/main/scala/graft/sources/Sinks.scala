@@ -77,6 +77,37 @@ object Sinks {
     * is the write concurrency, so `coalesce` upstream if the database can't
     * take that many connections.
     */
+  /** Compacted write: lay the output down as ~`rowsPerFile`-row parquet
+    * files, key-clustered — the small-files defense every long-running
+    * 100 TB pipeline needs (a thousand executors each flushing per-task
+    * files turns the next stage's scan into millions of opens; metadata
+    * servers, not IO, become the bottleneck).
+    *
+    * `repartitionByRange` on the cluster key gives (a) a file count chosen
+    * by DATA SIZE, not by whatever parallelism the upstream stage happened
+    * to have, and (b) files covering disjoint key ranges, so min/max footer
+    * stats turn key-range predicates into whole-file skips on read —
+    * clustering and compaction from one shuffle. `maxRecordsPerFile` is the
+    * hard cap backstop when range sampling under-splits a hot key.
+    *
+    * AQE note: `repartitionByRange(n, …)` with an explicit N is exempt from
+    * AQE coalescing, so the file count contract holds under AQE.
+    */
+  def writeCompacted(df: DataFrame, path: String, clusterCol: String,
+      rowsPerFile: Long, totalRows: Long,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val nFiles = math.max(1L, (totalRows + rowsPerFile - 1) / rowsPerFile).toInt
+    val key = org.apache.spark.sql.functions.col(clusterCol)
+    // the local sort is what makes footer min/max TIGHT per file (range
+    // partitioning alone bounds the partition, not the file) — and it is
+    // task-local: no extra shuffle beyond the range exchange
+    df.repartitionByRange(nFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode(mode)
+      .option("maxRecordsPerFile", rowsPerFile.toString)
+      .parquet(path)
+  }
+
   def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
       key: String, props: Properties = new Properties(),
       batchSize: Int = 10000): Unit = {

@@ -53,6 +53,36 @@ class SinksSpec extends SparkSpecBase {
     assert(noBcast.as[(String, Long)].collect().toMap == expected)
   }
 
+  test("writeCompacted: sized file count, per-file cap, disjoint key ranges") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/li"
+    val li = Tables.lineitem(spark, Sf).select("l_orderkey", "l_quantity")
+    val total = li.count()
+    val per = 1000L
+    Sinks.writeCompacted(li, dir, "l_orderkey", per, total)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val nTarget = ((total + per - 1) / per).toInt
+    // range boundaries come from sampling, so partitions over-cap split into
+    // extra files (the per-file cap is the HARD contract, the count is ~2x
+    // bounded); never fewer files than the data size demands
+    assert(files.length >= nTarget && files.length <= 2 * nTarget,
+      s"expected $nTarget..${2 * nTarget} files, got ${files.length}")
+    var sum = 0L
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f)
+      val r = d.agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      assert(r.getLong(0) <= per, s"file over cap: ${r.getLong(0)}")
+      sum += r.getLong(0)
+      (r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    assert(sum == total)
+    // key-clustered: consecutive file ranges must not interleave
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
+
   test("appendInsertIgnore is idempotent across re-runs") {
     val dir = Files.createTempDirectory("graft_append").toString + "/t"
     val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")

@@ -56,6 +56,24 @@ class TextRelevanceSpec extends SparkSpecBase {
     assert(v.forall(r => r.getLong(2) <= r.getLong(1)), "n_docs <= n_occurrences")
   }
 
+  test("unigramScore equals a driver-side reimplementation and orders common above rare") {
+    val got = TextAnalysis.unigramScore(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // independent reimplementation on collected rows
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim)
+      .collect { case (id, t) if t.nonEmpty => id -> t.split("\\s+").toSeq }
+    val dfreq = docs.flatMap { case (id, toks) => toks.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = docs.map { case (id, toks) =>
+      val sumDf = toks.map(dfreq).sum
+      id -> ((toks.length.toLong, sumDf, sumDf.toDouble / toks.length))
+    }.toMap
+    assert(got == expected)
+    // a doc of corpus-common words must outscore one of singleton words
+    assert(got.nonEmpty && got.values.map(_._3).max > got.values.map(_._3).min)
+  }
+
   test("piiRedact masks emails and IPv4s and counts them") {
     import spark.implicits._
     val docs = Seq(

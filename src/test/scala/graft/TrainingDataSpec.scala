@@ -102,6 +102,39 @@ class TrainingDataSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("temperatureSample: smallest language kept whole, selection matches an independent reimplementation") {
+    val kept = TrainingData.temperatureSample(spark, Sf).cache()
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = counts.values.min
+    // independent reimplementation of the keep rule: java MessageDigest md5,
+    // first 15 hex chars as the 60-bit u, math.pow fraction
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(s"$id#7".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16).toDouble / 1152921504606846976.0
+    }
+    val expected = docs.collect {
+      case (id, lang) if u(id) < math.pow(counts(lang).toDouble / nMin, 0.3 - 1.0) => id
+    }.toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the smallest language survives in full (keep_frac = 1, u < 1 always)
+    val minLang = counts.minBy(_._2)._1
+    val keptMin = kept.filter(col("lang") === minLang).count()
+    assert(keptMin == counts(minLang))
+    // and at least one larger language was actually downsampled
+    assert(got.size < docs.length)
+    kept.unpersist()
+  }
+
+  test("temperatureSample at alpha=1 keeps the natural distribution") {
+    val kept = TrainingData.temperatureSample(spark, Sf, alpha = 1.0)
+    assert(kept.count() == Tables.documents(spark, Sf).count())
+  }
+
   test("repetitionScore ratios are in [0,1] and consistent with token counts") {
     val r = TextAnalysis.repetitionScore(spark, Sf).cache()
     assert(r.count() == Tables.documents(spark, Sf).count())
