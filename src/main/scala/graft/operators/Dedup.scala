@@ -254,7 +254,7 @@ object Dedup {
         .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sset"))
         .filter(size(col("sset")) > 0)
         .withColumn("skey",
-          md5(concat_ws(" ", array(col("lang")), array_sort(col("sset"))))))
+          md5(concat_ws("\u0000", array(col("lang")), array_sort(col("sset"))))))
     val needReps = maxDf.isDefined
     // the rep table is read by postings + (maxDf only) the verify join — at
     // most twice; off the keyed checkpoint both reads are one narrow agg
@@ -337,6 +337,13 @@ object Dedup {
 
   val SimHashBits = 60
 
+  /** Ids per slice when a member array is chunked ahead of a pair-expansion
+    * explode ([[simhashExpand]]): bounds one row's explode fan-out to
+    * chunk × |other side| so a mega-group's blowup hash-spreads across
+    * tasks instead of landing in one.
+    */
+  val ExpandChunk = 256
+
   /** Target sub-bucket size for the simhash band self-join: band groups with
     * more distinct fingerprints than this are split so no single reducer sees
     * more than ~cap×m candidate rows. Sized so a capped task is a few ms of
@@ -406,11 +413,36 @@ object Dedup {
     // from AQE runtime re-planning, which demotes every downstream join of
     // this query to static sort-merge (the clusterLabels lesson; measured
     // 21s → seconds at sf0.1)
-    val (sh, shIds) = IterCheckpoint.checkpoint(simhashLong(s, d))
-    supersede(s, "simhashPairs", shIds)
+    // grouped to (h, ids[]) BEFORE the checkpoint: the distinct-fingerprint
+    // band input is then a free projection, and — decisive at replica scale —
+    // the doc expansion becomes "join F pair rows against D array rows, THEN
+    // explode" instead of pushing F×m_a×m_b rows through join machinery. The
+    // 30× probe measured the per-doc expansion joins at 198 s for ~216M
+    // output rows (sort-merge against the stats-less checkpoint leaf, skewed
+    // by hot fingerprints); the array form emits the same rows from a
+    // codegen'd explode at memory-bandwidth speed. The shuffle rows here
+    // carry the member array — m longs per DISTINCT fingerprint, the same
+    // bytes the m separate rows carried, in fewer rows. Assumption shared
+    // with every pair-materializing output: duplicate-group sizes are
+    // bounded (a group of 10⁶ exact copies makes any doc-pair listing
+    // absurd by volume regardless of algorithm — run [[exactDedup]] /
+    // [[dedupClusters]] first at that shape).
+    val (groups, gIds) = IterCheckpoint.checkpoint(
+      simhashLong(s, d).groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids")))
+    supersede(s, "simhashPairs", gIds)
+    simhashExpand(groups,
+      simhashFingerprintPairs(groups.select(col("h")), maxHamming, hotBandCap))
+  }
+
+  /** Banded self-join over DISTINCT fingerprints (`hs`: one `h` per row) →
+    * verified fingerprint pairs (h_a < h_b, hamming ≤ maxHamming). Factored
+    * out of [[simhashPairs]] so the stage can be timed/tested in isolation.
+    */
+  private[graft] def simhashFingerprintPairs(hs: DataFrame, maxHamming: Int,
+      hotBandCap: Int): DataFrame = {
     // band key = 15-bit quarter of the packed long (same quarters as the
     // bit-string substring form: quarter q covers bits 59-15q .. 45-15q)
-    val banded = sh.select(col("h")).distinct().select(col("h"),
+    val banded = hs.select(col("h"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("h"), 45 - 15 * q).bitwiseAND(lit(0x7fffL))): _*)))
       .withColumnRenamed("pos", "band")
@@ -447,21 +479,72 @@ object Dedup {
       (col("band") === q) && (0 until q).map(quarterDiffers)
         .foldLeft(lit(true))(_ && _))
       .reduce(_ || _)
-    val fpairs = a.join(b, Seq("band", "band_key", "ba"))
+    a.join(b, Seq("band", "band_key", "ba"))
       .filter(col("h_a") < col("h_b") && firstMatchingBand)
       .withColumn("hamming", bit_count(xor))
       .filter(col("hamming") <= maxHamming)
       .select(col("h_a"), col("h_b"), col("hamming"))
+  }
+
+  /** Expand verified fingerprint pairs back to document pairs, from the
+    * grouped member table `groups` (h, ids[]).
+    *
+    * Join-then-explode: the two joins move only F pair rows against D group
+    * rows (narrow keys, array payloads — the same bytes the per-doc rows
+    * would carry, in m× fewer rows), and the m_a×m_b doc-pair blowup
+    * happens in codegen'd `explode`s downstream of any shuffle or sort.
+    * The previous per-doc form pushed all F×m_a×m_b rows through two joins
+    * whose checkpoint-leaf inputs carry no stats — planned sort-merge,
+    * measured 198 s for ~216M expanded rows at the 30× replica; this form
+    * emits the identical rows at explode speed (~13× faster end-to-end).
+    * Member order inside a group is collect_list-nondeterministic, which the
+    * output never sees: pairs are canonicalized per row (least/greatest,
+    * doc_a < doc_b).
+    */
+  private[graft] def simhashExpand(groups: DataFrame, fpairs: DataFrame): DataFrame = {
     // cross-group doc pairs: canonical fingerprint order (h_a < h_b) does not
     // imply doc order, so re-order per expanded pair
-    val cross = fpairs
-      .join(sh.select(col("h").as("h_a"), col("doc_id").as("id_a")), Seq("h_a"))
-      .join(sh.select(col("h").as("h_b"), col("doc_id").as("id_b")), Seq("h_b"))
+    // Two defenses between the joins and the explodes, both needed (measured
+    // at the 30× replica, where the cross expansion is 1.62B rows):
+    //
+    //  1. an explicit-N repartition — AQE sizes stages by PRE-explode
+    //     shuffle bytes, so it coalesces the few-MB pair rows into one
+    //     partition and the billion-row explode runs in ONE task (326 s
+    //     single-threaded); explicit partition counts are coalesce-exempt;
+    //  2. chunking the left member array BEFORE that repartition — a hot
+    //     fingerprint (sf0.01 has a 31-member group, 6% of the corpus) makes
+    //     single hot×hot pair rows explode to 10⁷–10⁸ rows, and a
+    //     row-granular shuffle cannot split one row's work (still 250+ s
+    //     skew-bound). Chunks of [[ExpandChunk]] ids bound per-row explode
+    //     work to chunk × m_b and let the hash distribute a mega-pair's
+    //     chunks across tasks.
+    //
+    // Shuffle volume stays ~F×⌈m_a/chunk⌉ array-bearing rows (the joined
+    // pair table), NOT the exploded output.
+    val nPart = fpairs.sparkSession.sessionState.conf.numShufflePartitions
+    val chunked = fpairs
+      .join(groups.select(col("h").as("h_a"), col("ids").as("ids_a")), Seq("h_a"))
+      .join(groups.select(col("h").as("h_b"), col("ids").as("ids_b")), Seq("h_b"))
+      .select(col("h_a"), col("h_b"), col("hamming"), col("ids_b"),
+        explode(expr(s"transform(sequence(0, (size(ids_a) - 1) div $ExpandChunk), " +
+          s"i -> slice(ids_a, i * $ExpandChunk + 1, $ExpandChunk))")).as("chunk_a"))
+    val cross = chunked
+      .repartition(nPart, col("h_a"), col("h_b"), col("chunk_a"))
+      .select(explode(col("chunk_a")).as("id_a"), col("ids_b"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("hamming"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
-    // intra-group doc pairs: identical fingerprint ⇒ hamming 0
-    val intra = sh.select(col("h"), col("doc_id").as("doc_a"))
-      .join(sh.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+    // intra-group doc pairs: identical fingerprint ⇒ hamming 0. Same
+    // chunk + explicit repartition treatment: one m-member group is ONE
+    // checkpointed row whose m²/2 self-pairs would otherwise explode in a
+    // single task.
+    val intra = groups
+      .select(col("h"), col("ids"),
+        explode(expr(s"transform(sequence(0, (size(ids) - 1) div $ExpandChunk), " +
+          s"i -> slice(ids, i * $ExpandChunk + 1, $ExpandChunk))")).as("chunk_a"))
+      .repartition(nPart, col("h"), col("chunk_a"))
+      .select(explode(col("chunk_a")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(0).as("hamming"))
     cross.unionByName(intra)

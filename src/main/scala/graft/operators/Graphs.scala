@@ -61,6 +61,15 @@ object Graphs {
 
   /** Core algorithm over any canonical (`u < v`, distinct) edge list —
     * factored out so `GraphsSpec` can pin the count on handcrafted graphs.
+    *
+    * The oriented edge list feeds THREE consumers (both wedge sides + the
+    * closing probe), so Catalyst re-executes the edges→degrees→orientation
+    * subplan per consumer. MEASURED at sf0.1: that recompute is the cheaper
+    * side — an eager localCheckpoint of `oriented` strips its statistics
+    * (checkpoint leaves carry none), the wedge/closing joins lose their
+    * broadcast plans, and the query goes 13 s → 31 s. A production corpus
+    * would materialize the oriented table to storage WITH table stats;
+    * within one plan, recompute + full stats wins.
     */
   def triangleCountEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("node"))
