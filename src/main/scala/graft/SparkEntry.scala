@@ -151,6 +151,8 @@ object SparkEntry {
     "q_window_sliding" -> (EventWindows.slidingHalfDay _),
     "q_window_session" -> (EventWindows.sessionize _),
     "q_json_extract_agg" -> (EventWindows.jsonExtractAgg _),
+    "q_gap_fill" -> (EventWindows.gapFillHourly _),
+    "q_rolling_1h" -> (EventWindows.rollingHour _),
 
     // -- streaming under the same perf budget + oracle as the batch face:
     //    a REAL Structured Streaming run (file source over the events
@@ -728,6 +730,29 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (SELECT user_id, h, count(*) AS n_events FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |          FROM spans)
+        |SELECT spine.user_id, spine.h, coalesce(n_events, 0) AS n_events
+        |FROM spine LEFT JOIN counts USING (user_id, h)""".stripMargin,
+
+    // frame key = floor(epoch(ts)) — DuckDB's CAST(double AS BIGINT) ROUNDS
+    // while Spark's timestamp→long cast truncates, so the floor is load-
+    // bearing; the frame sum goes through decimal (order-free) because
+    // DuckDB evaluates window aggregates via segment trees
+    "q_rolling_1h" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,

@@ -45,6 +45,62 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Time-series gap-fill (resample-to-hourly): per-user hourly event
+    * counts INCLUDING the empty hours between that user's first and last
+    * event — the densification step before any rolling/forecast consumer,
+    * which silently mis-computes over sparse series (a trailing mean over
+    * present-rows-only is not a trailing mean over time).
+    *
+    * Shape: aggregate to present hours; derive each user's [first, last]
+    * span (one tiny row per user); `sequence(...)` + explode materializes
+    * the dense hour spine; left join re-attaches counts, absent hours
+    * coalesce to 0. Scale: the spine explode is per-user and bounded by
+    * span/granularity, not by event count — a pathological single-user span
+    * would chunk exactly like [[Dedup.simhashExpand]]; the final join keys
+    * on (user, hour), unskewed by construction.
+    */
+  def gapFillHourly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n_events"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    spine.join(counts, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Trailing 1-hour rolling aggregate per event — a RANGE frame over event
+    * TIME (epoch seconds), not a row count: `n_1h`/`sum_1h` cover every
+    * event of the same user in (t−3599s, t], however many rows that is.
+    * The sum goes through decimal(18,2) (order-free, exact) and the frame
+    * key is an integer epoch — both engines agree bit-for-bit even though
+    * DuckDB evaluates frames via segment trees (association order differs;
+    * decimal addition doesn't care).
+    *
+    * Scale: partitions by user — per-partition sort is the cost; a
+    * pathologically hot user is the documented salted-window case
+    * ([[Analytics.saltedAgg]] pattern with frame stitching) rather than a
+    * different plan here.
+    */
+  def rollingHour(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3599L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        // NTZ has no direct long cast; via TIMESTAMP under the session's
+        // fixed UTC zone → floor epoch seconds, matching the oracle's
+        // floor(epoch(ts))
+        col("ts").cast("timestamp").cast("long").as("ts_sec"),
+        dec(col("value")).as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("v")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
+  }
+
   /** Semi-structured JSON column access (`events.props` mirrors the
     * reference's stringified-JSON columns, `init_db_tables.sh:15-32`):
     * extract `$.k`, then aggregate it relationally.

@@ -376,9 +376,41 @@ object Similarity {
   /** Core of [[semanticDedup]] over an explicit (vec_id, embedding) frame and
     * centroid matrix — separated so the drop-by-any-smaller-id rule is
     * unit-testable on handcrafted geometry (`SemanticDedupSpec`).
+    *
+    * Runs over DISTINCT vectors (the [[Dedup]] distinct-set collapse,
+    * arriving here off the 100× replica probe: per-vector intra-cell pairs
+    * grow m² under exact duplication — measured 9.1 s at 30× → 62.2 s at
+    * 100×; collapsed, the pairwise work is replication-invariant).
+    * Exactness: cell assignment and cosine depend only on the vector VALUE;
+    * every member's id is ≥ its group's rep id (rep = min id), so "∃
+    * smaller-id neighbor at cos ≥ τ" over reps equals the same rule over
+    * all vectors; and any non-rep member is dropped by its own rep
+    * (identical vectors' numeric cosine is 1 ± 1 ulp, ≥ any τ ≤ 0.99 —
+    * thresholds above that fall back to the uncollapsed pairwise so the
+    * per-pair numeric comparison stays authoritative).
     */
   def semanticDedupFrame(emb: DataFrame, centroids: Array[Array[Double]],
       threshold: Double): DataFrame = {
+    val e0 = emb.select(col("vec_id"), col("embedding"))
+    if (threshold > 0.99) return semanticDedupAllPairs(e0, centroids, threshold)
+    val groups = e0.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"), collect_list(col("vec_id")).as("ids"))
+    val repOut = semanticDedupAllPairs(
+      groups.select(col("rep_id").as("vec_id"), col("embedding")),
+      centroids, threshold)
+    groups.select(col("rep_id"), explode(col("ids")).as("vec_id"))
+      .join(repOut.select(col("vec_id").as("rep_id"), col("cluster_id"),
+        col("keep").as("rep_keep")), Seq("rep_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("rep_id") && col("rep_keep")).as("keep"))
+  }
+
+  /** The uncollapsed per-vector dataflow: centroid assignment + intra-cell
+    * all-pairs drop rule. Direct entry only for thresholds so close to 1
+    * that the identical-vector shortcut above may not hold numerically.
+    */
+  private def semanticDedupAllPairs(emb: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
     val centsLit = array(centroids.map(c =>
