@@ -306,6 +306,7 @@ object SparkEntry {
     "q_lang_balance" -> ((s, d) => TrainingData.languageBalance(s, d)),
     "q_sample_stratified" -> ((s, d) => TrainingData.stratifiedSample(s, d)),
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
+    "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
     "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
@@ -1054,6 +1055,20 @@ object SparkEntry {
          |    / 1152921504606846976.0
          |  < POWER(CAST(c.n_l AS DOUBLE) / (SELECT min(n_l) FROM counts),
          |      ${(0.3 - 1.0).toString})""".stripMargin,
+
+    // integer-only window arithmetic; DuckDB list[a:b] is 1-based
+    // inclusive-end with overflow clamping ≡ Spark slice(t, a, len)
+    "q_doc_chunks" -> {
+      val toks = sqlTokens("text")
+      s"""WITH t AS (SELECT doc_id, $toks AS t, len($toks) AS n FROM documents),
+         |st AS (SELECT doc_id, t, n,
+         |         unnest(range(0, greatest(0, (n - 128 + 63) // 64) * 64 + 1, 64)) AS strt
+         |       FROM t WHERE n > 0)
+         |SELECT doc_id, strt // 64 AS chunk_id,
+         |  CAST(len(t[strt + 1 : strt + 128]) AS BIGINT) AS n_tokens,
+         |  array_to_string(t[strt + 1 : strt + 128], ' ') AS chunk_text
+         |FROM st""".stripMargin
+    },
 
     // integer df/sum aggregations + ONE final IEEE division — order-free on
     // both engines, so the double column is exact (see unigramScore scaladoc)

@@ -158,6 +158,37 @@ object TrainingData {
         negate(col("col._2")).as("u"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Sliding-window document chunking — the per-document counterpart of
+    * [[packSequences]] (which concatenates ACROSS documents): each doc is
+    * cut into `chunkTokens`-token windows advancing by `stride`, the
+    * overlap preserving context at chunk boundaries (the standard prep for
+    * RAG indexing and long-document pretraining). The final window keeps
+    * the tail even when shorter than a full chunk; a sub-chunk document
+    * yields exactly one chunk.
+    *
+    * All window arithmetic is integer (`(n − chunk + stride − 1) div
+    * stride` start count — no float `ceil`), and both engines slice the
+    * same 1-based clamped ranges, so the chunk table is value-exact under
+    * the oracle. Scale shape: one explode per doc bounded by n/stride —
+    * row-local, no shuffle at any corpus size; chunk text re-joins tokens
+    * with single spaces (tokenization is whitespace-normalizing by
+    * contract).
+    */
+  def chunkDocuments(s: SparkSession, d: String,
+      chunkTokens: Int = 128, stride: Int = 64): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride, "stride must be in (0, chunkTokens]")
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("strt", explode(expr(
+        s"sequence(0, greatest(0, (size(t) - $chunkTokens + $stride - 1) div $stride) * $stride, $stride)")))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(strt div $stride AS BIGINT)").as("chunk_id"),
+        size(slice(col("t"), col("strt") + 1, lit(chunkTokens))).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("t"), col("strt") + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Temperature-based language resampling (the XLM/mT5 mixture rule):
     * language `l` with `n_l` documents is kept with probability
     * `(n_l / n_min)^(alpha-1)` — the per-language fraction that makes

@@ -102,6 +102,39 @@ class TrainingDataSpec extends SparkSpecBase {
     got.unpersist()
   }
 
+  test("chunkDocuments: windows match a driver-side slicer, tail covered, overlap = stride") {
+    val got = TrainingData.chunkDocuments(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim)
+      .collect { case (id, t) if t.nonEmpty => id -> t.split("\\s+").toSeq }
+    val expected = docs.flatMap { case (id, toks) =>
+      val n = toks.length
+      val starts = 0 to (math.max(0, (n - 128 + 63) / 64) * 64) by 64
+      starts.map { s =>
+        val w = toks.slice(s, s + 128)
+        (id, (s / 64).toLong) -> ((w.length.toLong, w.mkString(" ")))
+      }
+    }.toMap
+    assert(got == expected)
+    // every doc chunked; tails under one chunk yield exactly one window
+    assert(got.keySet.map(_._1) == docs.map(_._1).toSet)
+    docs.filter(_._2.length <= 128).foreach { case (id, _) =>
+      assert(got.keySet.count(_._1 == id) == 1)
+    }
+    // multi-window path (test-scale docs can be shorter than one default
+    // chunk): 16-token windows, stride 8 — overlap reconstructs the doc
+    val small = TrainingData.chunkDocuments(spark, Sf, chunkTokens = 16, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(small.keySet.exists(_._2 > 0), "no doc produced a second window")
+    docs.foreach { case (id, toks) =>
+      val chunks = small.filter(_._1._1 == id).toSeq.sortBy(_._1._2)
+      val rebuilt = chunks.init.map(_._2.split(" ").take(8).mkString(" ")) :+ chunks.last._2
+      assert(rebuilt.mkString(" ") == toks.mkString(" "), s"doc $id not covered")
+    }
+  }
+
   test("temperatureSample: smallest language kept whole, selection matches an independent reimplementation") {
     val kept = TrainingData.temperatureSample(spark, Sf).cache()
     val docs = Tables.documents(spark, Sf)
