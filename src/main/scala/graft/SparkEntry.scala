@@ -153,6 +153,7 @@ object SparkEntry {
     "q_json_extract_agg" -> (EventWindows.jsonExtractAgg _),
     "q_gap_fill" -> (EventWindows.gapFillHourly _),
     "q_rolling_1h" -> (EventWindows.rollingHour _),
+    "q_funnel" -> (EventWindows.funnel _),
 
     // -- streaming under the same perf budget + oracle as the batch face:
     //    a REAL Structured Streaming run (file source over the events
@@ -239,6 +240,24 @@ object SparkEntry {
         "q_stream_sessions_sink", "append")
     }),
 
+    //    stream-stream interval join (purchases ⋈ same-user views from the
+    //    preceding hour) under the SAME oracle as its batch face: inner
+    //    stream-stream joins emit a match in the micro-batch that finds it
+    //    (watermarks only bound state eviction for FUTURE batches), and
+    //    AvailableNow over the single staged file plans everything into one
+    //    batch — so the settled append output is exactly the batch join.
+    "q_stream_join" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val landing = stagedLanding("join", d) { dir =>
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$d/events.parquet"))
+      }
+      settledStream(s,
+        EventStreamJob.purchaseViewJoinStream(EventStreamJob.readEventStream(s, landing)),
+        "q_stream_join_sink", "append")
+    }),
+
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -308,9 +327,11 @@ object SparkEntry {
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
     "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
     "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
+    "q_corr_stats" -> ((s, d) => TextAnalysis.corrStats(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
+    "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
 
     // -- Bloom-filter semi-join-reduced insert-ignore: same result as the
     //    plain anti-join (no false negatives), existing side probed via a
@@ -702,6 +723,18 @@ object SparkEntry {
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid""".stripMargin,
 
+    // the settled stream-stream inner join must equal the batch interval
+    // join — the micros cast mirrors the stream's nanos→micros normalization
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |  v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+
     "q_window_sliding" ->
       """WITH b AS (SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
         |    CAST(floor(epoch_us(ts) / 43200000000) * 43200 AS BIGINT) AS s, value
@@ -754,6 +787,32 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // funnel: chained earliest-qualifying-event mins per user; lag sums are
+    // exact BIGINT micros (epoch_us of the micros-truncated timestamp on
+    // both sides)
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t, min(s1.t) AS pt
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.us >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t, min(s2.t) AS pt
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us >= s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.us) AS t, min(s3.t) AS pt
+        |       FROM e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us >= s3.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+        |       count(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+        |UNION ALL SELECT 2, 'view', count(*),
+        |       coalesce(CAST(sum(t - pt) AS BIGINT), 0) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*),
+        |       coalesce(CAST(sum(t - pt) AS BIGINT), 0) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*),
+        |       coalesce(CAST(sum(t - pt) AS BIGINT), 0) FROM s4""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
@@ -1084,6 +1143,29 @@ object SparkEntry {
          |GROUP BY doc_id""".stripMargin
     },
 
+    // Pearson corr / OLS via exact BIGINT moments; the double math is the
+    // same fixed op chain on both sides, so no float tolerance is needed
+    "q_corr_stats" -> {
+      s"""WITH m AS (
+         |  SELECT lang, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y*y) AS BIGINT) AS syy
+         |  FROM (SELECT lang, n_chars AS x, ${sqlWordCount("text")} AS y
+         |        FROM documents) t
+         |  GROUP BY lang)
+         |SELECT lang, n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) /
+         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+         |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_chars_words,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) /
+         |    CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+         |  (CAST(sy AS DOUBLE) -
+         |    (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) *
+         |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+         |FROM m""".stripMargin
+    },
+
     // canonical u<v<w triple join — a DIFFERENT algorithm than the Spark
     // side's degree-ordered node-iterator, same exact integer count
     "q_triangle_count" ->
@@ -1094,6 +1176,28 @@ object SparkEntry {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // fixed-point PageRank, 3 unrolled iterations — all-integer arithmetic
+    // (// is DuckDB floor division ≡ Spark's `div` on positive BIGINTs), so
+    // the comparison is bit-exact with no float tolerance anywhere
+    "q_pagerank" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk),
+        |dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
+        |adj AS (SELECT dir.src, dir.dst, deg.deg FROM dir JOIN deg USING (src)),
+        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT adj.dst AS node,
+        |         CAST(150000000000 + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
+        |       FROM adj JOIN r0 ON adj.src = r0.node GROUP BY 1),
+        |r2 AS (SELECT adj.dst AS node,
+        |         CAST(150000000000 + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
+        |       FROM adj JOIN r1 ON adj.src = r1.node GROUP BY 1),
+        |r3 AS (SELECT adj.dst AS node,
+        |         CAST(150000000000 + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
+        |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY 1)
+        |SELECT node, r AS rank_scaled FROM r3""".stripMargin,
 
     // the Bloom pre-filter is exact by the no-false-negative property, so
     // the oracle is the plain set-difference semantics

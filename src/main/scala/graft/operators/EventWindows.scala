@@ -101,6 +101,47 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
   }
 
+  /** Ordered conversion funnel signup → view → click → purchase: stage k
+    * counts the users whose earliest qualifying stage-k event occurs at or
+    * after their stage-(k−1) time, plus the total conversion lag (micros,
+    * exact integers — BIGINT sums are associative, so the result is
+    * bit-stable under any partitioning, unlike a double lag sum).
+    *
+    * Chained min-aggregations rather than per-user sorted event arrays: each
+    * stage is a user-keyed shuffle whose input shrinks monotonically (a
+    * funnel, by definition), and every join key is the same `user_id`, so at
+    * scale the exchanges reuse one hash partitioning and the late stages are
+    * AQE-broadcastable. A `collect_list`-per-user variant would instead
+    * buffer a celebrity user's whole history in one task.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelEvents(Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us")))
+
+  /** Core over any (user_id, event_type, us) frame — factored out so
+    * `EventWindowsSpec` can pin the ordering semantics on handcrafted data.
+    */
+  def funnelEvents(ev: DataFrame): DataFrame = {
+    val first = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+      .withColumn("lag_us", lit(0L))
+    val rest = Seq("view", "click", "purchase")
+    val chain = rest.scanLeft(first) { (prev, name) =>
+      ev.filter(col("event_type") === name)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .filter(col("us") >= col("pt"))
+        .groupBy(col("user_id"))
+        // pt is constant per user; min() re-attaches it through the agg
+        .agg(min(col("us")).as("t"), min(col("pt")).as("pt"))
+        .select(col("user_id"), col("t"), (col("t") - col("pt")).as("lag_us"))
+    }
+    chain.zip("signup" +: rest).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"), sum(col("lag_us")).as("sum_lag_us"))
+        .select(lit((i + 1).toLong).as("stage"), lit(name).as("event_type"),
+          col("n_users"), coalesce(col("sum_lag_us"), lit(0L)).as("sum_lag_us"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Semi-structured JSON column access (`events.props` mirrors the
     * reference's stringified-JSON columns, `init_db_tables.sh:15-32`):
     * extract `$.k`, then aggregate it relationally.

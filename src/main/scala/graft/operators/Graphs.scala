@@ -59,6 +59,51 @@ object Graphs {
   def triangleCount(s: SparkSession, d: String): DataFrame =
     triangleCountEdges(coOrderEdges(s, d))
 
+  /** Fixed-point PageRank over the undirected co-order graph: every edge
+    * carries rank in both directions, damping 0.85, a fixed iteration count.
+    *
+    * Ranks are SCALED BIGINTs (1.0 ≡ 10^12), all arithmetic integer:
+    * `contrib = rank div deg`, `rank' = 0.15·S + (17·Σcontrib) div 20`.
+    * Integer sums are associative, so the result is bit-identical under any
+    * partitioning or aggregation order — a double-valued PageRank would
+    * hash-differently every run (Σ double over a shuffle has no fixed
+    * order) and could never sit under an exact oracle. The div-truncation
+    * mass loss (< deg ulps per node per round) is the price, and it is
+    * deterministic.
+    *
+    * Scale shape: the adjacency (src, dst, deg) is iteration-invariant and
+    * every round joins it on `src` against the rank table and re-aggregates
+    * on `dst` — identical exchanges that AQE/exchange-reuse de-duplicate
+    * within one plan. Ranks stay (long, long) rows. With iters beyond a
+    * handful, the nested-plan depth calls for the per-round localCheckpoint
+    * discipline of [[Dedup.clusterLabels]] (`IterCheckpoint`); at 3 rounds
+    * the straight-line plan is cheaper (same measured trade as
+    * [[triangleCountEdges]]'s recompute-vs-checkpoint note). Headroom: with
+    * S = 10^12, `17·Σcontrib` stays under 2^63 while total mass ≤ ~5·10^5
+    * nodes per component; a 10^9-node corpus drops S to 10^9 (same oracle,
+    * regenerated constant) or moves the sum to decimal(38,0).
+    */
+  def pageRank(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    pageRankEdges(coOrderEdges(s, d), iters)
+
+  val RankScale: Long = 1000000000000L
+
+  /** Core over any canonical (`u < v`, distinct) undirected edge list. */
+  def pageRankEdges(edges: DataFrame, iters: Int): DataFrame = {
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = dir.join(deg, Seq("src"))
+    val r0 = deg.select(col("src").as("node"), lit(RankScale).as("rank_scaled"))
+    (1 to iters).foldLeft(r0) { (rank, _) =>
+      adj.join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("rank_scaled div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(RankScale * 15L / 100L) + expr("(17 * sc) div 20")).as("rank_scaled"))
+    }
+  }
+
   /** Core algorithm over any canonical (`u < v`, distinct) edge list —
     * factored out so `GraphsSpec` can pin the count on handcrafted graphs.
     *

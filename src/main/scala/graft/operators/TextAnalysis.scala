@@ -171,6 +171,43 @@ object TextAnalysis {
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
   }
 
+  /** Per-language Pearson correlation + OLS slope/intercept between stored
+    * document length (`n_chars`) and computed whitespace word count — the
+    * "do these corpus metadata columns tell one story" screen.
+    *
+    * The moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINT sums:
+    * associative, partial-agg (map-side combine) friendly, and bit-stable
+    * under any partitioning. The float math is then one FIXED chain of IEEE
+    * ops over those integers, written identically in the oracle — so the
+    * doubles compare bit-equal with no tolerance. Spark's built-in `corr()`
+    * sums doubles in shuffle order and could never sit under a hash oracle;
+    * the moment form is also how corr is computed distributed at 100 TB.
+    * Overflow headroom: Σx² ≤ n·max(x)², within BIGINT for ~10⁹ docs of
+    * ≤3·10³ chars; beyond that the moments move to decimal(38,0).
+    */
+  def corrStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("lang"),
+      col("n_chars").as("x"),
+      IngestTransforms.wordCount(col("text")).cast("long").as("y"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = covN.cast("double") / varXN.cast("double")
+    docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n"),
+        (covN.cast("double") /
+          (sqrt(varXN.cast("double")) * sqrt(varYN.cast("double"))))
+          .as("corr_chars_words"),
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept"))
+  }
+
   /** Corpus-wide vocabulary statistics: the k most frequent (lowercased)
     * terms with occurrence and document frequencies. Explode → one partial-
     * aggregated count keyed on the term, then a global top-k that fuses to

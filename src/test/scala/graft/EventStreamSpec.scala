@@ -100,6 +100,18 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed == expected)
   }
 
+  test("q_stream_join settles to the batch interval join") {
+    val streamed = SparkEntry.queries("q_stream_join")(spark, Sf)
+    val batch = EventStreamJob.purchaseViewJoinStream(
+      Tables.events(spark, Sf).withColumn("ts", col("ts").cast("timestamp")))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("purchase_id"), col("view_id"), col("user_id"))
+        .as[(Long, Long, Long)].collect().toSet
+    val got = canon(streamed)
+    assert(got == canon(batch))
+    assert(got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark is the streaming insert-ignore (A1)") {
     // duplicated event_ids across a small batch, raw nanos like the real table
     val base = 1700000000000000000L // nanos

@@ -34,6 +34,29 @@ class EventWindowsSpec extends SparkSpecBase {
     filled.unpersist()
   }
 
+  test("funnel counts only in-order stage progressions, lags exact") {
+    import spark.implicits._
+    // user 1: full in-order funnel (lags 10, 20, 30 us)
+    // user 2: purchase BEFORE click — reaches view only
+    // user 3: no signup — reaches nothing (later stages need stage 1)
+    // user 4: signup then click (no view) — click must NOT count
+    val ev = Seq(
+      (1L, "signup", 100L), (1L, "view", 110L), (1L, "click", 130L), (1L, "purchase", 160L),
+      (2L, "signup", 200L), (2L, "view", 210L), (2L, "purchase", 205L), (2L, "click", 260L),
+      (3L, "view", 300L), (3L, "click", 310L), (3L, "purchase", 320L),
+      (4L, "signup", 400L), (4L, "click", 410L)
+    ).toDF("user_id", "event_type", "us")
+    val got = EventWindows.funnelEvents(ev)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // user 2's click at 260 IS after its view at 210 — stage 3 counts users
+    // 1 and 2; stage 4 needs a purchase after the click: only user 1.
+    assert(got == Set(
+      (1L, "signup", 3L, 0L),
+      (2L, "view", 2L, 20L),      // lags: u1 110-100=10, u2 210-200=10
+      (3L, "click", 2L, 70L),     // u1 130-110=20, u2 260-210=50
+      (4L, "purchase", 1L, 30L))) // u1 160-130=30
+  }
+
   test("rollingHour matches a driver-side trailing-window reimplementation") {
     val got = EventWindows.rollingHour(spark, Sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
