@@ -127,6 +127,17 @@ object SparkEntry {
         .withColumn("decile", col("decile").cast("long"))),
     "q_pivot_lineitem" -> (Analytics.pivotLineitem _),
     "q_percentiles" -> (Analytics.valuePercentiles _),
+    "q_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
+    "q_active_users" -> (Analytics.activeUsers _),
+    // the skew-safe salted path must be value-identical to a plain group-by
+    // (its oracle): decimal sums are associative, so salting can't change them
+    "q_salted_sum" -> ((s, d) =>
+      Analytics.saltedSum(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty")),
+        "l_returnflag", "qty")
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+          col("n"))),
     "q_union_nations" -> (Analytics.nationsUnion _),
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
@@ -326,6 +337,7 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => TrainingData.stratifiedSample(s, d)),
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
     "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
+    "q_robust_clip" -> ((s, d) => TrainingData.robustClip(s, d)),
     "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
     "q_corr_stats" -> ((s, d) => TextAnalysis.corrStats(s, d)),
 
@@ -676,6 +688,39 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // same IEEE bin-edge op chain on both sides; min=max groups pin to bin 0
+    "q_histogram" ->
+      """WITH ext AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+        |       ELSE least(CAST(floor((e.value - vmin) / (vmax - vmin) * 10) AS BIGINT),
+        |                  CAST(9 AS BIGINT)) END AS bin,
+        |  count(*) AS n
+        |FROM events e JOIN ext USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // trailing-7-day sliding DISTINCT via spine × user-day range join — a
+    // window frame can't express a sliding distinct set
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                   user_id FROM events),
+        |dau AS (SELECT day, count(*) AS n_dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d0 AS day, count(*) AS n_wau
+        |        FROM (SELECT DISTINCT dd.day AS d0, u.user_id
+        |              FROM (SELECT DISTINCT day FROM ud) dd
+        |              JOIN ud u ON u.day <= dd.day
+        |               AND u.day >= dd.day - INTERVAL 6 DAY)
+        |        GROUP BY 1)
+        |SELECT day, n_dau, n_wau FROM dau JOIN wau USING (day)""".stripMargin,
+
+    // the salted two-stage path must equal the plain group-by exactly —
+    // decimal partial sums are associative, so the oracle IS the plain agg
+    "q_salted_sum" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_union_nations" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer
@@ -1142,6 +1187,16 @@ object SparkEntry {
          |FROM occ JOIN dfq USING (tok)
          |GROUP BY doc_id""".stripMargin
     },
+
+    // per-lang [p05, p95] gate; quantile_cont ≡ Spark percentile (exact
+    // linear interpolation), the q_percentiles parity
+    "q_robust_clip" ->
+      """WITH qs AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+        |                   quantile_cont(n_chars, 0.95) AS p95
+        |            FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars, p05, p95
+        |FROM documents d JOIN qs USING (lang)
+        |WHERE n_chars >= p05 AND n_chars <= p95""".stripMargin,
 
     // Pearson corr / OLS via exact BIGINT moments; the double math is the
     // same fixed op chain on both sides, so no float tolerance is needed

@@ -197,6 +197,60 @@ object Analytics {
         expr("percentile(value, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Equi-width value histogram per event type: `bins` buckets spanning
+    * [min, max], bin = floor((v − min)/(max − min)·bins) clamped to the last
+    * bucket (v = max lands in bin bins−1, the usual right-closed top edge).
+    *
+    * Two passes: a per-group extent aggregate (groups-sized, broadcast back)
+    * then one partial-agg'd count keyed (group, bin) — the distributed
+    * histogram shape at any scale; no sort, no window. The bin expression is
+    * the same IEEE op chain in the oracle, so bin edges agree bit-for-bit
+    * even where a value sits exactly on one. Degenerate groups (min = max)
+    * pin to bin 0 explicitly — NaN propagation through floor differs
+    * between engines, so the guard is load-bearing for parity.
+    */
+  def valueHistogram(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val ext = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    ev.join(broadcast(ext), Seq("event_type"))
+      .select(col("event_type"),
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * bins)
+              .cast("long"),
+            lit(bins - 1L))).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Daily active users + trailing-7-day actives (DAU/WAU) per day — the
+    * sliding-window DISTINCT aggregate, which no SQL window frame expresses
+    * (frames aggregate values, not distinct sets).
+    *
+    * Shape: events collapse to distinct (day, user) rows first (the only
+    * corpus-sized shuffle, well-spread key); the day spine is tiny and
+    * broadcast into a 7-day range join, so each user-day row fans out ≤7×;
+    * the WAU distinct then re-keys on (day, user) — never "all users of a
+    * day through one reducer". That two-stage distinct IS the scale story:
+    * a direct `countDistinct` over the joined frame would hash every user
+    * of a day into one group.
+    */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
+    val spine = ud.select(col("day")).distinct()
+    val wau = broadcast(spine.select(col("day").as("d0")))
+      .join(ud, col("day") <= col("d0") &&
+        col("day") >= col("d0") - expr("INTERVAL 6 DAYS"))
+      .select(col("d0"), col("user_id")).distinct()
+      .groupBy(col("d0")).agg(count(lit(1)).as("n_wau"))
+      .withColumnRenamed("d0", "day")
+    dau.join(wau, Seq("day"))
+  }
+
   /** Skew-safe two-stage aggregation: partial sums over (key, salt) — spread
     * across `salts` reducers per key — then a final reduce per key. Same
     * result as a direct groupBy for any associative aggregate; the shape to

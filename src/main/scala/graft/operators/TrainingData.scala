@@ -244,4 +244,27 @@ object TrainingData {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= perLang)
   }
+
+  /** Robust length clip: keep documents whose stored length sits inside the
+    * per-language [p05, p95] band — the standard outlier screen before
+    * length-sensitive corpus stats (a handful of giant or empty docs
+    * otherwise dominate token budgets and skew packing).
+    *
+    * Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the parity [[graft.operators.Analytics.valuePercentiles]]
+    * established); the per-lang bounds table is languages-sized and
+    * broadcast, so the gate is a per-row predicate with no corpus shuffle.
+    * At 100 TB the exact sort-based percentile becomes the sketch
+    * (`approx_percentile`) — same dataflow, engine-private bounds.
+    */
+  def robustClip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bounds = docs.groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.05)").as("p05"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    docs.join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("p05"), col("p95"))
+  }
 }

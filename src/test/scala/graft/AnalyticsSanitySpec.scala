@@ -34,6 +34,46 @@ class AnalyticsSanitySpec extends SparkSpecBase {
     assert(salted == direct)
   }
 
+  test("valueHistogram: bins partition each group, edges land as specified") {
+    val hist = Analytics.valueHistogram(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bins in [0, 9]; per-group counts sum to the group size
+    assert(hist.keys.forall { case (_, b) => b >= 0L && b <= 9L })
+    val sizes = Tables.events(spark, Sf).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    sizes.foreach { case (t, n) =>
+      val binned = hist.collect { case ((`t`, _), c) => c }.sum
+      assert(binned == n, s"$t: $binned binned of $n")
+    }
+    // the max of each group must land in the last bin (clamp, no phantom
+    // 10th bucket) and the min in bin 0 — check via the real extents
+    val ext = Tables.events(spark, Sf).groupBy("event_type")
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+      .as[(String, Double, Double)].collect()
+    ext.foreach { case (t, _, _) =>
+      assert(hist.contains((t, 9L)), s"$t: max value must fill bin 9")
+      assert(hist.contains((t, 0L)), s"$t: min value must fill bin 0")
+    }
+  }
+
+  test("activeUsers: WAU bounds DAU and matches a driver recomputation") {
+    val got = Analytics.activeUsers(spark, Sf).collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ud = Tables.events(spark, Sf)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().as[(java.sql.Timestamp, Long)].collect()
+    val byDay = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == byDay.keySet)
+    got.foreach { case (day, (dau, wau)) =>
+      val window = byDay.filter { case (d, _) =>
+        !d.after(day) && d.getTime >= day.getTime - 6L * 86400000L }
+        .values.flatten.toSet
+      assert(dau == byDay(day).size, s"$day DAU")
+      assert(wau == window.size, s"$day WAU")
+      assert(wau >= dau)
+    }
+  }
+
   test("simhash fingerprints are 60-bit strings and deterministic") {
     val fps = Dedup.simhash(spark, Sf).select("simhash").as[String].collect()
     assert(fps.nonEmpty)

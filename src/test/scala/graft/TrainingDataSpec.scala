@@ -168,6 +168,25 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(kept.count() == Tables.documents(spark, Sf).count())
   }
 
+  test("robustClip keeps exactly the per-lang [p05, p95] band") {
+    import spark.implicits._
+    val kept = TrainingData.robustClip(spark, Sf).cache()
+    // every kept row sits inside its own reported bounds
+    assert(kept.filter(col("n_chars") < col("p05") ||
+      col("n_chars") > col("p95")).count() == 0)
+    // the clip drops something but keeps ~90% per language
+    val perLang = Tables.documents(spark, Sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val keptLang = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    perLang.foreach { case (l, n) =>
+      val k = keptLang.getOrElse(l, 0L)
+      assert(k < n, s"$l: clip must drop outliers")
+      assert(k >= (n * 0.85).toLong, s"$l: clip dropped too much ($k of $n)")
+    }
+    kept.unpersist()
+  }
+
   test("repetitionScore ratios are in [0,1] and consistent with token counts") {
     val r = TextAnalysis.repetitionScore(spark, Sf).cache()
     assert(r.count() == Tables.documents(spark, Sf).count())
