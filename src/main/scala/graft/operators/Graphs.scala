@@ -88,13 +88,31 @@ object Graphs {
 
   val RankScale: Long = 1000000000000L
 
-  /** Core over any canonical (`u < v`, distinct) undirected edge list. */
+  /** Core over any canonical (`u < v`, distinct) undirected edge list.
+    *
+    * The (src, dst, deg) adjacency is eagerly localCheckpointed ONCE: it is
+    * iteration-invariant but consumed by every round plus the rank seed, and
+    * without truncation round k's plan embeds the edge-build subtree
+    * O(2^k)-fold — 56 lineitem scans in the 3-round plan at sf0.1.
+    * Measured: 12.1 → 10.1 s clean-session (runtime stage reuse was already
+    * absorbing much of the static blowup at 3 rounds; the edge-build that
+    * remains runs once either way) — but the checkpoint is what keeps the
+    * plan linear in rounds, where the uncheckpointed form doubles per round
+    * (the [[Dedup.clusterLabels]] lesson; [[triangleCountEdges]]'s
+    * recompute-wins verdict applies to its flat 3-consumer plan, not to
+    * iteration). The rank seed derives from the checkpointed adjacency too,
+    * so the edge-build truly runs once.
+    * Leak contract: a repeat invocation supersedes the previous call's
+    * blocks ([[IterCheckpoint.supersede]]).
+    */
   def pageRankEdges(edges: DataFrame, iters: Int): DataFrame = {
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = dir.join(deg, Seq("src"))
-    val r0 = deg.select(col("src").as("node"), lit(RankScale).as("rank_scaled"))
+    val (adj, adjIds) = IterCheckpoint.checkpoint(dir.join(deg, Seq("src")))
+    IterCheckpoint.supersede(edges.sparkSession, "pageRank", adjIds)
+    val r0 = adj.select(col("src").as("node")).distinct()
+      .withColumn("rank_scaled", lit(RankScale))
     (1 to iters).foldLeft(r0) { (rank, _) =>
       adj.join(rank, col("src") === col("node"))
         .select(col("dst"), expr("rank_scaled div deg").as("c"))

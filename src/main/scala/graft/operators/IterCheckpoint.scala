@@ -33,4 +33,16 @@ private[graft] object IterCheckpoint {
   /** Release a superseded round's checkpoint blocks (non-blocking). */
   def free(s: SparkSession, ids: Set[Int]): Unit =
     ids.foreach(id => s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
+  /** Library-caller leak guard for one-shot (non-round-based) checkpoints:
+    * registering a NEW invocation's ids under the same (session, key) frees
+    * the previous invocation's blocks, so at most one generation stays
+    * pinned per pipeline. Contract: re-invoking a pipeline invalidates the
+    * frame a previous call returned ([[graft.operators.Dedup]] established
+    * the pattern; Bench/Verify additionally sweep `getPersistentRDDs`).
+    */
+  private val live =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
+  def supersede(s: SparkSession, key: String, ids: Set[Int]): Unit =
+    live.put((s, key), ids).foreach(old => free(s, old))
 }

@@ -39,4 +39,8 @@ class DedupLeakSpec extends SparkSpecBase {
       Dedup.dedupClusters(spark, Sf, Dedup.minhashLshPairs(spark, Sf)).count()
     }
   }
+
+  test("pageRank double invocation keeps pinned-RDD count flat") {
+    assertFlat("pageRank")(graft.operators.Graphs.pageRank(spark, Sf).count())
+  }
 }
