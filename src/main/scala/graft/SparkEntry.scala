@@ -183,9 +183,7 @@ object SparkEntry {
       // over time); the testdata table is a single parquet file, so stage it
       // as the directory's first arrival via symlink — zero-copy, read-only
       val landing = stagedLanding("tumbling", d) { dir =>
-        java.nio.file.Files.createSymbolicLink(
-          dir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
+        linkTable(dir, "events", s"$d/events.parquet")
       }
       settledStream(s,
         EventStreamJob.tumblingAgg(EventStreamJob.readEventStream(s, landing)),
@@ -202,9 +200,8 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("dedup", d) { dir =>
-        for (name <- Seq("a.parquet", "b.parquet"))
-          java.nio.file.Files.createSymbolicLink(
-            dir.resolve(name), java.nio.file.Paths.get(s"$d/events.parquet"))
+        for (name <- Seq("a", "b"))
+          linkTable(dir, name, s"$d/events.parquet")
       }
       settledStream(s,
         EventStreamJob.dedupStream(EventStreamJob.readEventStream(s, landing))
@@ -224,9 +221,7 @@ object SparkEntry {
     "q_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("sessions", d) { dir =>
-        java.nio.file.Files.createSymbolicLink(
-          dir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
+        linkTable(dir, "events", s"$d/events.parquet")
         // raw read: ts stays INT64 nanos (nanosAsLong), same as the source
         // file, so the stream's explicit schema reads both files alike
         val raw = Tables.table(s, d, "events")
@@ -260,9 +255,7 @@ object SparkEntry {
     "q_stream_join" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("join", d) { dir =>
-        java.nio.file.Files.createSymbolicLink(
-          dir.resolve("events.parquet"),
-          java.nio.file.Paths.get(s"$d/events.parquet"))
+        linkTable(dir, "events", s"$d/events.parquet")
       }
       settledStream(s,
         EventStreamJob.purchaseViewJoinStream(EventStreamJob.readEventStream(s, landing)),
@@ -379,6 +372,27 @@ object SparkEntry {
     */
   private val stagedLandings =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** Symlink a parquet table into a landing dir. The driver's testdata
+    * tables are single files, but Spark-written tables (e.g. `ScaleUp`
+    * replicas) are DIRECTORIES of part files — and the file-stream source
+    * does not follow a symlink to a directory, so staging one would silently
+    * produce an empty stream. Link the part files individually instead.
+    */
+  private def linkTable(dir: java.nio.file.Path, prefix: String, table: String): Unit = {
+    val src = java.nio.file.Paths.get(table)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val it = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.createSymbolicLink(dir.resolve(f"${prefix}_$i%05d.parquet"), p)
+          i += 1
+        }
+      }
+    } else java.nio.file.Files.createSymbolicLink(dir.resolve(s"$prefix.parquet"), src)
+  }
   private def stagedLanding(key: String, d: String)(
       stage: java.nio.file.Path => Unit): String =
     stagedLandings.getOrElseUpdate((key, d), {
