@@ -129,6 +129,7 @@ object SparkEntry {
     "q_percentiles" -> (Analytics.valuePercentiles _),
     "q_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
     "q_active_users" -> (Analytics.activeUsers _),
+    "q_retention" -> (Analytics.retentionCohorts _),
     // the skew-safe salted path must be value-identical to a plain group-by
     // (its oracle): decimal sums are associative, so salting can't change them
     "q_salted_sum" -> ((s, d) =>
@@ -337,6 +338,7 @@ object SparkEntry {
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
+    "q_co_order_topk" -> ((s, d) => Graphs.coOrderTopK(s, d)),
 
     // -- Bloom-filter semi-join-reduced insert-ignore: same result as the
     //    plain anti-join (no false negatives), existing side probed via a
@@ -728,6 +730,18 @@ object SparkEntry {
         |               AND u.day >= dd.day - INTERVAL 6 DAY)
         |        GROUP BY 1)
         |SELECT day, n_dau, n_wau FROM dau JOIN wau USING (day)""".stripMargin,
+
+    // retention triangle: distinct (day, user) × first-day cohorts, exact
+    // integer day offsets
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |                   user_id FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // the salted two-stage path must equal the plain group-by exactly —
     // decimal partial sums are associative, so the oracle IS the plain agg
@@ -1245,6 +1259,16 @@ object SparkEntry {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // heaviest co-order pairs with support; (n DESC, u, v) tiebreak makes
+    // the LIMIT deterministic
+    "q_co_order_topk" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS u, b.pk AS v, count(*) AS n_orders
+        |FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, u, v
+        |LIMIT 20""".stripMargin,
 
     // fixed-point PageRank, 3 unrolled iterations — all-integer arithmetic
     // (// is DuckDB floor division ≡ Spark's `div` on positive BIGINTs), so

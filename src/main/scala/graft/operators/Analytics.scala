@@ -251,6 +251,28 @@ object Analytics {
     dau.join(wau, Seq("day"))
   }
 
+  /** Retention cohort triangle: users bucketed by first-activity day, then
+    * for each (cohort day, day offset) the number of cohort members active
+    * that many days later — the table every retention curve is read from.
+    *
+    * The distinct (day, user) collapse makes each user count once per
+    * (cohort, offset) with no DISTINCT in the final aggregate; the cohort
+    * join is user-keyed (co-partitioned with the collapse shuffle), and the
+    * final aggregate's key space is days² at worst — tiny at any corpus
+    * size. All-integer outputs.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ud.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Skew-safe two-stage aggregation: partial sums over (key, salt) — spread
     * across `salts` reducers per key — then a final reduce per key. Same
     * result as a direct groupBy for any associative aggregate; the shape to

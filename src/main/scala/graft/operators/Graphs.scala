@@ -59,6 +59,24 @@ object Graphs {
   def triangleCount(s: SparkSession, d: String): DataFrame =
     triangleCountEdges(coOrderEdges(s, d))
 
+  /** "Frequently bought together": the k heaviest co-order part pairs with
+    * their support counts. The pair aggregation is the weighted form of
+    * [[coOrderEdges]] (same basket-local quadratic bound); the global top-k
+    * fuses to `TakeOrderedAndProject` — per-partition k-buffers, no full
+    * sort at any scale. Ties break on the pair itself for determinism.
+    */
+  def coOrderTopK(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val inc = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    inc.as("a").join(inc.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   /** Fixed-point PageRank over the undirected co-order graph: every edge
     * carries rank in both directions, damping 0.85, a fixed iteration count.
     *
