@@ -138,6 +138,31 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(shuffleOutputs(q("q_repetition_score")).isEmpty)
   }
 
+  test("histogram, robust clip and active users broadcast their small side") {
+    // extent/bounds/day-spine tables are group-count-sized; the corpus side
+    // must never shuffle for these joins
+    for (name <- Seq("q_histogram", "q_robust_clip", "q_active_users")) {
+      val p = plan(q(name))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: small side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+    }
+  }
+
+  test("co-order top-k fuses to TakeOrderedAndProject") {
+    val p = plan(q("q_co_order_topk"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
+  }
+
+  test("funnel shuffles carry only narrow long rows (no strings, no arrays)") {
+    // event_type strings gate each stage BEFORE its exchange; every shuffle
+    // moves (user_id, ts-micros) longs or final count/sum buffers only
+    val offenders = shuffleOutputs(q("q_funnel")).flatMap(out => out.filter(a =>
+      a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+      a.dataType == org.apache.spark.sql.types.StringType).map(_.name))
+    assert(offenders.isEmpty, s"non-long columns in funnel shuffles: $offenders")
+  }
+
   test("contamination broadcasts the eval side and shuffles only longs") {
     val df = q("q_contamination")
     val p = plan(df)
