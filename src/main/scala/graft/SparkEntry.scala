@@ -334,6 +334,7 @@ object SparkEntry {
     "q_robust_clip" -> ((s, d) => TrainingData.robustClip(s, d)),
     "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
     "q_corr_stats" -> ((s, d) => TextAnalysis.corrStats(s, d)),
+    "q_cms_topk" -> ((s, d) => TextAnalysis.cmsTokenTopK(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
@@ -1214,6 +1215,25 @@ object SparkEntry {
          |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
          |FROM occ JOIN dfq USING (tok)
          |GROUP BY doc_id""".stripMargin
+    },
+
+    // Count-Min sketch reproduced wholesale in SQL: md5 bucket hashing +
+    // integer counters, estimate = min over rows — approximate result,
+    // exact check (CMS ≥ exact by construction)
+    "q_cms_topk" -> {
+      s"""WITH occ AS (SELECT unnest(${sqlTokens("text")}) AS tok FROM documents),
+         |exact AS (SELECT tok, count(*) AS n_exact FROM occ GROUP BY 1),
+         |top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+         |occ_r AS (SELECT tok, t.r FROM occ, range(0, 4) t(r)),
+         |counters AS (SELECT r, ${sqlMd5Hash60("tok", "r")} % 1024 AS b,
+         |                    count(*) AS c
+         |             FROM occ_r GROUP BY 1, 2),
+         |probes AS (SELECT tok, n_exact, t.r,
+         |                  ${sqlMd5Hash60("tok", "t.r")} % 1024 AS b
+         |           FROM top, range(0, 4) t(r))
+         |SELECT p.tok, p.n_exact, CAST(min(c.c) AS BIGINT) AS n_cms
+         |FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
+         |GROUP BY 1, 2""".stripMargin
     },
 
     // per-lang [p05, p95] gate; quantile_cont ≡ Spark percentile (exact

@@ -171,6 +171,40 @@ object TextAnalysis {
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
   }
 
+  /** Count-Min sketch of the token stream, evaluated against exact counts:
+    * d×w integer counters (row r's bucket for a token is md5-derived), a
+    * token's estimate is the MIN of its d counters — the classic
+    * overestimate-only frequency sketch. Output: the exact top-k tokens with
+    * exact and CMS counts side by side (CMS ≥ exact always; equality when no
+    * bucket collisions).
+    *
+    * Unlike engine-private sketches (HLL++, `approx_percentile`), every
+    * ingredient here is md5 + integer arithmetic, so the WHOLE sketch is
+    * reproducible in the DuckDB oracle — approximate result, exact check.
+    * Scale story: the counter table is d·w rows REGARDLESS of corpus size
+    * (partial-aggregated, broadcastable, mergeable across shards by plain
+    * addition) — this is the shape frequency tracking takes at 100 TB where
+    * exact per-token tables would themselves be corpus-sized.
+    */
+  def cmsTokenTopK(s: SparkSession, d: String, rows: Int = 4,
+      width: Int = 1024, k: Int = 20): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val top = occ.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(k)
+    def bucket(r: Column) = pmod(Dedup.md5Hash60(col("tok"), r), lit(width.toLong))
+    val counters = occ
+      .select(col("tok"), explode(sequence(lit(0), lit(rows - 1))).as("r"))
+      .select(col("r"), bucket(col("r")).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val probes = top
+      .select(col("tok"), col("n_exact"),
+        explode(sequence(lit(0), lit(rows - 1))).as("r"))
+      .select(col("tok"), col("n_exact"), col("r"), bucket(col("r")).as("b"))
+    probes.join(counters, Seq("r", "b"))
+      .groupBy(col("tok"), col("n_exact")).agg(min(col("c")).as("n_cms"))
+  }
+
   /** Per-language Pearson correlation + OLS slope/intercept between stored
     * document length (`n_chars`) and computed whitespace word count — the
     * "do these corpus metadata columns tell one story" screen.

@@ -56,6 +56,18 @@ class TextRelevanceSpec extends SparkSpecBase {
     assert(v.forall(r => r.getLong(2) <= r.getLong(1)), "n_docs <= n_occurrences")
   }
 
+  test("cmsTokenTopK: estimates never undercount and equal exact sans collisions") {
+    val got = TextAnalysis.cmsTokenTopK(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    // the defining CMS property: min-of-counters can only overcount
+    got.foreach { case (tok, exact, cms) =>
+      assert(cms >= exact, s"$tok: CMS $cms under exact $exact") }
+    // at w=1024 with this vocabulary, most tokens should probe a clean bucket
+    assert(got.count { case (_, e, c) => c == e } >= got.length / 2,
+      "collision rate implausibly high for the sketch width")
+  }
+
   test("unigramScore equals a driver-side reimplementation and orders common above rare") {
     val got = TextAnalysis.unigramScore(spark, Sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
