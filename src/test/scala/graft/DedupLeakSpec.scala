@@ -43,4 +43,9 @@ class DedupLeakSpec extends SparkSpecBase {
   test("pageRank double invocation keeps pinned-RDD count flat") {
     assertFlat("pageRank")(graft.operators.Graphs.pageRank(spark, Sf).count())
   }
+
+  test("triangleCount double invocation keeps pinned-RDD count flat") {
+    assertFlat("triangleCount")(
+      graft.operators.Graphs.triangleCount(spark, Sf).head().getLong(0))
+  }
 }
