@@ -166,6 +166,8 @@ object SparkEntry {
     "q_gap_fill" -> (EventWindows.gapFillHourly _),
     "q_rolling_1h" -> (EventWindows.rollingHour _),
     "q_funnel" -> (EventWindows.funnel _),
+    "q_time_weighted" -> (EventWindows.timeWeightedValue _),
+    "q_transitions" -> (Analytics.eventTransitions _),
 
     // -- streaming under the same perf budget + oracle as the batch face:
     //    a REAL Structured Streaming run (file source over the events
@@ -861,6 +863,41 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // per-user TWAP: exact cents×micros integer accumulation, one fixed
+    // double division chain at the end
+    "q_time_weighted" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |      AS next_us
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(cents * (next_us - ts_us)) AS BIGINT) AS sum_cents_us,
+        |  CAST(sum(next_us - ts_us) AS BIGINT) AS sum_us,
+        |  CAST(sum(cents * (next_us - ts_us)) AS BIGINT) /
+        |    CAST(CAST(sum(next_us - ts_us) AS BIGINT) AS DOUBLE) / 100.0
+        |    AS twa_value
+        |FROM x WHERE next_us IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // Markov transition table: per-user lead pairs, row-normalized by one
+    // BIGINT division
+    "q_transitions" ->
+      """WITH x AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |t AS (SELECT event_type AS from_type, next_type AS to_type,
+        |             count(*) AS n
+        |      FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
+        |FROM t""".stripMargin,
 
     // funnel: chained earliest-qualifying-event mins per user; lag sums are
     // exact BIGINT micros (epoch_us of the micros-truncated timestamp on

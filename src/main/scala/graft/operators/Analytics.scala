@@ -251,6 +251,25 @@ object Analytics {
     dau.join(wau, Seq("day"))
   }
 
+  /** First-order Markov transition table of event types: per user, each
+    * consecutive (event, next-event) pair counts one transition; `p` is the
+    * row-normalized transition probability. The per-user `lead` window is
+    * the only corpus shuffle (user-partitioned); the transition key space is
+    * |types|² — tiny at any scale. `p` is one BIGINT-over-BIGINT division,
+    * bit-equal across engines.
+    */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = byUserTime
+    val trans = Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.withColumn("p", col("n").cast("double") /
+      sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+  }
+
   /** Retention cohort triangle: users bucketed by first-activity day, then
     * for each (cohort day, day offset) the number of cohort members active
     * that many days later — the table every retention curve is read from.

@@ -101,6 +101,32 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
   }
 
+  /** Per-user time-weighted value average: each event's value holds until
+    * the user's next event; twa = Σ value·duration / Σ duration (the last
+    * event per user has no holding period and drops — standard TWAP
+    * convention). All accumulation is exact integers: value goes through
+    * the decimal(18,2) cents contract, durations are BIGINT micros, the
+    * weighted sum is BIGINT cents·micros (headroom to ~10⁵ cents × 10¹²
+    * micros; past that the sum moves to decimal(38,0)), and the average is
+    * one fixed double division chain — bit-equal across engines.
+    */
+  def timeWeightedValue(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("dur_us")).as("sum_cents_us"),
+        sum(col("dur_us")).as("sum_us"))
+      .select(col("user_id"), col("sum_cents_us"), col("sum_us"),
+        (col("sum_cents_us").cast("double") / col("sum_us").cast("double") / 100.0)
+          .as("twa_value"))
+  }
+
   /** Ordered conversion funnel signup → view → click → purchase: stage k
     * counts the users whose earliest qualifying stage-k event occurs at or
     * after their stage-(k−1) time, plus the total conversion lag (micros,
