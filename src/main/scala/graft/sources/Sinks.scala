@@ -108,6 +108,29 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Streaming idempotent sink: a `foreachBatch` writer running the same
+    * insert-ignore semantics as [[appendInsertIgnore]] per micro-batch —
+    * the Structured Streaming face of the reference's production sink
+    * (cron batch → `INSERT ... ON CONFLICT DO NOTHING`,
+    * `posts_pipeline.py:53-59`). Exactly-once lands as at-least-once
+    * delivery × key-idempotent writes: a replayed micro-batch (restart
+    * without a committed epoch) re-offers rows whose keys already exist and
+    * appends nothing. The per-batch dedup guards duplicate keys INSIDE one
+    * batch; the anti-join guards across batches and restarts.
+    *
+    * Returns the started query; callers drive it (AvailableNow for
+    * cron-equivalent runs, processing-time triggers for continuous).
+    */
+  def streamInsertIgnore(stream: DataFrame, targetPath: String, key: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendInsertIgnore(batch, targetPath, key)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
       key: String, props: Properties = new Properties(),
       batchSize: Int = 10000): Unit = {

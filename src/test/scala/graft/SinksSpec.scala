@@ -96,6 +96,29 @@ class SinksSpec extends SparkSpecBase {
       == Seq(1L, 2L, 3L))
   }
 
+  test("streamInsertIgnore: replayed stream appends nothing (exactly-once)") {
+    // landing dir with duplicate keys in the arriving data — the
+    // at-least-once shape (part files sit directly in the dir: the file
+    // stream source does not recurse)
+    val landing = Files.createTempDirectory("graft_stream_sink_src")
+    Seq((1L, "a"), (2L, "b"), (2L, "b_dup"), (3L, "c")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(landing.toString)
+    val target = Files.createTempDirectory("graft_stream_sink_tgt").toString + "/t"
+    def run(): Unit = {
+      // fresh checkpoint per run = full replay, the worst-case redelivery
+      val ckpt = Files.createTempDirectory("graft_stream_sink_ck").toString
+      val stream = spark.readStream
+        .schema("id LONG, v STRING").parquet(landing.toString)
+      Sinks.streamInsertIgnore(stream, target, "id", ckpt).awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(target).select("id").as[Long].collect().sorted.toSeq
+    assert(first == Seq(1L, 2L, 3L), "within-run dedup across micro-batch files")
+    run() // total replay: every row redelivered, nothing may land
+    val second = spark.read.parquet(target).select("id").as[Long].collect().sorted.toSeq
+    assert(second == Seq(1L, 2L, 3L), "replayed delivery must append nothing")
+  }
+
   test("writeJdbcInsertIgnore is idempotent against a real JDBC database") {
     // embedded Derby (ships with Spark for the Hive metastore) — a real
     // df.write.jdbc round-trip, the same call shape the README documents
