@@ -334,6 +334,7 @@ object SparkEntry {
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
     "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
     "q_robust_clip" -> ((s, d) => TrainingData.robustClip(s, d)),
+    "q_filter_stack" -> ((s, d) => TextAnalysis.filterStack(s, d)),
     "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
     "q_corr_stats" -> ((s, d) => TextAnalysis.corrStats(s, d)),
     "q_cms_topk" -> ((s, d) => TextAnalysis.cmsTokenTopK(s, d)),
@@ -1074,6 +1075,40 @@ object SparkEntry {
          |  SELECT * FROM scored
          |  WHERE n_tokens >= 5 AND stopword_ratio >= 0.05 AND punct_ratio <= 0.2)
          |SELECT doc_id, lang, n_tokens, stopword_ratio FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+         |  FROM kept)
+         |WHERE rn = 1""".stripMargin
+    },
+
+    // the composed filter stack: quality gates + dup-2-gram gate + per-lang
+    // [p05, p95] clip + dedup survivors, mirrored stage for stage
+    "q_filter_stack" -> {
+      val t = sqlTokens("text")
+      val stops = s"len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is','it','for','on','with','as','at','by')))"
+      s"""WITH tok AS (SELECT doc_id, lang, n_chars, text, $t AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(t) = 0 THEN 0.0
+         |         ELSE CAST($stops AS DOUBLE) / len(t) END AS stopword_ratio,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CASE WHEN len(t) < 2 THEN 0.0
+         |         ELSE (CASE WHEN len(t) - 1 = 0 THEN 0.0 ELSE
+         |           1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)),
+         |             i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1) END)
+         |         END AS dup_2gram_ratio,
+         |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+         |  FROM tok),
+         |bounds AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+         |                  quantile_cont(n_chars, 0.95) AS p95
+         |           FROM documents GROUP BY 1),
+         |kept AS (
+         |  SELECT s.* FROM scored s JOIN bounds b USING (lang)
+         |  WHERE n_tokens >= 5 AND stopword_ratio >= 0.05 AND punct_ratio <= 0.2
+         |    AND dup_2gram_ratio <= 0.3
+         |    AND n_chars >= p05 AND n_chars <= p95)
+         |SELECT doc_id, lang, n_tokens, n_chars FROM (
          |  SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
          |  FROM kept)
          |WHERE rn = 1""".stripMargin

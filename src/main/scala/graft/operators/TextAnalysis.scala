@@ -171,6 +171,67 @@ object TextAnalysis {
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
   }
 
+  /** The full pre-training filter stack as ONE lazy plan — the composition a
+    * real corpus release runs: quality gates ([[corpusClean]]'s token /
+    * stopword / punctuation screens) + repetition gate (duplicate-2-gram
+    * ratio, the Gopher signal) + per-language robust length clip
+    * ([[graft.operators.TrainingData.robustClip]]'s [p05, p95] band) +
+    * exact-dedup survivor selection. Everything row-local evaluates before
+    * the two shuffles (the languages-sized bounds aggregate, broadcast back,
+    * and the fingerprint survivor window over already-gated rows) — the
+    * same gates-before-shuffle discipline as [[corpusClean]], now with the
+    * whole stack composed, which is the point: operators that each hold
+    * their scale shape still hold it when a user chains them.
+    */
+  def filterStack(s: SparkSession, d: String,
+      minTokens: Int = 5, minStopwordRatio: Double = 0.05,
+      maxPunctRatio: Double = 0.2, maxDup2: Double = 0.3): DataFrame = {
+    val nChars = length(col("text"))
+    val punct = nChars - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    // Token signals are computed INSIDE a 1-element-array lambda binding
+    // (the [[Dedup.shingles3]] device): predicate pushdown inlines projected
+    // aliases into the gate Filter, and with a plain `tokens(text).as("t")`
+    // alias the tokenizer split lands INSIDE the per-element 2-gram lambdas
+    // — O(tokens²) regex splits per row (measured: 25.7 s at sf0.1; 3.6 s
+    // bound). A lambda variable cannot be inlined any further, so each
+    // pushed-down copy of the struct still tokenizes exactly once.
+    val sig = element_at(
+      transform(array(tokens(col("text"))), t =>
+        struct(
+          size(t).cast("long").as("n_tokens"),
+          when(size(t) === 0, lit(0.0))
+            .otherwise(size(filter(t, x => x.isin(stopwords: _*))).cast("double") /
+              size(t)).as("stopword_ratio"),
+          element_at(transform(
+            array(when(size(t) < 2, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), size(t) - 1),
+                i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))),
+            g => when(size(g) === 0, lit(0.0))
+              .otherwise(lit(1.0) -
+                size(array_distinct(g)).cast("double") / size(g))), 1)
+            .as("dup_2gram_ratio"))), 1)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        sig.getField("n_tokens").as("n_tokens"),
+        sig.getField("stopword_ratio").as("stopword_ratio"),
+        (punct.cast("double") / nChars).as("punct_ratio"),
+        sig.getField("dup_2gram_ratio").as("dup_2gram_ratio"),
+        fingerprintCol(col("text")).as("fingerprint"))
+    val bounds = Tables.documents(s, d).groupBy(col("lang")).agg(
+      expr("percentile(n_chars, 0.05)").as("p05"),
+      expr("percentile(n_chars, 0.95)").as("p95"))
+    val kept = scored.join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("dup_2gram_ratio") <= maxDup2 &&
+        col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_chars"))
+  }
+
   /** Count-Min sketch of the token stream, evaluated against exact counts:
     * d×w integer counters (row r's bucket for a token is md5-derived), a
     * token's estimate is the MIN of its d counters — the classic
