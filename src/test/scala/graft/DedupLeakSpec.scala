@@ -18,7 +18,10 @@ class DedupLeakSpec extends SparkSpecBase {
     val afterFirst = pinned
     val r2 = run
     assert(r2 == r1, s"$name: repeat invocation changed the result count")
-    assert(pinned == afterFirst,
+    // the leak contract is NO GROWTH; strictly fewer is fine — the session's
+    // 30s periodic GC (ContextCleaner) may reclaim the first invocation's
+    // now-unreachable blocks between the two samples in a long suite run
+    assert(pinned <= afterFirst,
       s"$name: second invocation grew pinned RDDs $afterFirst -> $pinned")
   }
 
