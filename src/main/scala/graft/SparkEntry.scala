@@ -130,6 +130,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
     "q_active_users" -> (Analytics.activeUsers _),
     "q_retention" -> (Analytics.retentionCohorts _),
+    "q_incremental_agg" -> (Analytics.incrementalAgg _),
+    "q_skew_report" -> (Analytics.skewReport _),
     // the skew-safe salted path must be value-identical to a plain group-by
     // (its oracle): decimal sums are associative, so salting can't change them
     "q_salted_sum" -> ((s, d) =>
@@ -746,6 +748,24 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // the merged base+delta aggregate must equal the full recompute — the
+    // oracle IS the full recompute, which is exactly the claim
+    "q_incremental_agg" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // per-key counts → sizing summary; quantile_cont ≡ Spark percentile,
+    // max-key share is one BIGINT division
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_n,
+        |  quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
+        |  CAST(max(n) AS DOUBLE) / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+        |    AS max_key_share
+        |FROM c""".stripMargin,
 
     // the salted two-stage path must equal the plain group-by exactly —
     // decimal partial sums are associative, so the oracle IS the plain agg

@@ -319,6 +319,45 @@ object Analytics {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pn")).as("n"))
   }
 
+  /** Incremental aggregate maintenance: the merged state of a BASE aggregate
+    * and a DELTA batch's aggregate must equal the full recompute — the
+    * materialized-view-refresh pattern that turns an O(history) nightly job
+    * into an O(delta) one at 100 TB. Works for any commutative-monoid
+    * aggregate; here sum(decimal)+count merge by addition. The oracle IS the
+    * full recompute over the union, which is exactly the claim.
+    */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def agg(df: DataFrame) = df.groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+    val li = Tables.lineitem(s, d)
+    val base = agg(li.filter(col("l_orderkey") % 2 === 1))
+    val delta = agg(li.filter(col("l_orderkey") % 2 === 0))
+    base.unionAll(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("sum_qty")).cast("double").as("sum_qty"), sum(col("n")).as("n"))
+  }
+
+  /** Key-skew diagnostic over a fact table's join key: per-key counts
+    * summarized to the numbers an engineer sizes shuffles with — key count,
+    * heaviest key, exact count quantiles, and the share of rows owned by the
+    * heaviest key (one BIGINT division, bit-exact). The per-key count is one
+    * partial-agg'd shuffle; the summary aggregates a keys-sized table. This
+    * is the probe you run BEFORE choosing salting/AQE-skew settings.
+    */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        expr("percentile(n, 0.5)").as("p50_n"),
+        expr("percentile(n, 0.99)").as("p99_n"))
+      .select(col("n_keys"), col("n_rows"), col("max_n"), col("p50_n"), col("p99_n"),
+        (col("max_n").cast("double") / col("n_rows").cast("double"))
+          .as("max_key_share"))
+  }
+
   // ---- set operations (SURVEY.md §2.7, north-star) ----
 
   def nationsUnion(s: SparkSession, d: String): DataFrame =
