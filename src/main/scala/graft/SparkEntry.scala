@@ -126,6 +126,7 @@ object SparkEntry {
       Analytics.windowDistribution(s, d)
         .withColumn("decile", col("decile").cast("long"))),
     "q_pivot_lineitem" -> (Analytics.pivotLineitem _),
+    "q_unpivot_lineitem" -> (Analytics.unpivotLineitem _),
     "q_percentiles" -> (Analytics.valuePercentiles _),
     "q_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
     "q_active_users" -> (Analytics.activeUsers _),
@@ -701,6 +702,17 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN $decQty END) AS DOUBLE) AS qty_f,
          |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN $decQty END) AS DOUBLE) AS qty_o
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // melt the pivoted wide columns back to rows; UNPIVOT drops null cells
+    // on both engines
+    "q_unpivot_lineitem" ->
+      s"""WITH p AS (
+         |  SELECT l_returnflag,
+         |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN $decQty END) AS DOUBLE) AS qty_f,
+         |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN $decQty END) AS DOUBLE) AS qty_o
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, status, qty
+         |FROM p UNPIVOT (qty FOR status IN (qty_f, qty_o))""".stripMargin,
 
     // exact continuous quantile: same linear-interpolation definition in
     // Spark (`percentile`) and DuckDB (`quantile_cont`)

@@ -184,6 +184,18 @@ object Analytics {
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
+  /** The inverse of [[pivotLineitem]]: melt the wide (qty_f, qty_o) columns
+    * back to (status, qty) rows via `unpivot` — the wide→long reshape every
+    * feature table eventually needs. Null cells (absent combinations) drop,
+    * matching SQL UNPIVOT semantics. Pure per-row reshape: no shuffle
+    * beyond the pivot's own aggregation at any scale.
+    */
+  def unpivotLineitem(s: SparkSession, d: String): DataFrame =
+    pivotLineitem(s, d).unpivot(
+      Array(col("l_returnflag")),
+      Array(col("qty_f"), col("qty_o")),
+      "status", "qty")
+
   /** Exact interpolated percentiles per event type (median + p95). Exact
     * (sort-based) so an independent engine reproduces the same doubles;
     * the approximate sketch path for 100 TB is `approx_percentile`, which
