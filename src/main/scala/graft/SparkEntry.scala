@@ -296,6 +296,7 @@ object SparkEntry {
     // blocking, drop-by-any-smaller-id within a cluster at cosine ≥ 0.2.
     // Oracle is generated (centroid literals) — see oracleSqlDynamic.
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, 0.2)),
+    "q_embed_norms" -> ((s, d) => Similarity.normHistogram(s, d)),
 
     // -- text analysis
     "q_quality_score" -> ((s, d) =>
@@ -722,6 +723,20 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // embedding L2-norm histogram: graft_dot_f ≡ the list_reduce fold, then
+    // the q_histogram bin-edge chain
+    "q_embed_norms" -> {
+      val nrm = s"sqrt(${sqlDot("embedding", "embedding")})"
+      s"""WITH n AS (SELECT $nrm AS nrm FROM embeddings),
+         |ext AS (SELECT min(nrm) AS vmin, max(nrm) AS vmax FROM n)
+         |SELECT CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+         |         ELSE least(CAST(floor((nrm - vmin) / (vmax - vmin) * 10) AS BIGINT),
+         |                    CAST(9 AS BIGINT)) END AS bin,
+         |  count(*) AS n
+         |FROM n, ext
+         |GROUP BY 1""".stripMargin
+    },
 
     // same IEEE bin-edge op chain on both sides; min=max groups pin to bin 0
     "q_histogram" ->

@@ -39,6 +39,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Embedding norm distribution: 10 equi-width bins over the corpus's L2
+    * norms — the first sanity screen on an embedding table (un-normalized
+    * vectors, dead rows, scale drift between shards all show up here before
+    * any ANN result would reveal them). Same two-pass broadcast-extent shape
+    * and IEEE bin-edge chain as [[graft.operators.Analytics.valueHistogram]];
+    * the norm itself is the codegen'd `graft_dot_f` fold, identical doubles
+    * in the oracle.
+    */
+  def normHistogram(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
+    val norms = graft.Tables.embeddings(s, d)
+      .select(norm(col("embedding")).as("nrm"))
+    val ext = norms.agg(min(col("nrm")).as("vmin"), max(col("nrm")).as("vmax"))
+    norms.crossJoin(broadcast(ext))
+      .select(
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("nrm") - col("vmin")) / (col("vmax") - col("vmin")) * bins)
+              .cast("long"),
+            lit(bins - 1L))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
   val Dims = 64
 
   /** Target mean LSH bucket occupancy. Bucket population drives the
