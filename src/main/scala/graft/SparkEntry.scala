@@ -342,6 +342,7 @@ object SparkEntry {
     "q_unigram_score" -> ((s, d) => TextAnalysis.unigramScore(s, d)),
     "q_corr_stats" -> ((s, d) => TextAnalysis.corrStats(s, d)),
     "q_cms_topk" -> ((s, d) => TextAnalysis.cmsTokenTopK(s, d)),
+    "q_edit_pairs" -> ((s, d) => TextAnalysis.editDistancePairs(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
@@ -1271,6 +1272,20 @@ object SparkEntry {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toks) AS term FROM documents) t
          |GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT 50""".stripMargin
+    },
+
+    // exact integer edit distance on both engines over the k²-bounded
+    // vocabulary product
+    "q_edit_pairs" -> {
+      val toks = sqlTokens("text")
+      s"""WITH v AS (
+         |  SELECT lower(t.term) AS term, count(*) AS n
+         |  FROM (SELECT doc_id, unnest($toks) AS term FROM documents) t
+         |  GROUP BY 1 ORDER BY n DESC, term LIMIT 50)
+         |SELECT a.term AS term_a, b.term AS term_b,
+         |  CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+         |FROM v a JOIN v b ON a.term < b.term
+         |WHERE levenshtein(a.term, b.term) <= 2""".stripMargin
     },
 
     // same augmentation, same patterns (ASCII-only constructs Java regex and

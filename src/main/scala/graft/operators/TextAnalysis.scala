@@ -318,6 +318,26 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  /** Fuzzy vocabulary matching: all unordered term pairs from the top-k
+    * vocabulary within `maxDist` edits — the short-string near-dup screen
+    * (typo clusters, inflection families) that complements the
+    * shingle/minhash machinery built for long documents. `levenshtein` is
+    * exact integer edit distance in both engines. The lexicon is top-k
+    * bounded, so the pairwise product is k²-bounded REGARDLESS of corpus
+    * size and both sides broadcast — fuzzy matching against a lexicon never
+    * becomes a corpus-sized join.
+    */
+  def editDistancePairs(s: SparkSession, d: String, k: Int = 50,
+      maxDist: Int = 2): DataFrame = {
+    val vocab = vocabTopK(s, d, k).select(col("term"))
+    vocab.select(col("term").as("term_a"))
+      .crossJoin(broadcast(vocab.select(col("term").as("term_b"))))
+      .filter(col("term_a") < col("term_b"))
+      .select(col("term_a"), col("term_b"),
+        levenshtein(col("term_a"), col("term_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Email-address pattern shared by redaction and counting. ASCII classes
     * only — Java regex and RE2 (DuckDB) agree on every construct used here
     * (classes, `{m,}` bounds, `\b`, non-capturing groups).
