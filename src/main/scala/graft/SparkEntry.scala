@@ -143,6 +143,7 @@ object SparkEntry {
         .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
           col("n"))),
     "q_union_nations" -> (Analytics.nationsUnion _),
+    "q_nation_presence" -> (Analytics.nationPresence _),
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
 
@@ -805,6 +806,17 @@ object SparkEntry {
     "q_union_nations" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |UNION SELECT DISTINCT s_nationkey FROM supplier""".stripMargin,
+
+    // full-outer face: either-side nations exactly once, absent counts 0
+    "q_nation_presence" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |p AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, p.nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN p ON c.nationkey = p.nationkey""".stripMargin,
 
     "q_intersect_nations" ->
       """SELECT c_nationkey AS nationkey FROM customer

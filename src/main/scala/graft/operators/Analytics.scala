@@ -370,6 +370,24 @@ object Analytics {
           .as("max_key_share"))
   }
 
+  /** Full-outer join face (completing the §2.4 join-type coverage next to
+    * inner / left / anti / semi elsewhere): per-nation customer and supplier
+    * counts with absent sides coalesced to 0 — nations present on either
+    * side appear exactly once. Both inputs pre-aggregate to nation-sized
+    * tables before the join, so the full-outer itself never touches
+    * corpus-sized rows.
+    */
+  def nationPresence(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(p, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
   // ---- set operations (SURVEY.md §2.7, north-star) ----
 
   def nationsUnion(s: SparkSession, d: String): DataFrame =
