@@ -144,6 +144,7 @@ object SparkEntry {
           col("n"))),
     "q_union_nations" -> (Analytics.nationsUnion _),
     "q_nation_presence" -> (Analytics.nationPresence _),
+    "q_group_concat" -> (Analytics.groupConcat _),
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
 
@@ -806,6 +807,13 @@ object SparkEntry {
     "q_union_nations" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |UNION SELECT DISTINCT s_nationkey FROM supplier""".stripMargin,
+
+    // sorted-distinct string aggregation — order-stable on both engines
+    "q_group_concat" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // full-outer face: either-side nations exactly once, absent counts 0
     "q_nation_presence" ->

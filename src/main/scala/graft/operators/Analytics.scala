@@ -370,6 +370,20 @@ object Analytics {
           .as("max_key_share"))
   }
 
+  /** Deterministic grouped string aggregation (LISTAGG/string_agg face):
+    * the distinct statuses per return flag joined in sorted order — the
+    * set-collapse is what makes a string aggregate order-stable under any
+    * partitioning (a raw collect_list concatenation would be
+    * shuffle-order-dependent and could never hash-match an oracle).
+    */
+  def groupConcat(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+
   /** Full-outer join face (completing the §2.4 join-type coverage next to
     * inner / left / anti / semi elsewhere): per-nation customer and supplier
     * counts with absent sides coalesced to 0 — nations present on either
