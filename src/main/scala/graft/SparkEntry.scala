@@ -145,6 +145,7 @@ object SparkEntry {
     "q_union_nations" -> (Analytics.nationsUnion _),
     "q_nation_presence" -> (Analytics.nationPresence _),
     "q_group_concat" -> (Analytics.groupConcat _),
+    "q_mode_user" -> (Analytics.modeUserPerType _),
     "q_intersect_nations" -> (Analytics.nationsIntersect _),
     "q_except_nations" -> (Analytics.nationsExcept _),
 
@@ -807,6 +808,16 @@ object SparkEntry {
     "q_union_nations" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |UNION SELECT DISTINCT s_nationkey FROM supplier""".stripMargin,
+
+    // arg-max-per-group with an explicit tie-break (built-in mode() ties
+    // are arbitrary)
+    "q_mode_user" ->
+      """SELECT event_type, user_id AS mode_user, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY count(*) DESC, user_id) AS rn
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin,
 
     // sorted-distinct string aggregation — order-stable on both engines
     "q_group_concat" ->

@@ -370,6 +370,23 @@ object Analytics {
           .as("max_key_share"))
   }
 
+  /** Deterministic mode / arg-max-per-group: the most active user per event
+    * type with an explicit (count DESC, user_id) tie-break — built-in
+    * `mode()` breaks ties arbitrarily and could never sit under a hash
+    * oracle. Counts partial-aggregate on (type, user); the ranking window
+    * partitions on the tiny type key over an already-aggregated table.
+    */
+  def modeUserPerType(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("mode_user"), col("n"))
+  }
+
   /** Deterministic grouped string aggregation (LISTAGG/string_agg face):
     * the distinct statuses per return flag joined in sorted order — the
     * set-collapse is what makes a string aggregate order-stable under any
