@@ -289,8 +289,9 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
-    // rows-only: the fitted k-means model is not one SQL statement; the
-    // search-side dataflow is identical to the oracle-checked q_ann_ivf
+    // hash-checked since round 4: the fitted k-means model is serialized
+    // into a GENERATED oracle (centroid literals — see oracleSqlDynamic),
+    // which mirrors the exact q_ann_ivf search dataflow over them
     "q_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTopKTrained(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
@@ -1455,28 +1456,6 @@ object SparkEntry {
         |ORDER BY n_orders DESC, u, v
         |LIMIT 20""".stripMargin,
 
-    // fixed-point PageRank, 3 unrolled iterations — all-integer arithmetic
-    // (// is DuckDB floor division ≡ Spark's `div` on positive BIGINTs), so
-    // the comparison is bit-exact with no float tolerance anywhere
-    "q_pagerank" ->
-      """WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-        |      FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk),
-        |dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
-        |deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
-        |adj AS (SELECT dir.src, dir.dst, deg.deg FROM dir JOIN deg USING (src)),
-        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
-        |r1 AS (SELECT adj.dst AS node,
-        |         CAST(150000000000 + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
-        |       FROM adj JOIN r0 ON adj.src = r0.node GROUP BY 1),
-        |r2 AS (SELECT adj.dst AS node,
-        |         CAST(150000000000 + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
-        |       FROM adj JOIN r1 ON adj.src = r1.node GROUP BY 1),
-        |r3 AS (SELECT adj.dst AS node,
-        |         CAST(150000000000 + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
-        |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY 1)
-        |SELECT node, r AS rank_scaled FROM r3""".stripMargin,
-
     // the Bloom pre-filter is exact by the no-false-negative property, so
     // the oracle is the plain set-difference semantics
     "q_bloom_insert_ignore" ->
@@ -1503,7 +1482,34 @@ object SparkEntry {
     // corpus-derived LSH plane count: the memoized count means the query run
     // and this generator compute the same value by construction
     val planes = Similarity.lshPlanes(s, d)
+    // graph-derived PageRank scale (overflow guard): the query run derives
+    // the same constant from the same node count, so both embed S = 10^12
+    // here and would both drop to 10^8 on a 10^9-node corpus
+    val prScale = Graphs.rankScaleFor(s, d)
+    val prBase = prScale * 15L / 100L
     Map(
+      // fixed-point PageRank, 3 unrolled iterations — all-integer arithmetic
+      // (// is DuckDB floor division ≡ Spark's `div` on positive BIGINTs), so
+      // the comparison is bit-exact with no float tolerance anywhere; the
+      // scale constant is node-count-derived on both sides
+      "q_pagerank" ->
+        s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+           |      FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk),
+           |dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY 1),
+           |adj AS (SELECT dir.src, dir.dst, deg.deg FROM dir JOIN deg USING (src)),
+           |r0 AS (SELECT src AS node, CAST($prScale AS BIGINT) AS r FROM deg),
+           |r1 AS (SELECT adj.dst AS node,
+           |         CAST($prBase + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
+           |       FROM adj JOIN r0 ON adj.src = r0.node GROUP BY 1),
+           |r2 AS (SELECT adj.dst AS node,
+           |         CAST($prBase + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
+           |       FROM adj JOIN r1 ON adj.src = r1.node GROUP BY 1),
+           |r3 AS (SELECT adj.dst AS node,
+           |         CAST($prBase + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
+           |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY 1)
+           |SELECT node, r AS rank_scaled FROM r3""".stripMargin,
       "q_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, embedding, ${sqlLshBucket(planes)} AS bucket,
            |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),

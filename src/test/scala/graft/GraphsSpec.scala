@@ -42,6 +42,53 @@ class GraphsSpec extends SparkSpecBase {
     assert(ranks(2) == Map(1L -> r2end, 2L -> r2mid, 3L -> r2end))
   }
 
+  test("pageRankScale: derived from node count, overflow-safe, fail-fast floor") {
+    // small graphs keep the full 10^12 precision
+    assert(Graphs.pageRankScale(3L) == Graphs.RankScale)
+    // 600k nodes with the old fixed 10^12 scale would put 17·n·S at
+    // 1.02e19 > 2^63 — the derivation drops one decade instead
+    assert(Graphs.pageRankScale(600001L) == 100000000000L)
+    assert(BigInt(17) * 600001L * Graphs.pageRankScale(600001L) < (BigInt(1) << 62))
+    // beyond ~2.7e13 nodes integer ranks are meaningless: actionable error
+    assertThrows[IllegalArgumentException](Graphs.pageRankScale(30000000000000L))
+  }
+
+  test("pageRank at a node count that overflowed the old fixed scale") {
+    // star K(1,n): every leaf contributes its whole rank to hub 0, the
+    // worst-case single-node fan-in the 17·n·S bound is about. n is chosen
+    // so the round-5 code (S pinned at 10^12) would wrap 17·Σcontrib
+    // negative; the derived S = 10^11 must keep every rank positive and
+    // exactly equal to the hand-computed integer formula.
+    val n = 600000L
+    val edges = spark.range(1, n + 1).select(lit(0L).as("u"), col("id").as("v"))
+    val ranks = Graphs.pageRankEdges(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = Graphs.pageRankScale(n + 1)
+    val base = S * 15L / 100L
+    val hub = base + 17L * (n * S) / 20L         // n leaves send S div 1 each
+    val leaf = base + 17L * (S / n) / 20L        // hub splits S over n edges
+    assert(ranks(0L) == hub && hub > 0L)
+    assert(ranks(1L) == leaf && ranks(n) == leaf)
+    assert(ranks.size == n.toInt + 1 && ranks.values.forall(_ > 0L))
+  }
+
+  test("triangle sketch stays out of plan literals (executor-side Bloom)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val edges = Graphs.coOrderEdges(spark, Sf)
+    val df = Graphs.triangleCountEdges(edges)
+    val bigBinaryLits = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: Literal if l.dataType == BinaryType &&
+          l.value != null && l.value.asInstanceOf[Array[Byte]].length > 1024 => l
+      })
+    }.flatten
+    assert(bigBinaryLits.isEmpty,
+      s"sketch bytes leaked into plan literals: ${bigBinaryLits.size}")
+    // and the scalar-subquery path still yields the exact count
+    assert(df.head().getLong(0) > 0L)
+  }
+
   test("degree-ordered count equals the naive triple join on the co-order graph") {
     val edges = Graphs.coOrderEdges(spark, Sf).cache()
     try {
