@@ -118,7 +118,9 @@ object SparkEntry {
     "q_window_lag" -> (Analytics.windowLag _),
     "q_window_frame" -> (Analytics.windowFrame _),
     "q_distinct_users" -> (Analytics.distinctUsers _),
-    "q_approx_distinct_users" -> (Analytics.approxDistinctUsers _), // rows-only
+    // the HLL++ sketch runs AND is error-bound-gated in-plan (assert_true);
+    // the exact count is what the driver hashes — see approxDistinctUsersChecked
+    "q_approx_distinct_users" -> ((s, d) => Analytics.approxDistinctUsersChecked(s, d)),
     "q_rollup_lineitem" -> (Analytics.rollupLineitem _),
     "q_cube_lineitem" -> (Analytics.cubeLineitem _),
     "q_grouping_sets" -> (Analytics.groupingSetsLineitem _),
@@ -364,17 +366,28 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"))
     }),
 
-    // -- multimodal binary pipeline (rows-only: the checksum/decode stub is
-    //    not SQL-expressible; this makes BinaryPipeline driver-visible)
-    "q_media_features" -> ((s, d) =>
-      graft.multimodal.BinaryPipeline
-        .extractFeatures(graft.multimodal.BinaryPipeline.syntheticMediaFromDocuments(s, d))
+    // -- multimodal binary pipeline: the stub decoder is deterministic in
+    //    the payload bytes, so its sizes/dimensions/frame-counts ARE
+    //    SQL-expressible over the documents table's text lengths — a real
+    //    static oracle (round-5 verdict task 4). The rolling checksum still
+    //    executes inside extractFeatures but stays out of the driver
+    //    columns: its byte-fold has no byte-safe DuckDB mirror (ord() is
+    //    codepoints, not bytes); BinaryPipelineSpec pins it instead.
+    "q_media_features" -> ((s, d) => {
+      val media = graft.multimodal.BinaryPipeline.syntheticMediaFromDocuments(s, d)
+      val feats = graft.multimodal.BinaryPipeline.extractFeatures(media)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
           sum(col("width").cast("long")).as("sum_width"),
-          sum(col("height").cast("long")).as("sum_height"),
-          sum(col("checksum")).as("sum_checksum"))),
+          sum(col("height").cast("long")).as("sum_height"))
+      // the 1:N frame-sampling stage, driver-checked via its exact count
+      val frames = graft.multimodal.BinaryPipeline.sampleFrames(media)
+        .groupBy(lit("video").as("kind"))
+        .agg(count(lit(1)).as("n_frames"))
+      feats.join(frames, Seq("kind"), "left")
+        .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+    }),
   )
 
   // ----------------------------------------------- streaming harness plumbing
@@ -1461,6 +1474,36 @@ object SparkEntry {
     "q_bloom_insert_ignore" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0""".stripMargin,
+
+    // the sketch estimate itself is engine-private; what the oracle checks
+    // is the EXACT count the query also returns, while the query's in-plan
+    // assert_true gates the sketch against the 3·rsd error bound (a bound
+    // violation fails the query run, it can't silently pass)
+    "q_approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // mirror of the stub decoder's deterministic output: payload =
+    // 12-byte header + utf-8 text, width/height from doc_id, kind from
+    // doc_id % 3, frames = every 4th 64-byte chunk of the content
+    // (count = ceil(ceil(len/64)/4), 0 for empty content)
+    "q_media_features" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    12 + octet_length(encode(text)) AS n_bytes,
+        |    doc_id % 640 + 1 AS width,
+        |    doc_id % 480 + 1 AS height,
+        |    octet_length(encode(text)) AS clen
+        |  FROM documents)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(width) AS BIGINT) AS sum_width,
+        |  CAST(sum(height) AS BIGINT) AS sum_height,
+        |  CAST(sum(CASE WHEN kind = 'video'
+        |    THEN ((clen + 63) // 64 + 3) // 4 ELSE 0 END) AS BIGINT) AS n_frames
+        |FROM m GROUP BY kind""".stripMargin,
   )
 
   // ------------------------------------------------- generated oracle SQL

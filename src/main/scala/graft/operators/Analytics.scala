@@ -127,14 +127,40 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
 
-  /** Approximate distinct (HLL++ sketch) — no DuckDB oracle (rows-only check):
-    * sketch internals are engine-specific. This is the 100 TB path where exact
-    * distinct would shuffle every key.
+  /** Approximate distinct (HLL++ sketch) — the 100 TB path where exact
+    * distinct would shuffle every key. Sketch internals are engine-specific,
+    * so the raw estimate can never hash-match a DuckDB oracle; the PRODUCT
+    * path is this sketch-only aggregate.
     */
   def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** The VERIFIABLE face of [[approxDistinctUsers]]: compute the sketch AND
+    * the exact distinct in one aggregation, gate the sketch in-plan —
+    * `assert_true` fails the whole query if the estimate strays beyond
+    * 3·rsd of truth — and emit the exact count (plus the literally-true
+    * bound flag) for the driver's hash check. The sketch is thereby
+    * error-bound-checked on every run even though its value is
+    * engine-private (round-5 verdict task 3; flips the one `no_oracle` row
+    * a user could run unchecked).
+    */
+  def approxDistinctUsersChecked(s: SparkSession, d: String,
+      rsd: Double = 0.01, boundFactor: Double = 3.0): DataFrame = {
+    val bound = boundFactor * rsd
+    val relErr = abs(col("approx_users") - col("n_users")).cast("double") /
+      col("n_users").cast("double")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(assert_true(relErr <= lit(bound),
+        concat(lit(s"HLL++ estimate beyond $boundFactor*rsd=$bound for event_type "),
+          col("event_type"))).isNull)
+      .select(col("event_type"), col("n_users"),
+        (relErr <= lit(bound)).as("within_bound"))
+  }
 
   /** ROLLUP over lineitem flags (partial aggregates reused across levels). */
   def rollupLineitem(s: SparkSession, d: String): DataFrame =
@@ -186,15 +212,20 @@ object Analytics {
 
   /** The inverse of [[pivotLineitem]]: melt the wide (qty_f, qty_o) columns
     * back to (status, qty) rows via `unpivot` — the wide→long reshape every
-    * feature table eventually needs. Null cells (absent combinations) drop,
-    * matching SQL UNPIVOT semantics. Pure per-row reshape: no shuffle
-    * beyond the pivot's own aggregation at any scale.
+    * feature table eventually needs. Spark's `Dataset.unpivot` RETAINS null
+    * value cells (verified empirically on 4.1.2), while SQL UNPIVOT — and
+    * the DuckDB oracle — excludes them by default, so the explicit
+    * null-drop filter is load-bearing: without it any dataset with an
+    * absent flag×status combination (real TPC-H has several) silently
+    * diverges from the oracle (round-5 ADVICE). Pure per-row reshape: no
+    * shuffle beyond the pivot's own aggregation at any scale.
     */
   def unpivotLineitem(s: SparkSession, d: String): DataFrame =
     pivotLineitem(s, d).unpivot(
       Array(col("l_returnflag")),
       Array(col("qty_f"), col("qty_o")),
       "status", "qty")
+      .filter(col("qty").isNotNull)
 
   /** Exact interpolated percentiles per event type (median + p95). Exact
     * (sort-based) so an independent engine reproduces the same doubles;

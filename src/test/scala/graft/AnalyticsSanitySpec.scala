@@ -21,6 +21,40 @@ class AnalyticsSanitySpec extends SparkSpecBase {
     }
   }
 
+  test("approxDistinctUsersChecked: exact counts out, in-plan gate enforced") {
+    val exact = Analytics.distinctUsers(spark, Sf)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val checked = Analytics.approxDistinctUsersChecked(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(checked.keySet == exact.keySet)
+    checked.foreach { case (k, (n, ok)) => assert(n == exact(k) && ok) }
+    // the gate is live: a negative bound is unsatisfiable (relErr >= 0), so
+    // the query must FAIL through assert_true, not pass rows silently.
+    // (A tiny rsd wouldn't do: HLL++ rejects it at construction, before the
+    // gate ever runs.)
+    val ex = intercept[Exception] {
+      Analytics.approxDistinctUsersChecked(spark, Sf, boundFactor = -1.0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("HLL++")), s"unexpected error: $ex")
+  }
+
+  test("unpivot drops null cells (SQL UNPIVOT semantics, not Spark's retain)") {
+    // testdata populates all flag x status cells, so build the hard case by
+    // hand: pivot output with an absent combination -> a null cell that
+    // Spark's unpivot RETAINS and ours must drop to match the oracle
+    val wide = Seq(("A", Some(1.0), None: Option[Double]), ("N", Some(2.0), Some(3.0)))
+      .toDF("l_returnflag", "qty_f", "qty_o")
+    val melted = wide.unpivot(Array(col("l_returnflag")),
+      Array(col("qty_f"), col("qty_o")), "status", "qty")
+    assert(melted.count() == 4, "Spark retains the null cell (premise)")
+    assert(melted.filter(col("qty").isNotNull).count() == 3)
+    // the real query path: no null qty rows can ever come out
+    assert(Analytics.unpivotLineitem(spark, Sf)
+      .filter(col("qty").isNull).count() == 0)
+  }
+
   test("salted two-stage aggregation equals the direct groupBy") {
     import org.apache.spark.sql.functions._
     // decimal values: associative + order-independent, so equality is exact
