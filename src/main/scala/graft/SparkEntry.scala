@@ -244,12 +244,13 @@ object SparkEntry {
             lit(0.0).as("value"), lit(null).cast("string").as("props"))
         val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
         sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
+        val part = withPathStream(java.nio.file.Files.list(tmp))(
+          _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get())
         java.nio.file.Files.move(part, dir.resolve("sentinel.parquet"))
-        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        withPathStream(java.nio.file.Files.walk(tmp))(
+          _.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p)))
       }
       settledStream(s,
         EventStreamJob.sessionizeStream(EventStreamJob.readEventStream(s, landing))
@@ -407,16 +408,26 @@ object SparkEntry {
     * does not follow a symlink to a directory, so staging one would silently
     * produce an empty stream. Link the part files individually instead.
     */
+  /** `Files.list`/`Files.walk` return a Stream holding an OPEN directory
+    * handle until closed — the try/finally is the leak fix (r6 ADVICE: one
+    * leaked handle per staged table).
+    */
+  private def withPathStream[T](st: java.util.stream.Stream[java.nio.file.Path])(
+      f: java.util.stream.Stream[java.nio.file.Path] => T): T =
+    try f(st) finally st.close()
+
   private def linkTable(dir: java.nio.file.Path, prefix: String, table: String): Unit = {
     val src = java.nio.file.Paths.get(table)
     if (java.nio.file.Files.isDirectory(src)) {
-      val it = java.nio.file.Files.list(src).iterator()
-      var i = 0
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.endsWith(".parquet")) {
-          java.nio.file.Files.createSymbolicLink(dir.resolve(f"${prefix}_$i%05d.parquet"), p)
-          i += 1
+      withPathStream(java.nio.file.Files.list(src)) { st =>
+        val it = st.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.createSymbolicLink(dir.resolve(f"${prefix}_$i%05d.parquet"), p)
+            i += 1
+          }
         }
       }
     } else java.nio.file.Files.createSymbolicLink(dir.resolve(s"$prefix.parquet"), src)
@@ -427,9 +438,80 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$key")
       stage(dir)
       dir.toFile.deleteOnExit()
-      java.nio.file.Files.list(dir).forEach(p => p.toFile.deleteOnExit())
+      withPathStream(java.nio.file.Files.list(dir))(
+        _.forEach(p => p.toFile.deleteOnExit()))
       dir.toString
     })
+
+  /** Number of time-slice files each streaming landing is staged as. */
+  private[graft] val StreamSlices = 4
+
+  /** Write `df` as a single parquet file at `dir/name` with an explicit
+    * mtime — the file-stream source takes files oldest-mtime-first, so the
+    * mtimes ARE the batch order under `maxFilesPerTrigger=1`.
+    */
+  private[graft] def writeSliceFile(df: DataFrame, dir: java.nio.file.Path,
+      name: String, mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slice_w")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = withPathStream(java.nio.file.Files.list(tmp))(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get())
+    val target = dir.resolve(name)
+    java.nio.file.Files.move(part, target)
+    java.nio.file.Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    withPathStream(java.nio.file.Files.walk(tmp))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+  }
+
+  /** Stage the events table as `k` time-RANGE slice files with strictly
+    * increasing mtimes, so `AvailableNow` + `maxFilesPerTrigger=1` executes
+    * them as successive micro-batches in event-time order. This is the
+    * adversarial staging the round-6 verdict asked for (task 2): the
+    * single-batch form never exercised watermark advance, state eviction, or
+    * cross-batch state handoff — here every batch moves the watermark to
+    * `max(slice_i) − delay` and the stateful operators must survive it.
+    *
+    *  - `dupWithinFile`: each slice carries every event twice (in-batch
+    *    duplicate pressure for the dedup face);
+    *  - `overlapDupHours > 0`: slice i additionally REPLAYS the last h hours
+    *    of slice i−1 — duplicates that arrive one batch later but still
+    *    inside the watermark delay, so `dropDuplicatesWithinWatermark`'s
+    *    cross-batch state (not in-batch hashing) must absorb them. The
+    *    window is chosen inside the 1 h delay: state for ts is only evicted
+    *    once watermark(= max(slice i−1) − 1 h) > ts + 1 h, and replayed rows
+    *    sit within [a_i − 1 h, a_i), safely above both the late-row and the
+    *    eviction cutoffs;
+    *  - `extraLast`: a frame written as the final (newest-mtime) file —
+    *    per-user or global sentinels that close sessions / push the
+    *    watermark past the last real window.
+    *
+    * Raw read: ts stays INT64 nanos, so every staged file carries the same
+    * physical type the stream's explicit schema expects.
+    */
+  private[graft] def stageEventSlices(s: SparkSession, d: String,
+      dir: java.nio.file.Path, k: Int, dupWithinFile: Boolean = false,
+      overlapDupHours: Double = 0.0, extraLast: Option[DataFrame] = None): Unit = {
+    val raw = Tables.table(s, d, "events")
+    val mm = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(hi - lo + 1, 1L)
+    val base = System.currentTimeMillis()
+    for (i <- 0 until k) {
+      val a = lo + span * i / k
+      val b = if (i == k - 1) hi + 1 else lo + span * (i + 1) / k
+      var slice = raw.filter(col("ts") >= a && col("ts") < b)
+      if (dupWithinFile) slice = slice.unionAll(slice)
+      if (overlapDupHours > 0 && i > 0) {
+        val ov = (overlapDupHours * 3600d * 1e9).toLong
+        slice = slice.unionAll(raw.filter(col("ts") >= a - ov && col("ts") < a))
+      }
+      writeSliceFile(slice, dir, f"slice_$i%02d.parquet", base + i * 2000L)
+    }
+    extraLast.foreach(writeSliceFile(_, dir, "zz_sentinel.parquet", base + k * 2000L))
+  }
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -1518,16 +1600,36 @@ object SparkEntry {
     * memoizes per (dataset, nlist, iters): the query run and this generator
     * see the SAME model instance, which is what makes the hash-compare fair.
     */
-  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = {
-    val cents = Similarity.trainedCentroids(s, d)
-    val centsLit = cents.map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")
-    // corpus-derived LSH plane count: the memoized count means the query run
-    // and this generator compute the same value by construction
-    val planes = Similarity.lshPlanes(s, d)
-    // graph-derived PageRank scale (overflow guard): the query run derives
-    // the same constant from the same node count, so both embed S = 10^12
-    // here and would both drop to 10^8 on a 10^9-node corpus
+  /** Each generator group runs under its OWN try (r6 ADVICE: a failure in
+    * the LSH plane derivation used to silently drop the unrelated pagerank
+    * oracle too): returns (oracles, per-query generator errors). A failed
+    * group degrades exactly its own queries to the driver's rows-only check,
+    * and the failure is recorded in verify_errors.json.
+    */
+  def oracleSqlDynamicSafe(s: SparkSession, d: String)
+      : (Map[String, String], Map[String, String]) = {
+    val groups: Seq[(Seq[String], () => Map[String, String])] = Seq(
+      (Seq("q_pagerank"), () => pageRankOracle(s, d)),
+      (Seq("q_ann_lsh", "q_embed_neardup"), () => lshOracles(s, d)),
+      (Seq("q_ann_ivf_trained", "q_semantic_dedup"), () => centroidOracles(s, d)))
+    groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
+      case ((ok, errs), (names, gen)) =>
+        try (ok ++ gen(), errs)
+        catch { case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.toString).take(500)
+          (ok, errs ++ names.map(n => s"oracle:$n" -> msg))
+        }
+    }
+  }
+
+  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] =
+    pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d)
+
+  /** Graph-derived PageRank scale (overflow guard): the query run derives
+    * the same constant from the same node count, so both embed S = 10^12
+    * here and would both drop to 10^8 on a 10^9-node corpus.
+    */
+  private def pageRankOracle(s: SparkSession, d: String): Map[String, String] = {
     val prScale = Graphs.rankScaleFor(s, d)
     val prBase = prScale * 15L / 100L
     Map(
@@ -1552,7 +1654,15 @@ object SparkEntry {
            |r3 AS (SELECT adj.dst AS node,
            |         CAST($prBase + (17 * sum(r // deg)) // 20 AS BIGINT) AS r
            |       FROM adj JOIN r2 ON adj.src = r2.node GROUP BY 1)
-           |SELECT node, r AS rank_scaled FROM r3""".stripMargin,
+           |SELECT node, r AS rank_scaled FROM r3""".stripMargin)
+  }
+
+  /** Corpus-derived LSH plane count: the memoized count means the query run
+    * and this generator compute the same value by construction.
+    */
+  private def lshOracles(s: SparkSession, d: String): Map[String, String] = {
+    val planes = Similarity.lshPlanes(s, d)
+    Map(
       "q_ann_lsh" ->
         s"""WITH e AS (SELECT vec_id, embedding, ${sqlLshBucket(planes)} AS bucket,
            |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
@@ -1573,7 +1683,14 @@ object SparkEntry {
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine
            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-           |WHERE cosine >= 0.2""".stripMargin,
+           |WHERE cosine >= 0.2""".stripMargin)
+  }
+
+  private def centroidOracles(s: SparkSession, d: String): Map[String, String] = {
+    val cents = Similarity.trainedCentroids(s, d)
+    val centsLit = cents.map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    Map(
       // mirror of Similarity.ivfTopKTrained: literal trained centroids, then
       // the exact q_ann_ivf search dataflow (assign all vectors via
       // ccos-desc/centroid-asc argmax, probe 4 cells per query, exact-cosine

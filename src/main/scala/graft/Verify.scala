@@ -62,14 +62,15 @@ object Verify {
       case c => c.toString
     } + "\""
     // static oracles + run-time-generated ones (e.g. the trained-IVF oracle
-    // embeds this run's fitted centroid matrix as literals); a generator
-    // failure must not zero the whole round's correctness artifact
-    val dynamic =
-      try SparkEntry.oracleSqlDynamic(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] dynamic oracle generation FAILED: $e")
-        Map.empty[String, String]
-      }
+    // embeds this run's fitted centroid matrix as literals). Each generator
+    // group runs under its own try inside oracleSqlDynamicSafe: a failure
+    // degrades only its own queries to rows-only AND lands in
+    // verify_errors.json — visible in the round artifact, not just stderr.
+    val (dynamic, oracleErrors) = SparkEntry.oracleSqlDynamicSafe(spark, sfDir)
+    oracleErrors.foreach { case (k, v) =>
+      System.err.println(s"[verify] $k generation FAILED: $v")
+      errors(k) = v
+    }
     val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -151,15 +151,19 @@ object Analytics {
     val bound = boundFactor * rsd
     val relErr = abs(col("approx_users") - col("n_users")).cast("double") /
       col("n_users").cast("double")
+    // all-NULL groups have n_users = 0 → relErr = 0/0 = NaN, and NaN <= b is
+    // false — without the guard a legitimate empty group would hard-fail the
+    // assert instead of passing like the oracle's literal TRUE (r6 ADVICE)
+    val inBound = when(col("n_users") === 0, col("approx_users") === 0)
+      .otherwise(relErr <= lit(bound))
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         countDistinct(col("user_id")).as("n_users"))
-      .filter(assert_true(relErr <= lit(bound),
+      .filter(assert_true(inBound,
         concat(lit(s"HLL++ estimate beyond $boundFactor*rsd=$bound for event_type "),
           col("event_type"))).isNull)
-      .select(col("event_type"), col("n_users"),
-        (relErr <= lit(bound)).as("within_bound"))
+      .select(col("event_type"), col("n_users"), inBound.as("within_bound"))
   }
 
   /** ROLLUP over lineitem flags (partial aggregates reused across levels). */

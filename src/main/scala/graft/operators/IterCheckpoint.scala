@@ -43,6 +43,11 @@ private[graft] object IterCheckpoint {
     */
   private val live =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Set[Int]]
-  def supersede(s: SparkSession, key: String, ids: Set[Int]): Unit =
+  def supersede(s: SparkSession, key: String, ids: Set[Int]): Unit = {
+    // drop entries whose session is gone — otherwise the map retains every
+    // stopped SparkSession for the JVM lifetime (r6 ADVICE); their blocks
+    // died with the session, only the map entries linger
+    live.keys.filter(_._1.sparkContext.isStopped).foreach(live.remove)
     live.put((s, key), ids).foreach(old => free(s, old))
+  }
 }

@@ -118,18 +118,30 @@ object Sinks {
     * appends nothing. The per-batch dedup guards duplicate keys INSIDE one
     * batch; the anti-join guards across batches and restarts.
     *
-    * Returns the started query; callers drive it (AvailableNow for
-    * cron-equivalent runs, processing-time triggers for continuous).
+    * Returns the started query; callers drive it (the default AvailableNow
+    * for cron-equivalent runs, processing-time triggers for continuous).
     */
   def streamInsertIgnore(stream: DataFrame, targetPath: String, key: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendInsertIgnore(batch, targetPath, key)
+        postAppendHook(batchId)
       }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
+
+  /** Test-only fault injection: invoked AFTER a micro-batch's append lands
+    * but BEFORE foreachBatch returns (i.e. before the checkpoint commit) —
+    * throwing here simulates a crash that tears the batch, the failure mode
+    * the exactly-once claim must survive (r6 verdict task 5). Production
+    * code never sets it.
+    */
+  private[graft] var postAppendHook: Long => Unit = _ => ()
 
   def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
       key: String, props: Properties = new Properties(),

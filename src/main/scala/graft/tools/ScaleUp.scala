@@ -63,11 +63,14 @@ object ScaleUp {
 
     val li = Tables.lineitem(s, src)
     val nOk = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
-    val nPk = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    // rotate within the REAL part-key universe [1, maxPk]: a plain
+    // `pk % (max+1)` emits key 0, which no part row has, breaking
+    // part-dimension joins on the replica (r6 ADVICE)
+    val maxPk = li.agg(max(col("l_partkey"))).head().getLong(0)
     li.crossJoin(copies)
       .select((Seq(
         (col("l_orderkey") + col("copy") * nOk).as("l_orderkey"),
-        ((col("l_partkey") + col("copy") * 7919L) % nPk).as("l_partkey")) ++
+        ((col("l_partkey") - 1 + col("copy") * 7919L) % maxPk + 1).as("l_partkey")) ++
         li.columns.filterNot(c => c == "l_orderkey" || c == "l_partkey").map(col)): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")

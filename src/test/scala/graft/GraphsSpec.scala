@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
 class GraphsSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def count(edges: Seq[(Long, Long)]): Long =
-    Graphs.triangleCountEdges(edges.toDF("u", "v")).head().getLong(0)
+  private def count(edges: Seq[(Long, Long)],
+      broadcastMaxEdges: Long = Graphs.BroadcastRowCap,
+      sketchWedgeFactor: Long = Graphs.SketchWedgeFactor): Long =
+    Graphs.triangleCountEdges(edges.toDF("u", "v"),
+      broadcastMaxEdges, sketchWedgeFactor).head().getLong(0)
 
   test("handcrafted graphs: K4 has 4 triangles, a path none, pendant adds none") {
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles
@@ -21,6 +24,15 @@ class GraphsSpec extends SparkSpecBase {
     assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == 0L)
     // triangle {1,2,3} + pendant 4: exactly one
     assert(count(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) == 1L)
+  }
+
+  test("all three gate paths agree: broadcast, plain-shuffle, Bloom-pruned") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(count(k4) == 4L)                                   // m ≤ cap: broadcast
+    assert(count(k4, broadcastMaxEdges = 0,
+      sketchWedgeFactor = Long.MaxValue / 8) == 4L)           // dense-but-sparse: plain
+    assert(count(k4, broadcastMaxEdges = 0,
+      sketchWedgeFactor = 0) == 4L)                           // forced sketch file
   }
 
   test("fixed-point pageRank: hand-computed ranks on the path graph 1-2-3") {
@@ -72,11 +84,13 @@ class GraphsSpec extends SparkSpecBase {
     assert(ranks.size == n.toInt + 1 && ranks.values.forall(_ > 0L))
   }
 
-  test("triangle sketch stays out of plan literals (executor-side Bloom)") {
+  test("forced sketch path: bytes stay in storage, out of plan AND driver") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BinaryType
     val edges = Graphs.coOrderEdges(spark, Sf)
-    val df = Graphs.triangleCountEdges(edges)
+    // force the dense path so the sketch actually builds at spec scale
+    val df = Graphs.triangleCountEdges(edges,
+      broadcastMaxEdges = 0, sketchWedgeFactor = 0)
     val bigBinaryLits = df.queryExecution.optimizedPlan.collect { case p =>
       p.expressions.flatMap(_.collect {
         case l: Literal if l.dataType == BinaryType &&
@@ -85,8 +99,20 @@ class GraphsSpec extends SparkSpecBase {
     }.flatten
     assert(bigBinaryLits.isEmpty,
       s"sketch bytes leaked into plan literals: ${bigBinaryLits.size}")
-    // and the scalar-subquery path still yields the exact count
-    assert(df.head().getLong(0) > 0L)
+    // the plan carries only the sketch's storage PATH (executors read the
+    // bytes themselves via BloomFileCache); no ScalarSubquery collects them
+    val planStr = df.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("graft_bloom_might_file"),
+      s"expected the file-backed probe in the plan:\n$planStr")
+    assert(!planStr.contains("scalar-subquery"),
+      s"sketch must not ride a driver-collected scalar subquery:\n$planStr")
+    // and the file-backed prune still yields the exact count (vs broadcast
+    // path). Materialize BEFORE the second invocation: supersede frees the
+    // first call's checkpoint blocks (the documented repeat-invocation
+    // contract).
+    val got = df.head().getLong(0)
+    val expected = Graphs.triangleCountEdges(edges).head().getLong(0)
+    assert(got == expected && expected > 0L)
   }
 
   test("degree-ordered count equals the naive triple join on the co-order graph") {

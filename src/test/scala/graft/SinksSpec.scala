@@ -119,6 +119,35 @@ class SinksSpec extends SparkSpecBase {
     assert(second == Seq(1L, 2L, 3L), "replayed delivery must append nothing")
   }
 
+  test("streamInsertIgnore: torn batch (crash after append, before commit) recovers exactly-once") {
+    // the hard case the replay test does NOT cover (r6 verdict task 5): the
+    // process dies BETWEEN the foreachBatch append and the checkpoint
+    // commit. The restart replays the batch whose rows already landed, and
+    // the anti-join must turn the at-least-once redelivery into zero
+    // duplicates — the exactly-once claim proven under failure.
+    val landing = Files.createTempDirectory("graft_torn_src")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "dup")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(landing.toString)
+    val target = Files.createTempDirectory("graft_torn_tgt").toString + "/t"
+    // ONE checkpoint dir across both runs — the restart resumes it
+    val ckpt = Files.createTempDirectory("graft_torn_ck").toString
+    def start() = Sinks.streamInsertIgnore(
+      spark.readStream.schema("id LONG, v STRING").parquet(landing.toString),
+      target, "id", ckpt)
+    def targetIds = spark.read.parquet(target).select("id").as[Long].collect().sorted.toSeq
+    try {
+      Sinks.postAppendHook =
+        _ => throw new RuntimeException("torn batch: crash before commit")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    // the append itself landed — rows are present, batch is UNcommitted
+    assert(targetIds == Seq(1L, 2L, 3L), "torn batch left its append behind")
+    start().awaitTermination() // restart: the torn batch replays
+    assert(targetIds == Seq(1L, 2L, 3L), "replayed torn batch must not duplicate or lose rows")
+  }
+
   test("writeJdbcInsertIgnore is idempotent against a real JDBC database") {
     // embedded Derby (ships with Spark for the Hive metastore) — a real
     // df.write.jdbc round-trip, the same call shape the README documents
