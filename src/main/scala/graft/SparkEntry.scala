@@ -181,60 +181,84 @@ object SparkEntry {
     //    a REAL Structured Streaming run (file source over the events
     //    parquet, Trigger.AvailableNow ≡ the reference's cron-batch model,
     //    memory sink), settled table returned for the driver's check.
-    //    Complete output mode makes the settled result the full aggregation
-    //    — identical to q_window_tumbling — rather than the
-    //    watermark-truncated tail append mode would emit.
+    //    Every landing is staged as StreamSlices time-ordered files consumed
+    //    with maxFilesPerTrigger=1 (see stageEventSlices), so each query
+    //    REALLY runs multi-batch: watermarks advance per batch, state is
+    //    evicted, and cross-batch state handoff executes — the single-batch
+    //    staging r6 flagged as the easy case is gone (r6 verdict task 2).
     //    Landing dirs are staged once per (query, dataset) and sinks get
     //    unique per-invocation names whose catalog entries are dropped after
     //    the settled read — repeated in-session runs leave no new dirs or
     //    tables behind (see stagedLanding/settledStream).
+
+    //    Tumbling agg in APPEND mode: a window emits only once the watermark
+    //    passes its end, so the batch-by-batch watermark march is load-
+    //    bearing. TWO successive far-future global sentinels (max ts + 2/3
+    //    days, final files) flush every real window: the first advances the
+    //    watermark past all real window ends, the second's batch performs
+    //    the emission that advance unlocked (watermark updates bind from the
+    //    NEXT batch, and AvailableNow runs no trailing no-data batch).
+    //    Sentinel windows never emit (the watermark stops 1 h short of the
+    //    last one) and their event_type is filtered out regardless.
+    //    Settled append output = exactly the batch tumbling aggregation.
     "q_stream_tumbling" -> ((s, d) => {
       import graft.streaming.EventStreamJob
-      // the file-stream source consumes a LANDING DIRECTORY (files arriving
-      // over time); the testdata table is a single parquet file, so stage it
-      // as the directory's first arrival via symlink — zero-copy, read-only
-      val landing = stagedLanding("tumbling", d) { dir =>
-        linkTable(dir, "events", s"$d/events.parquet")
+      val landing = stagedLanding("tumbling_mb", d) { dir =>
+        val raw = Tables.table(s, d, "events")
+        val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+        def sentinel(days: Long) = s.range(1).select(lit(-1L).as("event_id"),
+          lit(maxTs + days * 86400L * 1000000000L).as("ts"), lit(0L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        stageEventSlices(s, d, dir, StreamSlices,
+          extraLast = Seq(sentinel(2), sentinel(3)))
       }
+      // the sentinel filter runs on the SETTLED table, not the stream: a
+      // grouping-column filter on the streaming frame is pushed below the
+      // aggregation into the scan, which silently drops the sentinel ROWS
+      // before the watermark operator ever sees their event times
       settledStream(s,
-        EventStreamJob.tumblingAgg(EventStreamJob.readEventStream(s, landing)),
-        "q_stream_tumbling_sink", "complete")
+        EventStreamJob.tumblingAgg(
+          EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))),
+        "q_stream_tumbling_sink", "append")
+        .filter(col("event_type") =!= "sentinel")
     }),
 
     //    streaming insert-ignore (dropDuplicatesWithinWatermark ≡ the
-    //    reference's ON CONFLICT DO NOTHING): the landing dir stages the
-    //    events table TWICE (two symlinks), so every event arrives duplicated
-    //    and the settled append output must be exactly one row per event_id.
-    //    AvailableNow with no maxFilesPerTrigger plans ONE batch over both
-    //    files, so in-batch dedup is exhaustive regardless of watermark
-    //    (EventStreamSpec asserts the single-batch exact-dedup contract).
+    //    reference's ON CONFLICT DO NOTHING): every slice carries each event
+    //    twice (in-batch duplicates) AND replays the last hour of the
+    //    previous slice (cross-batch duplicates that only the operator's
+    //    key state — surviving eviction by construction — can absorb).
+    //    Settled append output must still be exactly one row per event_id.
     "q_stream_dedup" -> ((s, d) => {
       import graft.streaming.EventStreamJob
-      val landing = stagedLanding("dedup", d) { dir =>
-        for (name <- Seq("a", "b"))
-          linkTable(dir, name, s"$d/events.parquet")
+      val landing = stagedLanding("dedup_mb", d) { dir =>
+        stageEventSlices(s, d, dir, StreamSlices,
+          dupWithinFile = true, overlapDupHours = 1.0)
       }
       settledStream(s,
-        EventStreamJob.dedupStream(EventStreamJob.readEventStream(s, landing))
+        EventStreamJob.dedupStream(
+          EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1)))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
         "q_stream_dedup_sink", "append")
     }),
 
     //    custom-state sessionization (flatMapGroupsWithState) under the SAME
-    //    oracle as the batch q_window_session: the landing dir stages the
-    //    events file plus a generated far-future sentinel event per user
-    //    (max ts + 1 day, its own session by construction), so every REAL
-    //    session is provably closed and emitted in-batch; the sentinel
-    //    sessions stay in state (no later event, and the end-of-stream
-    //    watermark of max+1d−1h never passes their max+1d+30m timeout) and
-    //    are never emitted. Append-mode settled output = exactly the batch
-    //    session set, independent of how AvailableNow slices the batches.
+    //    oracle as the batch q_window_session. Sessions spanning a slice
+    //    boundary continue from state in the next batch; sessions whose gap
+    //    horizon the advancing watermark passes are closed by the event-time
+    //    TIMEOUT path (unreachable under single-batch staging). Premature
+    //    timeouts cannot happen: a session still continuable across the
+    //    boundary has its last event within gap(30 m) of the next slice's
+    //    start, while the watermark lags the boundary by the 1 h delay — so
+    //    its timeout (last + 30 m) is never passed before its continuation
+    //    arrives. The per-user far-future sentinels (max ts + 1 day, final
+    //    file) close every real session; the sentinel sessions stay in state
+    //    (the end-of-stream watermark of max+1d−1h never passes their
+    //    timeout) and are never emitted.
     "q_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventStreamJob
-      val landing = stagedLanding("sessions", d) { dir =>
-        linkTable(dir, "events", s"$d/events.parquet")
-        // raw read: ts stays INT64 nanos (nanosAsLong), same as the source
-        // file, so the stream's explicit schema reads both files alike
+      val landing = stagedLanding("sessions_mb", d) { dir =>
         val raw = Tables.table(s, d, "events")
         val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
         val sentinel = raw.select(col("user_id")).distinct()
@@ -242,35 +266,29 @@ object SparkEntry {
             lit(maxTs + 86400L * 1000000000L).as("ts"),
             col("user_id"), lit("sentinel").as("event_type"),
             lit(0.0).as("value"), lit(null).cast("string").as("props"))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
-        sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = withPathStream(java.nio.file.Files.list(tmp))(
-          _.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get())
-        java.nio.file.Files.move(part, dir.resolve("sentinel.parquet"))
-        withPathStream(java.nio.file.Files.walk(tmp))(
-          _.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+        stageEventSlices(s, d, dir, StreamSlices, extraLast = Seq(sentinel))
       }
       settledStream(s,
-        EventStreamJob.sessionizeStream(EventStreamJob.readEventStream(s, landing))
+        EventStreamJob.sessionizeStream(
+          EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1)))
           .toDF(),
         "q_stream_sessions_sink", "append")
     }),
 
     //    stream-stream interval join (purchases ⋈ same-user views from the
-    //    preceding hour) under the SAME oracle as its batch face: inner
-    //    stream-stream joins emit a match in the micro-batch that finds it
-    //    (watermarks only bound state eviction for FUTURE batches), and
-    //    AvailableNow over the single staged file plans everything into one
-    //    batch — so the settled append output is exactly the batch join.
+    //    preceding hour) under the SAME oracle as its batch face: a purchase
+    //    in batch i matches views held in STATE from earlier batches (the
+    //    join condition bounds how old a matching view can be — 1 h — while
+    //    the view-side state outlives the purchase watermark by exactly that
+    //    margin, so time-ordered slices never lose a match to eviction).
     "q_stream_join" -> ((s, d) => {
       import graft.streaming.EventStreamJob
-      val landing = stagedLanding("join", d) { dir =>
-        linkTable(dir, "events", s"$d/events.parquet")
+      val landing = stagedLanding("join_mb", d) { dir =>
+        stageEventSlices(s, d, dir, StreamSlices)
       }
       settledStream(s,
-        EventStreamJob.purchaseViewJoinStream(EventStreamJob.readEventStream(s, landing)),
+        EventStreamJob.purchaseViewJoinStream(
+          EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))),
         "q_stream_join_sink", "append")
     }),
 
@@ -484,47 +502,94 @@ object SparkEntry {
     *    once watermark(= max(slice i−1) − 1 h) > ts + 1 h, and replayed rows
     *    sit within [a_i − 1 h, a_i), safely above both the late-row and the
     *    eviction cutoffs;
-    *  - `extraLast`: a frame written as the final (newest-mtime) file —
-    *    per-user or global sentinels that close sessions / push the
-    *    watermark past the last real window.
+    *  - `extraLast`: frames written as the final (newest-mtime) files, in
+    *    order — per-user or global sentinels that close sessions / push the
+    *    watermark past the last real window. Watermark updates take effect
+    *    for the NEXT batch and AvailableNow runs no trailing no-data batch,
+    *    so a sentinel whose advance must itself be emitted needs a second,
+    *    later sentinel behind it.
     *
     * Raw read: ts stays INT64 nanos, so every staged file carries the same
     * physical type the stream's explicit schema expects.
     */
   private[graft] def stageEventSlices(s: SparkSession, d: String,
       dir: java.nio.file.Path, k: Int, dupWithinFile: Boolean = false,
-      overlapDupHours: Double = 0.0, extraLast: Option[DataFrame] = None): Unit = {
+      overlapDupHours: Double = 0.0, extraLast: Seq[DataFrame] = Nil): Unit = {
     val raw = Tables.table(s, d, "events")
     val mm = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(hi - lo + 1, 1L)
+    // slice index as ONE expression so every variant (base, in-file dup,
+    // overlap replay) derives consistent time-range boundaries, and all k
+    // slice files are written by a SINGLE job: hash-repartition on the slice
+    // index (each value lands in exactly one task → one part file per
+    // slice), partitionBy lays them out per-slice — k sequential write jobs
+    // collapsed into one (the staging was over a quarter of q_stream_join's
+    // timed window before)
+    val si = expr(s"CAST(((ts - ${lo}L) * $k) DIV ${span}L AS INT)")
+    val sliced = raw.withColumn("slice", least(lit(k - 1), si))
+    var out = if (dupWithinFile) sliced.unionAll(sliced) else sliced
+    if (overlapDupHours > 0) {
+      val ov = (overlapDupHours * 3600d * 1e9).toLong
+      // next-slice boundary of each row's own slice; rows inside the last
+      // `ov` nanos of their slice are replayed one slice later
+      val nb = expr(s"${lo}L + ((CAST(slice AS BIGINT) + 1) * ${span}L) DIV $k")
+      out = out.unionAll(sliced
+        .filter(col("slice") < k - 1 && col("ts") >= nb - lit(ov))
+        .withColumn("slice", col("slice") + 1))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slice_w")
+    out.repartition(col("slice")).write.mode("overwrite")
+      .partitionBy("slice").parquet(tmp.toString)
     val base = System.currentTimeMillis()
     for (i <- 0 until k) {
-      val a = lo + span * i / k
-      val b = if (i == k - 1) hi + 1 else lo + span * (i + 1) / k
-      var slice = raw.filter(col("ts") >= a && col("ts") < b)
-      if (dupWithinFile) slice = slice.unionAll(slice)
-      if (overlapDupHours > 0 && i > 0) {
-        val ov = (overlapDupHours * 3600d * 1e9).toLong
-        slice = slice.unionAll(raw.filter(col("ts") >= a - ov && col("ts") < a))
-      }
-      writeSliceFile(slice, dir, f"slice_$i%02d.parquet", base + i * 2000L)
+      val part = withPathStream(java.nio.file.Files.list(tmp.resolve(s"slice=$i")))(
+        _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get())
+      val target = dir.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
     }
-    extraLast.foreach(writeSliceFile(_, dir, "zz_sentinel.parquet", base + k * 2000L))
+    withPathStream(java.nio.file.Files.walk(tmp))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+    extraLast.zipWithIndex.foreach { case (df, i) =>
+      writeSliceFile(df, dir, f"zz_sentinel_$i%02d.parquet", base + (k + i) * 2000L)
+    }
   }
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** State partitions for the harness streams. A stateful query's shuffle
+    * partition count is pinned into its checkpoint at batch 0, and every
+    * micro-batch then pays per-partition state-store open/commit I/O on
+    * every stateful operator — a stream-stream join keeps four stores per
+    * partition, so the session-wide 32 meant ~6 batches × 32 × 4 × 2 sides
+    * of store commits for kilobyte-sized state (over half of
+    * q_stream_join's 60 s wall at sf0.1). Eight matches the harness batch
+    * volumes; a production cluster sizes this knob to ITS batch volume the
+    * same way — deliberately, per stream, not from the batch-side default.
+    */
+  private val StreamStatePartitions = 8
 
   /** Run a streaming frame to completion (AvailableNow) into a uniquely-named
     * memory sink and return the settled result. The catalog entry is dropped
     * immediately after the read — `Dataset` analysis is eager, so the
     * returned frame's resolved plan keeps the sink's rows alive while the
     * session's table list stays flat across repeated runs.
+    * `spark.sql.shuffle.partitions` is overridden to [[StreamStatePartitions]]
+    * strictly for the stream's lifetime (set → start/await → restore in
+    * finally); the harness is single-threaded per session, so no concurrent
+    * batch plan can observe the override.
     */
   private def settledStream(s: SparkSession, df: DataFrame, base: String,
       mode: String): DataFrame = {
     val name = s"${base}_${sinkSeq.incrementAndGet()}"
-    graft.streaming.EventStreamJob.runAvailableNow(df, name, mode)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    try graft.streaming.EventStreamJob.runAvailableNow(df, name, mode)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val out = s.table(name)
     s.catalog.dropTempView(name)
     out

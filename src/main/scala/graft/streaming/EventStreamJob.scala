@@ -35,12 +35,19 @@ object EventStreamJob extends Serializable {
   /** File-source stream over an events parquet directory. Requires
     * `spark.sql.legacy.parquet.nanosAsLong=true` at session build
     * ([[graft.Tables.sessionBuilder]]) for the TIMESTAMP(NANOS) column.
+    * `maxFilesPerTrigger = Some(1)` forces one landed file per micro-batch
+    * (files are taken oldest-mtime-first), which is how the harness drives
+    * REAL multi-batch execution — watermark advance, state eviction, and
+    * cross-batch state handoff — instead of one batch over everything.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Tumbling 1-day windowed aggregation with a 1-hour watermark — the
     * streaming face of EventWindows.tumblingDaily.

@@ -133,10 +133,11 @@ class EventStreamSpec extends SparkSpecBase {
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), "exactly one row per event_id")
   }
 
-  test("doubled landing dir settles to exact distinct (q_stream_dedup contract)") {
-    // the q_stream_dedup query stages the SAME file twice; AvailableNow with
-    // no maxFilesPerTrigger must plan one batch over both arrivals, so the
-    // dedup is exhaustive regardless of watermark age
+  test("doubled landing dir settles to exact distinct (single-batch baseline)") {
+    // single-batch baseline: the same file staged twice, planned as ONE
+    // AvailableNow batch, must dedup exhaustively regardless of watermark
+    // age. The production q_stream_dedup staging is the adversarial
+    // multi-batch form — see MultiBatchStreamSpec.
     val dir = Files.createTempDirectory("graft_dedup_doubled")
     for (name <- Seq("a.parquet", "b.parquet"))
       Files.createSymbolicLink(dir.resolve(name), Paths.get(s"$Sf/events.parquet"))
