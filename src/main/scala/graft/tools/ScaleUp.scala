@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *    (measured: 1.196M edges at 1× AND at kept-pk 10×); the rotation keeps
   *    the part universe but shifts each copy's baskets, so distinct edges
   *    and per-part degree genuinely grow ~N× — the densification that
-  *    stresses the O(√m) orientation bound and PageRank fan-in.
+  *    stresses the O(√m) orientation bound and PageRank fan-in;
+  *  - orders: the SAME l_orderkey shift as lineitem with o_custkey KEPT —
+  *    the orders⋈lineitem join stays referentially intact at N× (a
+  *    symlinked 1× orders would silently reduce q3/q5 to the copy-0 slice),
+  *    while each customer's order history densifies N× — the adversarial
+  *    direction for the TPC-H face (r6 verdict task 3).
   *
   * Untouched dimension tables are symlinked from the source dir so every
   * SparkEntry query runs against the replica dir unchanged.
@@ -62,7 +67,10 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val li = Tables.lineitem(s, src)
-    val nOk = li.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    // shift constant from ORDERS (the orderkey superset — an orders-only key
+    // above lineitem's max would otherwise collide across copies), shared by
+    // both tables so the join stays referentially intact per copy
+    val nOk = Tables.orders(s, src).agg(max(col("o_orderkey"))).head().getLong(0) + 1
     // rotate within the REAL part-key universe [1, maxPk]: a plain
     // `pk % (max+1)` emits key 0, which no part row has, breaking
     // part-dimension joins on the replica (r6 ADVICE)
@@ -75,7 +83,14 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders")) {
+    val ord = Tables.orders(s, src)
+    ord.crossJoin(copies)
+      .select((Seq((col("o_orderkey") + col("copy") * nOk).as("o_orderkey")) ++
+        ord.columns.filterNot(_ == "o_orderkey").map(col)): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val link = java.nio.file.Paths.get(s"$dst/$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
