@@ -130,6 +130,9 @@ object SparkEntry {
     "q_pivot_lineitem" -> (Analytics.pivotLineitem _),
     "q_unpivot_lineitem" -> (Analytics.unpivotLineitem _),
     "q_percentiles" -> (Analytics.valuePercentiles _),
+    // the quantile-sketch face, rank-error-gated in-plan; the driver hashes
+    // the exact interpolated percentiles — see approxPercentilesChecked
+    "q_approx_percentiles" -> ((s, d) => Analytics.approxPercentilesChecked(s, d)),
     "q_histogram" -> ((s, d) => Analytics.valueHistogram(s, d)),
     "q_active_users" -> (Analytics.activeUsers _),
     "q_retention" -> (Analytics.retentionCohorts _),
@@ -368,6 +371,29 @@ object SparkEntry {
     "q_corr_stats" -> ((s, d) => TextAnalysis.corrStats(s, d)),
     "q_cms_topk" -> ((s, d) => TextAnalysis.cmsTokenTopK(s, d)),
     "q_edit_pairs" -> ((s, d) => TextAnalysis.editDistancePairs(s, d)),
+
+    // -- dimension maintenance: SCD Type-2 merge over the customer dimension
+    //    (the warehouse generalization of the reference's ON CONFLICT load:
+    //    re-arriving keys are VERSIONED, not dropped). Batch: every 7th
+    //    customer changes market segment, every 11th arrives as a new key.
+    "q_scd2_customers" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val current = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        lit("1990-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+        lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
+      val incoming = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(lit("NEW_"), col("c_name")).as("c_name"), col("c_mktsegment")))
+        .withColumn("eff", lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
+      Scd.scd2Merge(current, incoming, "c_custkey",
+        Seq("c_name", "c_mktsegment"), "eff")
+    }),
+
+    // -- table profiling (ANALYZE-style stats sweep, long format)
+    "q_profile_documents" -> ((s, d) => Profiling.profileDocuments(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
@@ -1651,6 +1677,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind = 'video'
         |    THEN ((clen + 63) // 64 + 3) // 4 ELSE 0 END) AS BIGINT) AS n_frames
         |FROM m GROUP BY kind""".stripMargin,
+
+    // the rank-error gate runs in-plan Spark-side (assert_true on the
+    // two-sided #(<v)/#(<=v) check); what the oracle verifies is the EXACT
+    // interpolated percentile the query also emits (quantile_cont ≡ Spark
+    // percentile — the q_percentiles parity) plus the literally-true flag
+    "q_approx_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95, TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // full SCD2 result set built declaratively: every current row either
+    // stays open (key not in the update batch) or is closed at the batch's
+    // effective time with a reopened _V2 version; new keys open directly
+    "q_scd2_customers" ->
+      """WITH upd AS (SELECT c_custkey, c_name, c_mktsegment || '_V2' AS c_mktsegment
+        |             FROM customer WHERE c_custkey % 7 = 0),
+        |nw AS (SELECT c_custkey + 1000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+        |              c_mktsegment
+        |       FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+        |  CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1996-06-01 00:00:00' END AS valid_to,
+        |  (c_custkey % 7 <> 0) AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |  TIMESTAMP '1996-06-01 00:00:00', NULL, TRUE FROM upd
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment,
+        |  TIMESTAMP '1996-06-01 00:00:00', NULL, TRUE FROM nw""".stripMargin,
+
+    // one scan, long format; casts to VARCHAR happen AFTER min/max on the
+    // native type on both engines
+    "q_profile_documents" -> {
+      def leg(c: String) =
+        s"""SELECT '$c' AS "column", (SELECT count(*) FROM documents) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(leg).mkString("\nUNION ALL\n")
+    },
   )
 
   // ------------------------------------------------- generated oracle SQL

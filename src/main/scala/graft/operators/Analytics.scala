@@ -166,6 +166,52 @@ object Analytics {
       .select(col("event_type"), col("n_users"), inBound.as("within_bound"))
   }
 
+  /** The VERIFIABLE face of `approx_percentile` — the [[approxDistinctUsersChecked]]
+    * pattern applied to quantile sketches: compute the sketch p50/p95 per
+    * event type AND gate each estimate's RANK error in-plan. The sketch
+    * (QuantileSummaries, relative rank error ≤ 1/accuracy) returns some
+    * element v; the gate verifies `#(< v)/n ≤ q + ε` and `#(≤ v)/n ≥ q − ε`
+    * — the tie-safe two-sided form of "v's rank is within ε·n of q·n".
+    * The driver hashes the EXACT interpolated percentiles (≡ DuckDB
+    * `quantile_cont`, the q_percentiles parity) plus the literally-true
+    * bound flag; the sketch itself stays engine-private but can never pass
+    * unchecked. Scale shape: the sketch agg is the 100 TB product path
+    * (mergeable partials, no sort); the exact percentile and the rank-count
+    * pass exist to verify it, via one broadcast of the groups-sized agg.
+    */
+  def approxPercentilesChecked(s: SparkSession, d: String,
+      accuracy: Int = 1000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val agg = ev.groupBy(col("event_type")).agg(
+      expr(s"approx_percentile(value, array(0.5D, 0.95D), $accuracy)").as("ap"),
+      expr("percentile(value, array(0.5D, 0.95D))").as("ex"),
+      count(lit(1)).as("n"))
+    val ranks = ev.join(broadcast(agg), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") < col("ap")(0), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("ap")(0), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("ap")(1), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("ap")(1), 1L).otherwise(0L)).as("le95"),
+        first(col("ex")).as("ex"), first(col("n")).as("n"))
+    // the sketch guarantee is on INTEGER ranks (|rank(v) − ⌈q·n⌉| ≤ ε·n);
+    // the fraction form adds a ±1/n discretization term — without it the
+    // gate fails on exact-boundary groups (measured: le95/n = 0.94899 vs
+    // a 0.94900 cutoff at n = 1982)
+    def ok(lt: String, le: String, q: Double) = {
+      val slack = lit(eps) + lit(1.0) / col("n").cast("double")
+      (col(lt).cast("double") / col("n").cast("double") <= lit(q) + slack) &&
+        (col(le).cast("double") / col("n").cast("double") >= lit(q) - slack)
+    }
+    val inBound = ok("lt50", "le50", 0.5) && ok("lt95", "le95", 0.95)
+    ranks.filter(assert_true(inBound,
+      concat(lit(s"approx_percentile rank error beyond 1/$accuracy for "),
+        col("event_type"))).isNull)
+      .select(col("event_type"), col("ex")(0).as("p50"), col("ex")(1).as("p95"),
+        inBound.as("within_bound"))
+  }
+
   /** ROLLUP over lineitem flags (partial aggregates reused across levels). */
   def rollupLineitem(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

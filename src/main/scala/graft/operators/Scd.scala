@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension maintenance (Type 2): the warehouse-side
+  * generalization of the reference's `ON CONFLICT DO NOTHING` load
+  * (`posts_pipeline.py:53-59`) — where insert-ignore DROPS a re-arriving
+  * key, a dimension pipeline must VERSION it. Every batch produces a full
+  * versioned history: changed keys get their open row closed at the batch's
+  * effective time and a new open version; unseen keys open their first
+  * version; unchanged keys and already-closed history pass through
+  * untouched.
+  *
+  * Shape for scale: ONE full-outer shuffle join between the OPEN slice of
+  * the dimension and the batch, both keyed on the dimension key — closed
+  * history never joins anything (it is unioned back verbatim), so cost
+  * tracks the live key universe, not the version count. The three output
+  * legs (unchanged / closed / opened) project the same joined frame, which
+  * Spark executes with one exchange reuse. All row logic is codegen'd
+  * column expressions; null-safe equality (`<=>`) makes NULL→value and
+  * value→NULL transitions count as changes.
+  */
+object Scd {
+
+  /** Merge one batch into a Type-2 dimension.
+    *
+    * `current` must carry `key`, the `tracked` attribute columns, and the
+    * bookkeeping columns `valid_from` (timestamp), `valid_to` (timestamp,
+    * null = open) and `is_current` (boolean). `incoming` carries `key`, the
+    * same `tracked` columns, and `effCol` — the batch's per-row effective
+    * timestamp. Contract: at most one open row per key in `current` and one
+    * row per key in `incoming` (pre-aggregate a multi-change batch with
+    * [[IngestTransforms.insertIgnoreDeterministic]]-style first/last-writer
+    * rules first).
+    *
+    * Re-merging the same batch is a NO-OP (idempotent): after the first
+    * merge the open row's tracked attrs equal the batch's, so nothing
+    * closes or opens — the same replay-safety argument as the insert-ignore
+    * sinks.
+    */
+  def scd2Merge(current: DataFrame, incoming: DataFrame, key: String,
+      tracked: Seq[String], effCol: String): DataFrame = {
+    val open = current.filter(col("is_current"))
+    val history = current.filter(!col("is_current"))
+    val inc = incoming.select(
+      (col(key) +: tracked.map(c => col(c).as(s"_i_$c"))
+        :+ col(effCol).as("_i_eff")): _*)
+    val j = open.join(inc, Seq(key), "full_outer")
+    // side-presence markers: is_current is non-null on every open row,
+    // _i_eff on every incoming row; after the outer join a null means the
+    // side was absent for that key
+    val hasCur = col("is_current").isNotNull
+    val hasInc = col("_i_eff").isNotNull
+    val changed = tracked.map(c => !(col(c) <=> col(s"_i_$c"))).reduce(_ || _)
+
+    val curCols: Seq[Column] =
+      col(key) +: tracked.map(col) :+ col("valid_from") :+ col("valid_to") :+ col("is_current")
+    val unchanged = j.filter(hasCur && (!hasInc || !changed)).select(curCols: _*)
+    val closed = j.filter(hasCur && hasInc && changed).select(
+      (col(key) +: tracked.map(col) :+ col("valid_from")
+        :+ col("_i_eff").as("valid_to") :+ lit(false).as("is_current")): _*)
+    val opened = j.filter(hasInc && (!hasCur || changed)).select(
+      (col(key) +: tracked.map(c => col(s"_i_$c").as(c))
+        :+ col("_i_eff").as("valid_from")
+        :+ lit(null).cast("timestamp_ntz").as("valid_to")
+        :+ lit(true).as("is_current")): _*)
+    history.select(curCols: _*)
+      .unionByName(unchanged).unionByName(closed).unionByName(opened)
+  }
+}

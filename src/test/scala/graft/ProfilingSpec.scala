@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Profiling
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("profile: exact counts, nulls, and post-aggregation string casts") {
+    val df = Seq(
+      (1L, Some("en"), 10),
+      (2L, Some("de"), 2),
+      (3L, None, 100),
+      (4L, Some("en"), 9)).toDF("id", "lang", "len")
+    val p = Profiling.profile(df, Seq("id", "lang", "len"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == ("id", 4L, 0L, 4L, "1", "4"))
+    assert(p("lang") == ("lang", 4L, 1L, 2L, "de", "en"))
+    // min/max compare NUMERICALLY then cast: "2".."100", not "10".."9"
+    assert(p("len") == ("len", 4L, 0L, 4L, "2", "100"))
+  }
+
+  test("profileApprox stays within 5x the 1% rsd of the exact face") {
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val exact = Profiling.profile(Tables.documents(spark, Sf), cols)
+      .select(col("column"), col("n_distinct")).as[(String, Long)].collect().toMap
+    val approx = Profiling.profileApprox(Tables.documents(spark, Sf), cols)
+      .select(col("column"), col("n_distinct")).as[(String, Long)].collect().toMap
+    for ((c, ex) <- exact) {
+      val ap = approx(c)
+      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"$c: approx $ap vs exact $ex")
+    }
+    // both faces agree on everything the sketch does not approximate
+    val otherE = Profiling.profile(Tables.documents(spark, Sf), cols)
+      .drop("n_distinct").collect().map(_.toSeq).toSet
+    val otherA = Profiling.profileApprox(Tables.documents(spark, Sf), cols)
+      .drop("n_distinct").collect().map(_.toSeq).toSet
+    assert(otherE == otherA)
+  }
+}
