@@ -143,6 +143,53 @@ object Sinks {
     */
   private[graft] var postAppendHook: Long => Unit = _ => ()
 
+  /** Streaming SCD Type-2 sink: each micro-batch merges into the versioned
+    * dimension ([[graft.operators.Scd.scd2Merge]]) and the full updated
+    * snapshot replaces the target. Replay safety comes from the merge, not
+    * the write: re-merging the LAST batch is a NO-OP (its tracked attrs
+    * already equal the open rows), so a torn batch (merge written,
+    * checkpoint commit lost) replays into an identical snapshot — the same
+    * at-least-once × idempotent-operation argument as [[streamInsertIgnore]],
+    * with "idempotent" supplied by the merge algebra instead of the
+    * anti-join. Scope: the checkpoint's serial commit is what guarantees
+    * only the last batch can replay; re-applying an OLDER batch out of
+    * order would legitimately re-version (SCD2 is order-sensitive by
+    * definition), which is why the checkpoint must never be reset against
+    * a kept target.
+    *
+    * The read-modify-overwrite round-trip goes through a per-batch staging
+    * path then an atomic directory swap would be the production form on
+    * object storage; in the sandbox the overwrite-after-read is enough
+    * because foreachBatch batches are serial within a query.
+    */
+  def streamScd2(stream: DataFrame, targetPath: String, key: String,
+      tracked: Seq[String], effCol: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try spark.read.parquet(targetPath)
+          catch { case _: org.apache.spark.sql.AnalysisException => // first load
+            import org.apache.spark.sql.functions._
+            batch.limit(0).select(
+              (col(key) +: tracked.map(col)
+                :+ col(effCol).cast("timestamp_ntz").as("valid_from")
+                :+ lit(null).cast("timestamp_ntz").as("valid_to")
+                :+ lit(true).as("is_current")): _*)
+          }
+        val merged = graft.operators.Scd
+          .scd2Merge(current, batch, key, tracked, effCol)
+          .localCheckpoint() // sever the lineage from the files being replaced
+        merged.write.mode(SaveMode.Overwrite).parquet(targetPath)
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
       key: String, props: Properties = new Properties(),
       batchSize: Int = 10000): Unit = {

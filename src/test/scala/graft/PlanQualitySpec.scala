@@ -163,6 +163,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"non-long columns in funnel shuffles: $offenders")
   }
 
+  test("profile reads its table exactly once (stack fan-out, not per-column unions)") {
+    val df = q("q_profile_documents")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r if r.nodeName == "Relation" => r
+    }
+    assert(scans.size == 1, s"expected one documents scan, got ${scans.size}")
+  }
+
+  test("scd2 merge: one key join, no cartesian, history leg join-free") {
+    val p = plan(q("q_scd2_customers"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scd2 fell back to a product join:\n$p")
+    // the three merge legs project the SAME joined frame — the plan must
+    // not contain three separate join subtrees
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins <= 6, s"merge legs re-joined instead of sharing:\n$p")
+  }
+
   test("contamination broadcasts the eval side and shuffles only longs") {
     val df = q("q_contamination")
     val p = plan(df)

@@ -58,6 +58,57 @@ class ScdSpec extends SparkSpecBase {
     assert(again.filter(col("is_current")).count() == out.filter(col("is_current")).count())
   }
 
+  test("streamScd2: versions across micro-batches; torn-batch replay is a no-op") {
+    import java.nio.file.Files
+    val landing = Files.createTempDirectory("graft_scd_src")
+    val target = Files.createTempDirectory("graft_scd_tgt").toString + "/dim"
+    val ckpt = Files.createTempDirectory("graft_scd_ck").toString
+    def batchDf(rows: Seq[(Long, String, String)], eff: String) =
+      rows.toDF("k", "name", "seg")
+        .withColumn("eff", lit(eff).cast("timestamp_ntz"))
+    def start() = graft.sources.Sinks.streamScd2(
+      spark.readStream.schema("k LONG, name STRING, seg STRING, eff TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+      target, "k", Seq("name", "seg"), "eff", ckpt)
+    def snapshot = spark.read.parquet(target)
+      .select(col("k"), col("seg"), col("is_current"))
+      .as[(Long, String, Boolean)].collect().toSet
+
+    // batch 0: initial load; batch 1: key 1 changes, key 5 arrives. The
+    // crash hook fires AFTER batch 1's merge+overwrite lands but BEFORE its
+    // checkpoint commit — the torn-batch shape (batch 0 is committed, so
+    // only the LAST batch replays; that ordering guarantee is what the
+    // merge's no-op-on-reapply property is scoped to)
+    // single FILES with ordered mtimes (a nested directory per batch would
+    // be invisible to the non-recursive file-stream listing)
+    val base = System.currentTimeMillis()
+    SparkEntry.writeSliceFile(
+      batchDf(Seq((1L, "a", "AUTO"), (2L, "b", "BIKE")), "1990-01-01 00:00:00"),
+      landing, "b0.parquet", base)
+    SparkEntry.writeSliceFile(
+      batchDf(Seq((1L, "a", "TRUCK"), (5L, "e", "SHIP")), "1996-06-01 00:00:00"),
+      landing, "b1.parquet", base + 2000L)
+    try {
+      graft.sources.Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn scd2 batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally graft.sources.Sinks.postAppendHook = _ => ()
+    val expected = Set(
+      (1L, "AUTO", false), (1L, "TRUCK", true),
+      (2L, "BIKE", true), (5L, "SHIP", true))
+    assert(snapshot == expected, "torn batch left its merge behind")
+    val versionsBefore = spark.read.parquet(target).count()
+
+    // restart from the SAME checkpoint: batch 1 replays over the already-
+    // merged target; tracked attrs equal its open rows, so nothing closes,
+    // opens, or duplicates
+    start().awaitTermination()
+    assert(snapshot == expected, "replayed torn batch must not re-version")
+    assert(spark.read.parquet(target).count() == versionsBefore)
+  }
+
   test("q_scd2_customers: exactly one open row per live key, versions do not overlap") {
     val out = SparkEntry.queries("q_scd2_customers")(spark, Sf)
     val perKey = out.filter(col("is_current"))
