@@ -395,6 +395,40 @@ object SparkEntry {
     // -- table profiling (ANALYZE-style stats sweep, long format)
     "q_profile_documents" -> ((s, d) => Profiling.profileDocuments(s, d)),
 
+    //    the STREAMING face of the SCD2 merge under the SAME oracle: two
+    //    micro-batches (initial load, then the change batch) through
+    //    Sinks.streamScd2 land the identical versioned dimension the batch
+    //    merge produces. Landing, checkpoint AND target live in one cached
+    //    staging dir per (query, dataset): a repeat run restarts from the
+    //    committed checkpoint, replays nothing, and re-reads the snapshot.
+    "q_stream_scd2" -> ((s, d) => {
+      val root = stagedLanding("scd2_mb", d) { dir =>
+        java.nio.file.Files.createDirectory(dir.resolve("landing"))
+        val cust = Tables.customer(s, d)
+        val base = System.currentTimeMillis()
+        writeSliceFile(
+          cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+            .withColumn("eff", lit("1990-01-01 00:00:00").cast("timestamp_ntz")),
+          dir.resolve("landing"), "b0.parquet", base)
+        writeSliceFile(
+          cust.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"), col("c_name"),
+              concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"))
+            .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+              .select((col("c_custkey") + 1000000L).as("c_custkey"),
+                concat(lit("NEW_"), col("c_name")).as("c_name"), col("c_mktsegment")))
+            .withColumn("eff", lit("1996-06-01 00:00:00").cast("timestamp_ntz")),
+          dir.resolve("landing"), "b1.parquet", base + 2000L)
+      }
+      val stream = s.readStream
+        .schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, eff TIMESTAMP_NTZ")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      graft.sources.Sinks.streamScd2(stream, s"$root/dim", "c_custkey",
+        Seq("c_name", "c_mktsegment"), "eff", s"$root/ckpt").awaitTermination()
+      s.read.parquet(s"$root/dim")
+    }),
+
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
@@ -626,6 +660,27 @@ object SparkEntry {
   // replaces all matches by default); len()/count()/row_number() are BIGINT;
   // range(a,b) is stop-exclusive (Spark sequence(a,b) is inclusive);
   // date_trunc returns DATE (cast back to TIMESTAMP).
+
+  /** Shared by q_scd2_customers (batch merge) and q_stream_scd2 (streaming
+    * sink): both must land exactly this versioned dimension.
+    */
+  private val Scd2OracleSql: String =
+    """WITH upd AS (SELECT c_custkey, c_name, c_mktsegment || '_V2' AS c_mktsegment
+      |             FROM customer WHERE c_custkey % 7 = 0),
+      |nw AS (SELECT c_custkey + 1000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+      |              c_mktsegment
+      |       FROM customer WHERE c_custkey % 11 = 0)
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+      |  CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1996-06-01 00:00:00' END AS valid_to,
+      |  (c_custkey % 7 <> 0) AS is_current
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  TIMESTAMP '1996-06-01 00:00:00', NULL, TRUE FROM upd
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  TIMESTAMP '1996-06-01 00:00:00', NULL, TRUE FROM nw""".stripMargin
 
   /** Python-str.split()-faithful tokenization, shared by several oracles. */
   private def sqlTokens(textCol: String): String = {
@@ -1690,23 +1745,10 @@ object SparkEntry {
     // full SCD2 result set built declaratively: every current row either
     // stays open (key not in the update batch) or is closed at the batch's
     // effective time with a reopened _V2 version; new keys open directly
-    "q_scd2_customers" ->
-      """WITH upd AS (SELECT c_custkey, c_name, c_mktsegment || '_V2' AS c_mktsegment
-        |             FROM customer WHERE c_custkey % 7 = 0),
-        |nw AS (SELECT c_custkey + 1000000 AS c_custkey, 'NEW_' || c_name AS c_name,
-        |              c_mktsegment
-        |       FROM customer WHERE c_custkey % 11 = 0)
-        |SELECT c_custkey, c_name, c_mktsegment,
-        |  TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
-        |  CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1996-06-01 00:00:00' END AS valid_to,
-        |  (c_custkey % 7 <> 0) AS is_current
-        |FROM customer
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_mktsegment,
-        |  TIMESTAMP '1996-06-01 00:00:00', NULL, TRUE FROM upd
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_mktsegment,
-        |  TIMESTAMP '1996-06-01 00:00:00', NULL, TRUE FROM nw""".stripMargin,
+    "q_scd2_customers" -> Scd2OracleSql,
+    // the streaming sink lands the identical versioned dimension — one
+    // oracle, two execution paths (batch merge vs micro-batched sink)
+    "q_stream_scd2" -> Scd2OracleSql,
 
     // one scan, long format; casts to VARCHAR happen AFTER min/max on the
     // native type on both engines
