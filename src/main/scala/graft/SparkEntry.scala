@@ -298,6 +298,10 @@ object SparkEntry {
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    // the production incremental shape: the new drop (doc_id % 5 = 0)
+    // probes the standing corpus's band index — candidates ∝ batch, never
+    // corpus²; see Dedup.incrementalNearDup
+    "q_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -1254,6 +1258,29 @@ object SparkEntry {
         |FROM documents GROUP BY 2""".stripMargin,
 
     "q_dedup_minhash_lsh" -> sqlMinhashPairs,
+
+    // the same per-doc banding definition, pairs restricted to batch-side ×
+    // corpus-side (sides disjoint, so no ordering tiebreak); the Spark
+    // side's distinct-set collapse and band-population capping are
+    // optimizations proven recall-exact against exactly this semantics
+    "q_dedup_incremental" ->
+      s"""WITH sh AS ($sqlShingles),
+         |sig AS (
+         |  SELECT doc_id, sset, list_transform(range(0, ${Dedup.NumHashes}), k ->
+         |    list_min(list_transform(sset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, sset, r.b AS band,
+         |    md5(concat(CAST(sig[2*r.b+1] AS VARCHAR), ',', CAST(sig[2*r.b+2] AS VARCHAR))) AS band_key
+         |  FROM sig, range(0, ${Dedup.Bands}) r(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+         |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+         |SELECT batch_doc, corpus_doc, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin,
 
     // independent implementation of connected components: transitive closure
     // by recursive CTE (UNION's set semantics terminate cycles), then the

@@ -201,6 +201,86 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** INCREMENTAL near-dup: probe a NEW batch of documents against the
+    * standing corpus's MinHash band index — the production dedup shape: a
+    * daily crawl drop is deduped against petabytes of already-ingested
+    * corpus WITHOUT re-pairing the corpus with itself. Candidate volume is
+    * ∝ batch × collision rate, never corpus²; the corpus side here is the
+    * same (rid, band, band_key) index a 100 TB deployment would materialize
+    * ONCE to storage (bucketed by (band, band_key), so the probe join is
+    * shuffle-free on the index side) and maintain append-only as batches
+    * are admitted.
+    *
+    * Same exactness machinery as [[minhashLshPairs]]: distinct-set collapse
+    * per side (identical ssets ⇒ identical bands, so candidacy and Jaccard
+    * depend only on the set values the representatives carry), md5-derived
+    * hashes (the whole index is reproducible in the DuckDB oracle),
+    * population-capped band join (hot band keys sub-bucketed, recall-exact:
+    * each batch row meets each corpus row of its group exactly once — at
+    * `ba = hash(batch rid) mod g`), exact-Jaccard verification of every
+    * emitted pair. Sides are disjoint by construction so no ordering
+    * tiebreak is needed; a batch doc identical to a corpus doc collides in
+    * every band and verifies at exactly 1.0.
+    *
+    * The deterministic batch split (doc_id % 5 = 0 ≙ the new drop) stands
+    * in for the arriving data; the operator body is split-agnostic.
+    */
+  def incrementalNearDup(s: SparkSession, d: String, threshold: Double = 0.35,
+      hotBandCap: Int = HotBandCap): DataFrame = {
+    val isBatch = col("doc_id") % 5 === 0
+    val (keyed, keyedIds) = IterCheckpoint.checkpoint(
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles3(col("text")).as("sset"), isBatch.as("in_batch"))
+        .filter(size(col("sset")) > 0)
+        .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset"))))))
+    def repsOf(side: Boolean) = keyed.filter(col("in_batch") === side)
+      .groupBy(col("skey"))
+      .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset"))
+    val (bReps, bIds) = IterCheckpoint.checkpoint(repsOf(true))
+    val (cReps, cIds) = IterCheckpoint.checkpoint(repsOf(false))
+    supersede(s, "incrementalNearDup", keyedIds ++ bIds ++ cIds)
+    def bandsOf(reps: DataFrame) = {
+      val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
+        .repartition(col("rid"))
+      val mins = (0 until NumHashes).map(k =>
+        min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+      postings.groupBy(col("rid")).agg(mins.head, mins.tail: _*)
+        .select(col("rid"),
+          posexplode(array((0 until Bands).map(b =>
+            md5(concat_ws(",",
+              col(s"h${2 * b}").cast("string"),
+              col(s"h${2 * b + 1}").cast("string")))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+    }
+    val banded = bandsOf(bReps).withColumn("probe", lit(true))
+      .unionByName(bandsOf(cReps).withColumn("probe", lit(false)))
+    val popln = Window.partitionBy(col("band"), col("band_key"))
+    val sized = banded
+      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
+    val a = sized.filter(col("probe")).select(col("band"), col("band_key"),
+      pmod(xxhash64(col("rid")), col("g")).cast("int").as("ba"), col("rid").as("brid"))
+    val b = sized.filter(!col("probe")).select(col("band"), col("band_key"),
+      col("rid").as("crid"), explode(sequence(lit(0), col("g") - 1)).as("ba"))
+    val cand = a.join(b, Seq("band", "band_key", "ba"))
+      .select(col("brid"), col("crid")).distinct()
+    val repPairs = cand
+      .join(bReps.select(col("rid").as("brid"), col("skey").as("skey_b"),
+        col("sset").as("set_b")), Seq("brid"))
+      .join(cReps.select(col("rid").as("crid"), col("skey").as("skey_c"),
+        col("sset").as("set_c")), Seq("crid"))
+      .select(col("skey_b"), col("skey_c"),
+        (size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
+          size(array_union(col("set_b"), col("set_c")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val membersB = keyed.filter(col("in_batch"))
+      .select(col("skey").as("skey_b"), col("doc_id").as("batch_doc"))
+    val membersC = keyed.filter(!col("in_batch"))
+      .select(col("skey").as("skey_c"), col("doc_id").as("corpus_doc"))
+    repPairs.join(membersB, Seq("skey_b")).join(membersC, Seq("skey_c"))
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
   /** Exact n-gram (3-shingle) Jaccard similarity within (lang, ±20%
     * token-count band) blocks — the exact ground-truth counterpart of the LSH
     * variant. Same result as the naive blocked all-pairs join (pairs with zero

@@ -40,6 +40,29 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(split == whole)
   }
 
+  test("incremental probe equals the cross-side slice of the full pair search") {
+    import org.apache.spark.sql.functions._
+    // every pair the batch-vs-corpus probe finds must be exactly the
+    // batch×corpus restriction of the full all-pairs search (same bands,
+    // same threshold) — the equivalence that makes "incremental" a pure
+    // work reduction, not a recall trade
+    val incr = landed(Dedup.incrementalNearDup(spark, Sf))
+    val full = landed(Dedup.minhashLshPairs(spark, Sf)
+      .filter((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+      .select(
+        when(col("doc_a") % 5 === 0, col("doc_a")).otherwise(col("doc_b")).as("batch_doc"),
+        when(col("doc_a") % 5 === 0, col("doc_b")).otherwise(col("doc_a")).as("corpus_doc"),
+        col("jaccard")))
+    assert(incr == full)
+    assert(incr.nonEmpty)
+  }
+
+  test("incremental probe: hot-band cap never changes the pair set") {
+    val split = landed(Dedup.incrementalNearDup(spark, Sf, hotBandCap = 2))
+    val whole = landed(Dedup.incrementalNearDup(spark, Sf, hotBandCap = Int.MaxValue))
+    assert(split == whole)
+  }
+
   test("opt-in stop-shingle drop: lossless above max df, exact-valued below") {
     val full = landed(Dedup.ngramJaccardPairs(spark, Sf))
     // a threshold above every real df drops nothing — output identical even
