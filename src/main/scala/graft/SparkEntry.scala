@@ -147,6 +147,25 @@ object SparkEntry {
         "l_returnflag", "qty")
         .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
           col("n"))),
+    // the skew-safe salted JOIN must be value-identical to the plain join
+    // (its oracle); the decimal revenue rollup is the row-identity check
+    "q_salted_join" -> ((s, d) => Analytics.saltedJoinRevenue(s, d)),
+    // CDC between two deterministic snapshots of orders (drop every 10th
+    // even key, double totalprice on %6 keys, add odd %7 keys)
+    "q_table_diff" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val old = orders.filter(col("o_orderkey") % 2 === 0)
+      val fresh = orders
+        .filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 10 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 6 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 2 === 1 &&
+          col("o_orderkey") % 7 === 0))
+      Scd.snapshotDiff(old, fresh, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
     "q_union_nations" -> (Analytics.nationsUnion _),
     "q_nation_presence" -> (Analytics.nationPresence _),
     "q_group_concat" -> (Analytics.groupConcat _),
@@ -1759,6 +1778,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind = 'video'
         |    THEN ((clen + 63) // 64 + 3) // 4 ELSE 0 END) AS BIGINT) AS n_frames
         |FROM m GROUP BY kind""".stripMargin,
+
+    // the salted execution must be value-identical to the PLAIN join — the
+    // oracle is the unsalted semantics
+    "q_salted_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // full-outer diff, unchanged keys omitted (the delta contract)
+    "q_table_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |fresh AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0)
+        |SELECT coalesce(o.o_orderkey, f.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN f.o_orderkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type
+        |FROM old o FULL OUTER JOIN fresh f ON o.o_orderkey = f.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR f.o_orderkey IS NULL
+        |   OR o.o_totalprice IS DISTINCT FROM f.o_totalprice
+        |   OR o.o_orderstatus IS DISTINCT FROM f.o_orderstatus""".stripMargin,
 
     // the rank-error gate runs in-plan Spark-side (assert_true on the
     // two-sided #(<v)/#(<=v) check); what the oracle verifies is the EXACT

@@ -212,6 +212,49 @@ object Analytics {
         inBound.as("within_bound"))
   }
 
+  /** Skew-safe salted JOIN — the join-side counterpart of [[saltedSum]]:
+    * when one join key is hot (a celebrity user, a default value), the
+    * plain shuffle join funnels that key's every row through ONE reducer.
+    * Salting splits the hot key across `nSalt` reducers: each fact row gets
+    * a DETERMINISTIC salt (hash of `factSaltCols` — not `rand()`, which
+    * would break retries and hash-stable oracles), the dim side replicates
+    * `nSalt`-fold, and the join runs on (key, salt). Each (fact, dim) row
+    * pair meets EXACTLY once — at the fact row's single salt — so the
+    * result is row-identical to the plain join at any salt count.
+    *
+    * Cost model: dim side pays nSalt× replication through the shuffle —
+    * worth it when the fact's hot-key volume dwarfs nSalt·|dim|; AQE's
+    * skew-join handles moderate skew automatically, explicit salting is for
+    * the pathological key AQE cannot split (single-key partitions).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, nSalt: Int,
+      factSaltCols: Seq[String]): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(factSaltCols.map(col): _*), lit(nSalt)).cast("int"))
+    // sequence(int, int) yields array<int>, matching the fact side's cast;
+    // a generator cannot nest inside a cast expression
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalt - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Driver face of [[saltedJoin]]: lineitem ⋈ orders salted 8 ways, then a
+    * revenue rollup per order status. The decimal sums are associative, so
+    * any row duplication or loss a salting bug introduced would shift the
+    * hash — the aggregate IS the row-identity check.
+    */
+  def saltedJoinRevenue(s: SparkSession, d: String, nSalt: Int = 8): DataFrame = {
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+        col("l_linenumber"))
+    val dim = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    saltedJoin(fact, dim, "o_orderkey", nSalt,
+      Seq("o_orderkey", "l_linenumber"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
   /** ROLLUP over lineitem flags (partial aggregates reused across levels). */
   def rollupLineitem(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -68,4 +68,29 @@ object Scd {
     history.select(curCols: _*)
       .unionByName(unchanged).unionByName(closed).unionByName(opened)
   }
+
+  /** Changed-data capture between two snapshots of the same table: which
+    * keys were `added`, `removed`, or `changed` (any tracked column differs,
+    * null-safely) from `old` to `new`. Unchanged keys are omitted — the
+    * output is the delta a downstream incremental consumer applies, and at
+    * 100 TB the delta, not the snapshot, is what should cross storage.
+    *
+    * Scale shape: one full-outer shuffle join on the key; the comparison is
+    * codegen'd column expressions; output rows carry only the key + tag.
+    */
+  def snapshotDiff(old: DataFrame, fresh: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val o = old.select(col(key) +: lit(true).as("_in_old") +:
+      tracked.map(c => col(c).as(s"_o_$c")): _*)
+    val n = fresh.select(col(key) +: lit(true).as("_in_new") +:
+      tracked.map(c => col(c).as(s"_n_$c")): _*)
+    val j = o.join(n, Seq(key), "full_outer")
+    val changed = tracked.map(c => !(col(s"_o_$c") <=> col(s"_n_$c"))).reduce(_ || _)
+    j.select(col(key),
+      when(col("_in_old").isNull, lit("added"))
+        .when(col("_in_new").isNull, lit("removed"))
+        .when(changed, lit("changed"))
+        .otherwise(lit("unchanged")).as("change_type"))
+      .filter(col("change_type") =!= "unchanged")
+  }
 }

@@ -68,6 +68,24 @@ class AnalyticsSanitySpec extends SparkSpecBase {
     assert(salted == direct)
   }
 
+  test("salted join is row-identical to the plain join under a hot key") {
+    import org.apache.spark.sql.functions._
+    // 1000 fact rows on ONE key (the pathological single-key partition AQE
+    // cannot split) + a normal tail; every salt count must reproduce the
+    // plain join's multiset exactly
+    val fact = spark.range(1000).select(lit(1L).as("k"), col("id").as("v"))
+      .unionAll(spark.range(50).select((col("id") + 2).as("k"), col("id").as("v")))
+    val dim = spark.range(60).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("attr"))
+    def landed(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "attr").collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val plain = landed(fact.join(dim, Seq("k")))
+    for (n <- Seq(1, 3, 8))
+      assert(landed(Analytics.saltedJoin(fact, dim, "k", n, Seq("k", "v"))) == plain,
+        s"salt=$n diverged")
+  }
+
   test("valueHistogram: bins partition each group, edges land as specified") {
     val hist = Analytics.valueHistogram(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -109,6 +109,20 @@ class ScdSpec extends SparkSpecBase {
     assert(spark.read.parquet(target).count() == versionsBefore)
   }
 
+  test("snapshotDiff: added/removed/changed tagged, unchanged omitted, null-safe") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d"))).toDF("k", "v")
+    val fresh = Seq((1L, Some("a")), (3L, Some("c")), (4L, None: Option[String]),
+      (5L, Some("e"))).toDF("k", "v")
+    val got = Scd.snapshotDiff(old, fresh, "k", Seq("v"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (2L, "removed"),   // key gone
+      (3L, "changed"),   // NULL → value
+      (4L, "changed"),   // value → NULL
+      (5L, "added")))    // key new; key 1 unchanged → omitted
+  }
+
   test("q_scd2_customers: exactly one open row per live key, versions do not overlap") {
     val out = SparkEntry.queries("q_scd2_customers")(spark, Sf)
     val perKey = out.filter(col("is_current"))
