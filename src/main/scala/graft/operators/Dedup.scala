@@ -132,6 +132,29 @@ object Dedup {
     * array intersection gets for free off the materialized sets — at the
     * measured candidate density the array verify is the cheaper side.
     */
+  /** (rid, band, band_key) LSH band rows of a representative-set table —
+    * the signature+banding stage shared by [[minhashLshPairs]] (self-join)
+    * and [[incrementalNearDup]] (batch-probes-corpus); at 100 TB this is
+    * exactly the corpus index a deployment materializes to storage.
+    * Postings re-spread on rid before the 16-hash partial agg (same reason
+    * as [[minhashSignatures]]: a checkpointed table's few partitions must
+    * not serialize the hash stage).
+    */
+  private def repBands(reps: DataFrame): DataFrame = {
+    val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
+      .repartition(col("rid"))
+    val mins = (0 until NumHashes).map(k =>
+      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+    postings.groupBy(col("rid")).agg(mins.head, mins.tail: _*)
+      .select(col("rid"),
+        posexplode(array((0 until Bands).map(b =>
+          md5(concat_ws(",",
+            col(s"h${2 * b}").cast("string"),
+            col(s"h${2 * b + 1}").cast("string")))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
   def minhashLshPairs(s: SparkSession, d: String,
       hotBandCap: Int = HotBandCap): DataFrame = {
     // (doc_id, sset, skey): skey = exact set identity, order-normalized.
@@ -147,22 +170,7 @@ object Dedup {
       keyed.groupBy(col("skey"))
         .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset")))
     supersede(s, "minhashLshPairs", keyedIds ++ repIds)
-    val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
-      // same reason as [[minhashSignatures]]: the checkpointed table has few
-      // partitions at small scale; re-spread before the 16-hash partial agg
-      // so signature hashing is corpus-parallel
-      .repartition(col("rid"))
-    val mins = (0 until NumHashes).map(k =>
-      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
-    val sig = postings.groupBy(col("rid")).agg(mins.head, mins.tail: _*)
-    val banded = sig.select(
-      col("rid"),
-      posexplode(array((0 until Bands).map(b =>
-        md5(concat_ws(",",
-          col(s"h${2 * b}").cast("string"),
-          col(s"h${2 * b + 1}").cast("string")))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
+    val banded = repBands(reps)
     // population cap — identical construction to [[simhashPairs]]'s
     val popln = Window.partitionBy(col("band"), col("band_key"))
     val sized = banded
@@ -239,22 +247,8 @@ object Dedup {
     val (bReps, bIds) = IterCheckpoint.checkpoint(repsOf(true))
     val (cReps, cIds) = IterCheckpoint.checkpoint(repsOf(false))
     supersede(s, "incrementalNearDup", keyedIds ++ bIds ++ cIds)
-    def bandsOf(reps: DataFrame) = {
-      val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
-        .repartition(col("rid"))
-      val mins = (0 until NumHashes).map(k =>
-        min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
-      postings.groupBy(col("rid")).agg(mins.head, mins.tail: _*)
-        .select(col("rid"),
-          posexplode(array((0 until Bands).map(b =>
-            md5(concat_ws(",",
-              col(s"h${2 * b}").cast("string"),
-              col(s"h${2 * b + 1}").cast("string")))): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_key")
-    }
-    val banded = bandsOf(bReps).withColumn("probe", lit(true))
-      .unionByName(bandsOf(cReps).withColumn("probe", lit(false)))
+    val banded = repBands(bReps).withColumn("probe", lit(true))
+      .unionByName(repBands(cReps).withColumn("probe", lit(false)))
     val popln = Window.partitionBy(col("band"), col("band_key"))
     val sized = banded
       .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
