@@ -516,6 +516,18 @@ object SparkEntry {
       feats.join(frames, Seq("kind"), "left")
         .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
     }),
+
+    // -- storage layouts (operators/Layouts.scala): same answers as the
+    //    plain-scan forms, different physics — co-bucketed join (no
+    //    exchange), hive-partitioned scan (directory pruning), materialized
+    //    sketch store (aggregate once, query many)
+    "q_bucketed_join" -> ((s, d) => Layouts.bucketedJoinRevenue(s, d)),
+    "q_partition_pruned" -> ((s, d) => Layouts.partitionPrunedDaily(s, d)),
+    "q_sketch_store" -> ((s, d) => Layouts.sketchStoreChecked(s, d)),
+
+    // exact substring-level dedup (Lee et al. 2021 shape): per-doc count of
+    // k-token spans shared with any other document
+    "q_substring_dup" -> ((s, d) => Dedup.substringDupStats(s, d)),
   )
 
   // ----------------------------------------------- streaming harness plumbing
@@ -1872,6 +1884,59 @@ object SparkEntry {
            |FROM documents""".stripMargin
       Seq("doc_id", "lang", "source", "n_chars").map(leg).mkString("\nUNION ALL\n")
     },
+
+    // the bucketed layout must be value-identical to the plain join — one
+    // oracle (the q_salted_join semantics), three physical paths: plain
+    // shuffle (oracle), salted (q_salted_join), co-bucketed (this)
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // oracle recomputes from the UNPARTITIONED events parquet — pruning must
+    // change the IO, never the answer
+    "q_partition_pruned" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the HLL merge-estimate gate runs in-plan Spark-side (assert_true);
+    // what the oracle verifies is the exact distinct the query also emits,
+    // plus the literally-true bound flag — the q_approx_distinct_users
+    // pattern applied to the materialized sketch table
+    "q_sketch_store" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_bound
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |GROUP BY 1""".stripMargin,
+
+    // independent span inventory: same \s+ tokenization, 1-based 8-token
+    // windows, md5 over the space-rejoined span (k = 8 appears as the
+    // literals 7 = k−1 and 8)
+    "q_substring_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(t, u.i, u.i + 7), ' ')) AS h
+        |  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |per_span AS (SELECT h, count(*) AS n_docs FROM sp GROUP BY h),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM sp JOIN per_span USING (h) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_spans, 0) AS n_spans,
+        |  coalesce(p.n_shared, 0) AS n_shared
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
   )
 
   // ------------------------------------------------- generated oracle SQL

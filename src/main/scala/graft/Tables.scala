@@ -56,6 +56,10 @@ object Tables {
       // 100-200s spikes on innocent queries). 30s keeps a long-lived session
       // flat; a full GC on a mostly-dead heap costs well under a second.
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // managed tables (the bucketed-layout faces) need a warehouse; keep it
+      // out of the repo working dir. Static conf — must be set at build time.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -753,4 +753,54 @@ object Dedup {
       .groupBy(TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("fingerprint"), col("n_copies"))
+
+  /** Distinct k-token span hashes per document — the unit of EXACT
+    * substring-level dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": repeated ≥k-token spans across documents
+    * are what LMs memorize; document-level dedup misses them entirely).
+    * Published implementations build a corpus-wide suffix array; the
+    * Spark-native equivalent is the rolling-window span inventory below —
+    * embarrassingly parallel per row (no shuffle: tokenize, window, hash
+    * inside one codegen'd projection), with the spans carried as md5 hashes
+    * so the shuffle that follows moves 32-char keys, never the text. md5 is
+    * the oracle-shared choice (bit-identical in DuckDB); a deployment
+    * without the cross-engine constraint would use two xxhash64 lanes for
+    * the same 128 collision-free bits at a fraction of the cost.
+    */
+  private[graft] def spanHashes(docs: DataFrame, k: Int): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - k + 1),
+            i => md5(array_join(slice(col("t"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<string>"))).as("span_h"))
+      .distinct()
+  }
+
+  /** Per-document repeated-span report: of each document's distinct k-token
+    * spans, how many also occur in at least one OTHER document (the spans
+    * substring-dedup would cut). Shape at 100 TB: the span inventory is the
+    * big intermediate (≈ tokens-per-corpus rows, distinct-collapsed per
+    * doc); it shuffles once on the hash to count occurrences, once on
+    * doc_id to fold back — both narrow (hash + id). `n_docs ≥ 2` is
+    * computed on the DISTINCT per-doc inventory, so self-repeats inside one
+    * document don't inflate sharing, matching the cross-document dedup
+    * contract.
+    */
+  def substringDupStats(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sp = spanHashes(docs, k)
+    val perSpan = sp.groupBy(col("span_h")).agg(count(lit(1)).as("n_docs"))
+    val perDoc = sp.join(perSpan, Seq("span_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
 }

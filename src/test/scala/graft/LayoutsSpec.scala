@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, Layouts}
+
+/** Contracts for the storage-layout faces (operators/Layouts.scala) and the
+  * substring-span dedup: the layout changes the PHYSICAL plan (no exchange
+  * under a co-bucketed join; pruned partitions in a dated scan), never the
+  * answer (each face is value-identical to its plain-scan oracle form).
+  */
+class LayoutsSpec extends SparkSpecBase {
+
+  private def rootPlan(df: DataFrame) = df.queryExecution.executedPlan match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case o                        => o
+  }
+
+  test("co-bucketed join runs with NO shuffle below the sort-merge join") {
+    val df = Layouts.bucketedJoinRevenue(spark, Sf)
+    val smj = rootPlan(df).collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"no SMJ in bucketed join plan:\n${rootPlan(df)}")
+    val shufflesUnderJoin = smj.get.collect { case e: ShuffleExchangeExec => e }
+    assert(shufflesUnderJoin.isEmpty,
+      s"bucketed join still shuffles:\n${smj.get}")
+    // and the answer is the plain-join answer (same oracle as q_salted_join)
+    val expected = Analytics.saltedJoinRevenue(spark, Sf)
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(df.orderBy("o_orderstatus").collect().toSeq == expected,
+      "bucketed layout changed the join result")
+  }
+
+  test("date filter prunes whole day-directories from the partitioned scan") {
+    val df = Layouts.partitionPrunedDaily(spark, Sf) // 7 of 30 days
+    val scan = rootPlan(df).collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.nonEmpty, s"no file scan found:\n${rootPlan(df)}")
+    assert(scan.get.partitionFilters.nonEmpty,
+      s"no partition filters on the scan:\n${scan.get}")
+    // the file index must have selected only the 7 in-range day dirs
+    val selectedDays = scan.get.relation.location
+      .listFiles(scan.get.partitionFilters, Nil).length
+    assert(selectedDays == 7, s"expected 7 pruned day-partitions, read $selectedDays")
+    assert(df.select(countDistinct(col("event_date"))).head().getLong(0) == 7L)
+  }
+
+  test("sketch store: merged estimate gate is live; exact counts match a direct recount") {
+    val got = Layouts.sketchStoreChecked(spark, Sf)
+      .orderBy("event_type").collect().toSeq
+    val direct = Tables.events(spark, Sf)
+      .filter(to_date(col("ts")).between(lit("2024-01-08").cast("date"),
+        lit("2024-01-21").cast("date")))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type").collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(1))) ==
+      direct.map(r => (r.getString(0), r.getLong(1))))
+    assert(got.forall(_.getBoolean(2)), "within_bound must be literally true")
+    // the gate is live: a negative bound is unsatisfiable (relErr >= 0)
+    val ex = intercept[Exception] {
+      Layouts.sketchStoreChecked(spark, Sf, boundFactor = -1.0).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("span inventory: shared spans found, self-repeats don't count as sharing") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 and 2 share an exact 8-token run; doc 3 repeats ITS OWN span
+      // twice (must not count as shared); doc 4 is shorter than k
+      (1L, "a b c d e f g h tail one"),
+      (2L, "prefix a b c d e f g h"),
+      (3L, "x x x x x x x x x x x x x x x x"),
+      (4L, "too short for any span")
+    ).toDF("doc_id", "text")
+    val sp = Dedup.spanHashes(docs, 8)
+    // doc 4: 0 spans; doc 3: 16 tokens of 'x' → 9 windows, ONE distinct span
+    val byDoc = sp.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byDoc.contains(4L))
+    assert(byDoc(3L) == 1L, s"distinct-collapse failed: $byDoc")
+    // the shared span between docs 1 and 2 is the only cross-doc one
+    val shared = sp.groupBy("span_h").count().filter(col("count") >= 2)
+    assert(shared.count() == 1L)
+  }
+
+  test("substringDupStats covers every document; counts are consistent") {
+    val r = Dedup.substringDupStats(spark, Sf).collect()
+    assert(r.length == 500)
+    assert(r.forall(row => row.getLong(2) <= row.getLong(1)),
+      "n_shared must never exceed n_spans")
+    assert(r.exists(_.getLong(2) > 0),
+      "testdata dup clusters must surface shared spans")
+  }
+}
