@@ -478,6 +478,28 @@ object SparkEntry {
       s.read.parquet(s"$root/dim")
     }),
 
+    //    streaming maintenance of the HLL sketch store: the four time-slice
+    //    micro-batches fold into the per-(day, type) user sketches one by
+    //    one; replay safety is the union ALGEBRA (register-max is
+    //    idempotent), not anti-join bookkeeping. The settled store answers
+    //    the SAME oracle as the batch-built q_sketch_store — one oracle,
+    //    two maintenance paths.
+    "q_stream_sketch_store" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val root = stagedLanding("sketchstore_mb", d) { dir =>
+        java.nio.file.Files.createDirectory(dir.resolve("landing"))
+        stageEventSlices(s, d, dir.resolve("landing"), StreamSlices)
+      }
+      graft.sources.Sinks.streamSketchStore(
+        EventStreamJob.readEventStream(s, s"$root/landing",
+          maxFilesPerTrigger = Some(1)),
+        s"$root/store", s"$root/ckpt").awaitTermination()
+      Layouts.sketchStoreCheckedAt(s, d, s"$root/store")
+    }),
+
+    // -- data-quality gate (the validation stage the reference's DAGs lack)
+    "q_quality_report" -> ((s, d) => Profiling.qualityReport(s, d)),
+
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
@@ -1915,6 +1937,49 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
         |GROUP BY 1""".stripMargin,
+
+    // the streaming-maintained store must answer exactly like the
+    // batch-built one — same oracle as q_sketch_store
+    "q_stream_sketch_store" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_bound
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |GROUP BY 1""".stripMargin,
+
+    // independent rule evaluation, one leg per rule; NULL comparison
+    // semantics (NOT IN / NOT BETWEEN over NULL → no violation) match the
+    // Spark when() fold on both engines
+    "q_quality_report" ->
+      """SELECT 'orders' AS table_name, 'not_null o_custkey' AS rule,
+        |  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'not_null o_orderdate',
+        |  CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'accepted_values o_orderstatus',
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'unique o_orderkey', count(*) - count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', 'range l_quantity [1,30]',
+        |  CAST(coalesce(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 30 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'range l_discount [0,0.1]',
+        |  CAST(coalesce(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'not_null l_shipdate',
+        |  CAST(coalesce(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'fk l_orderkey -> orders', count(*)
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
 
     // independent span inventory: same \s+ tokenization, 1-based 8-token
     // windows, md5 over the space-rejoined span (k = 8 appears as the

@@ -141,10 +141,20 @@ object Layouts {
     */
   def sketchStoreChecked(s: SparkSession, d: String,
       lo: String = "2024-01-08", hi: String = "2024-01-21",
+      boundFactor: Double = 3.0): DataFrame =
+    sketchStoreCheckedAt(s, d, sketchStorePath(s, d), lo, hi, boundFactor)
+
+  /** Same checked face over an EXPLICIT store path — shared by the batch
+    * store above and the streaming-maintained one
+    * ([[graft.sources.Sinks.streamSketchStore]]): one oracle, two
+    * maintenance paths.
+    */
+  def sketchStoreCheckedAt(s: SparkSession, d: String, storePath: String,
+      lo: String = "2024-01-08", hi: String = "2024-01-21",
       boundFactor: Double = 3.0): DataFrame = {
     val rsd = 1.04 / math.sqrt((1 << 14).toDouble)
     val bound = boundFactor * rsd
-    val approx = s.read.parquet(sketchStorePath(s, d))
+    val approx = s.read.parquet(storePath)
       .filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(

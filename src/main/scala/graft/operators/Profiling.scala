@@ -60,4 +60,67 @@ object Profiling {
   def profileDocuments(s: SparkSession, d: String): DataFrame =
     profile(graft.Tables.documents(s, d),
       Seq("doc_id", "lang", "source", "n_chars"))
+
+  // ------------------------------------------------------- data quality
+
+  /** A declarative column rule evaluated as ONE conditional aggregate:
+    * `violation` is a boolean column expression; rows where it is true
+    * count against the rule.
+    */
+  case class Rule(name: String, violation: org.apache.spark.sql.Column)
+
+  /** Rule-violation counts for one table, single pass: every rule folds to
+    * a `sum(if)` inside the same aggregate, then `stack` fans the one agg
+    * row out long-format — N rules cost one scan, not N (the
+    * [[longFormat]] discipline applied to validation).
+    */
+  def ruleViolations(df: DataFrame, table: String, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(r.violation, 1L).otherwise(0L)).as(s"v_$i")
+    }
+    val cells = rules.zipWithIndex
+      .map { case (r, i) => s"'${r.name}', v_$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${rules.length}, $cells)")
+        .as(Seq("rule", "violations")))
+      .select(lit(table).as("table_name"), col("rule"), col("violations"))
+  }
+
+  /** The validation stage the reference's DAGs run on trust alone
+    * (`comments_pipeline.py` loads whatever the API returned): not-null,
+    * uniqueness, domain and range rules over orders/lineitem, plus the one
+    * rule that cannot fold into a single-table pass — referential
+    * integrity, an anti-join whose shuffle moves only the key column.
+    * Output is the long-format report a pipeline gates deploys on.
+    *
+    * Scale shape: one scan per table for all folded rules (uniqueness is
+    * `count − countDistinct`, computed in the same agg); the FK anti-join
+    * is key-only and its dimension side is the broadcast candidate.
+    */
+  def qualityReport(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val l = graft.Tables.lineitem(s, d)
+    val ordersRules = ruleViolations(o, "orders", Seq(
+      Rule("not_null o_custkey", col("o_custkey").isNull),
+      Rule("not_null o_orderdate", col("o_orderdate").isNull),
+      Rule("accepted_values o_orderstatus",
+        !col("o_orderstatus").isin("O", "F", "P"))))
+    // uniqueness needs countDistinct, not a row predicate — same agg pass
+    val ordersUnique = o
+      .agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))
+      .select(lit("orders").as("table_name"),
+        lit("unique o_orderkey").as("rule"), col("violations"))
+    val lineitemRules = ruleViolations(l, "lineitem", Seq(
+      Rule("range l_quantity [1,30]", !col("l_quantity").between(1, 30)),
+      Rule("range l_discount [0,0.1]", !col("l_discount").between(0.0, 0.1)),
+      Rule("not_null l_shipdate", col("l_shipdate").isNull)))
+    val fk = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem").as("table_name"),
+        lit("fk l_orderkey -> orders").as("rule"), col("violations"))
+    ordersRules.unionByName(ordersUnique)
+      .unionByName(lineitemRules).unionByName(fk)
+  }
 }

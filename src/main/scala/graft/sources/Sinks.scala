@@ -190,6 +190,49 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance of the HLL sketch store
+    * ([[graft.operators.Layouts]]): each micro-batch folds its events into
+    * the per-(day, event_type) user sketches — the incrementally-maintained
+    * materialized view that makes DISTINCT COUNT (which plain counters
+    * cannot maintain incrementally) a streaming aggregate at 100 TB.
+    *
+    * Replay safety comes from the SKETCH ALGEBRA, with no anti-join and no
+    * merge bookkeeping: HLL union is register-wise max, so re-unioning a
+    * replayed batch's sketch into a store that already absorbed it is a
+    * no-op — idempotence is a property of the aggregate itself. That is
+    * exactly why the store carries no event counters: a `n_events` sum
+    * would double on replay, and exactly-once for it would need the
+    * anti-join machinery of [[streamInsertIgnore]]. Sketches only → torn
+    * batches (crash after write, before checkpoint commit) replay into an
+    * identical store (proven in LayoutsSpec).
+    */
+  def streamSketchStore(stream: DataFrame, storePath: String,
+      checkpointDir: String, lgK: Int = 14,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        val delta = batch
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lgK).as("user_sketch"))
+        val current =
+          try spark.read.parquet(storePath)
+          catch { case _: org.apache.spark.sql.AnalysisException => delta.limit(0) }
+        val merged = current.unionByName(delta)
+          .groupBy(col("day"), col("event_type"))
+          .agg(hll_union_agg(col("user_sketch"), allowDifferentLgConfigK = false)
+            .as("user_sketch"))
+          .localCheckpoint() // sever lineage from the files being replaced
+        merged.write.mode(SaveMode.Overwrite).parquet(storePath)
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
       key: String, props: Properties = new Properties(),
       batchSize: Int = 10000): Unit = {

@@ -39,4 +39,20 @@ class ProfilingSpec extends SparkSpecBase {
       .drop("n_distinct").collect().map(_.toSeq).toSet
     assert(otherE == otherA)
   }
+
+  test("quality report: clean rules are zero, range rules count exactly") {
+    val r = Profiling.qualityReport(spark, Sf).collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getLong(2)).toMap
+    assert(r.size == 8, s"expected 8 rule rows, got ${r.keySet}")
+    // TPC-H-shaped testdata is referentially clean — these must be 0
+    assert(r(("orders", "not_null o_custkey")) == 0L)
+    assert(r(("orders", "unique o_orderkey")) == 0L)
+    assert(r(("lineitem", "fk l_orderkey -> orders")) == 0L)
+    // the range rule is chosen to FIRE (quantities run past 30): the count
+    // must equal a direct filter, and be nonzero so counting is proven
+    val expected = Tables.lineitem(spark, Sf)
+      .filter(!col("l_quantity").between(1, 30)).count()
+    assert(expected > 0L)
+    assert(r(("lineitem", "range l_quantity [1,30]")) == expected)
+  }
 }

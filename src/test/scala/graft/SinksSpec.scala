@@ -148,6 +148,49 @@ class SinksSpec extends SparkSpecBase {
     assert(targetIds == Seq(1L, 2L, 3L), "replayed torn batch must not duplicate or lose rows")
   }
 
+  test("streamSketchStore: torn batch replays into an identical store (union idempotence)") {
+    // the streaming MV's replay-safety claim rests on HLL union being
+    // register-wise max (idempotent) — prove it under the torn-batch shape:
+    // crash AFTER batch 1's merged store landed but BEFORE its checkpoint
+    // commit, restart, and the re-merge must change nothing.
+    val landing = Files.createTempDirectory("graft_sksrc")
+    Seq(("2024-01-01 10:00:00", 1L, "view"), ("2024-01-01 11:00:00", 2L, "view"),
+        ("2024-01-02 10:00:00", 1L, "buy"), ("2024-01-02 11:00:00", 3L, "view"),
+        ("2024-01-02 12:00:00", 1L, "view"))
+      .toDF("ts_s", "user_id", "event_type")
+      .select(col("ts_s").cast("timestamp_ntz").as("ts"), col("user_id"),
+        col("event_type"))
+      .repartition(2).write.mode("overwrite").parquet(landing.toString)
+    val store = Files.createTempDirectory("graft_sktgt").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_skck").toString
+    def start() = Sinks.streamSketchStore(
+      spark.readStream.schema("ts TIMESTAMP_NTZ, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+      store, ckpt)
+    def estimates = spark.read.parquet(store)
+      .select(col("day").cast("string"), col("event_type"),
+        hll_sketch_estimate(col("user_sketch")).as("est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    try {
+      Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn sketch batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    val torn = estimates // batch 1's merge landed, batch is UNcommitted
+    start().awaitTermination() // restart: batch 1 replays, then finishes
+    val settled = estimates
+    assert(settled == Map(("2024-01-01", "view") -> 2L,
+      ("2024-01-02", "view") -> 2L, ("2024-01-02", "buy") -> 1L),
+      s"wrong distincts: $settled")
+    // every (day, type) the torn store already held must be unchanged
+    torn.foreach { case (k, v) =>
+      assert(settled(k) == v, s"replay changed $k: $v -> ${settled(k)}")
+    }
+  }
+
   test("writeJdbcInsertIgnore is idempotent against a real JDBC database") {
     // embedded Derby (ships with Spark for the Hive metastore) — a real
     // df.write.jdbc round-trip, the same call shape the README documents
