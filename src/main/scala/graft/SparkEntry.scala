@@ -362,6 +362,9 @@ object SparkEntry {
         .withColumn("n_ws_tokens", col("n_ws_tokens").cast("long"))
         .withColumn("n_bpe_tokens", col("n_bpe_tokens").cast("long"))),
     "q_fingerprint" -> (TextAnalysis.fingerprint _),
+    // corpus bigram-LM fluency (the perplexity-filter shape, scored in
+    // probability space for cross-engine bit-equality — see bigramFluencyOf)
+    "q_bigram_fluency" -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
     "q_corpus_clean" -> ((s, d) => TextAnalysis.corpusClean(s, d)),
     "q_repetition_score" -> (TextAnalysis.repetitionScore _),
     "q_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
@@ -1980,6 +1983,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lineitem', 'fk l_orderkey -> orders', count(*)
         |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    // independent bigram LM: same \s+ tokenization, add-one-smoothed
+    // conditional probabilities as INTEGER ratios (one correctly-rounded
+    // division per term — no transcendentals), per-doc sum as an ORDERED
+    // left fold (list(... ORDER BY pos) + list_reduce ≡ Spark's
+    // sort_array + aggregate with 0.0 seed: 0.0 + t1 == t1 exactly)
+    "q_bigram_fluency" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT u.w, count(*) AS c_uni
+        |        FROM toks, LATERAL UNNEST(t) AS u(w) GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab_n FROM uni),
+        |bi AS (
+        |  SELECT doc_id, i.i AS pos, t[i.i] AS w1, t[i.i + 1] AS w2
+        |  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS i(i)
+        |  WHERE len(t) >= 2),
+        |bic AS (SELECT w1, w2, count(*) AS c_bi FROM bi GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT doc_id, pos,
+        |    CAST(c_bi + 1 AS DOUBLE) / CAST(c_uni + vocab_n AS DOUBLE) AS term
+        |  FROM bi JOIN bic USING (w1, w2) JOIN uni ON bi.w1 = uni.w CROSS JOIN v),
+        |folded AS (
+        |  SELECT doc_id, list_reduce(list(term ORDER BY pos), (a, b) -> a + b) AS sum_p,
+        |    count(*) AS n_bigrams
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(f.n_bigrams, 0) AS n_bigrams,
+        |  f.sum_p / f.n_bigrams AS fluency
+        |FROM documents d LEFT JOIN folded f USING (doc_id)""".stripMargin,
 
     // independent span inventory: same \s+ tokenization, 1-based 8-token
     // windows, md5 over the space-rejoined span (k = 8 appears as the

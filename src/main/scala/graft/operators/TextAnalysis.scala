@@ -418,4 +418,69 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("stopword_ratio"))
   }
+
+  /** Corpus bigram language-model fluency — the CCNet/perplexity-filter
+    * shape upgraded from [[unigramScore]]'s document-frequency stand-in:
+    * score each document by the mean add-one-smoothed conditional
+    * probability of its bigrams under the corpus's own bigram LM,
+    * `mean_i (c(w_{i−1} w_i) + 1) / (c(w_{i−1}) + V)`.
+    *
+    * Production perplexity sums LOG probabilities; this face deliberately
+    * scores in probability space because every term is then a ratio of
+    * INTEGERS — one correctly-rounded double division, bit-identical across
+    * engines — where `ln` is only 1-ulp-accurate in both libms and a
+    * hash-compare could flake. Same monotone discriminative signal
+    * (gibberish scores low, formulaic text high); the log variant is a
+    * one-line swap where cross-engine bit-equality is not a requirement.
+    * Per-document summation is an ORDERED left fold over the position-
+    * sorted term array (the repo's float-determinism convention), so the
+    * sum has ONE association order in both engines.
+    *
+    * Scale shape: bigram extraction is row-local (one codegen'd
+    * projection); the count tables are partial-agg'd; the probability join
+    * shuffles on the bigram/unigram keys — pre-aggregated, so volume is
+    * vocabulary-sized, with the usual hot-key caveat ("of the") that AQE
+    * or [[Analytics.saltedJoin]] handles. V rides in-plan as a broadcast
+    * 1-row aggregate — no driver-side count.
+    */
+  def bigramFluencyOf(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+    val bi = base.select(col("doc_id"),
+      explode(when(col("n") >= 2,
+        transform(sequence(lit(2), col("n")), i => struct(
+          (i - 2).as("pos"),
+          element_at(col("t"), i - 1).as("w1"),
+          element_at(col("t"), i).as("w2"))))
+        .otherwise(array().cast("array<struct<pos:int,w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uniOcc = base.select(explode(col("t")).as("w"))
+    val uni = uniOcc.groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
+    val vocab = uni.agg(count(lit(1)).as("vocab_n"))
+    val bic = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
+    val terms = bi
+      .join(bic, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        ((col("c_bi") + 1L).cast("double") /
+          (col("c_uni") + col("vocab_n")).cast("double")).as("term"))
+    val folded = terms.groupBy(col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("pos"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("sum_p"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(folded, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("sum_p") / col("n_bigrams").cast("double")).as("fluency"))
+  }
+
+  /** Driver face over the documents table. */
+  def bigramFluency(s: SparkSession, d: String): DataFrame =
+    bigramFluencyOf(Tables.documents(s, d))
 }

@@ -111,4 +111,22 @@ class TextRelevanceSpec extends SparkSpecBase {
     assert(out(6L).getLong(1) == 1 && out(6L).getLong(2) == 1 &&
       out(6L).getString(3) == "mail <EMAIL> or ping <IP>")
   }
+
+  test("bigramFluency: formulaic text outscores unique-bigram text; short docs are null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"), // every bigram repeats
+      (2L, "quick brown foxes jump over lazy dogs"), // all bigrams unique
+      (3L, "one")                                    // no bigrams at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramFluencyOf(docs).collect()
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), if (row.isNullAt(2)) None else Some(row.getDouble(2))))
+      .toMap
+    assert(r(1L)._1 == 8L && r(2L)._1 == 6L && r(3L) == ((0L, None)))
+    assert(r(1L)._2.get > r(2L)._2.get,
+      s"repeated bigrams must score higher: $r")
+    // probabilities: every term in (0, 1]
+    assert(r(1L)._2.get > 0 && r(1L)._2.get <= 1.0)
+  }
 }
