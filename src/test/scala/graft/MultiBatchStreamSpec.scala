@@ -84,6 +84,113 @@ class MultiBatchStreamSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("late data vs the watermark, measured: agg re-opens expired windows; join admits while match state lives") {
+    // pins what the watermark ACTUALLY guarantees in this Spark version —
+    // measured, not assumed (each of these started as a stronger claim
+    // this test refuted):
+    //  - windowed AGGREGATION: the watermark bounds STATE (closed windows
+    //    are evicted + emitted); input dropping is best-effort and did NOT
+    //    occur here — a row for an already-evicted window re-creates it
+    //    and emits a SECOND append row for that window (the documented
+    //    at-least-once caveat; downstream sinks must key on the window).
+    //    What it must NEVER do is rewrite the already-emitted row.
+    //  - stream-stream INTERVAL JOIN: a sub-watermark row is still
+    //    admitted and matches state the end-of-batch eviction has not yet
+    //    collected; numRowsDroppedByWatermark stayed 0. Bounded lateness
+    //    bounds STATE SIZE, not result admission.
+    // The practical consequence is baked into the q_stream_* harness
+    // design: equivalence to the batch faces is achieved by time-ordered
+    // slices + delay-bounded replay, never by assuming late rows vanish.
+    def nanos(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    def ev(rows: Seq[(Long, String)]) =
+      rows.map { case (id, s) => (id, nanos(s)) }.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"),
+          lit(7L).as("user_id"), lit("view").as("event_type"),
+          lit(1.0).as("value"), lit(null).cast("string").as("props"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_late")
+    val base = System.currentTimeMillis()
+    // batch 0: events on June 2 up to 11:30 → watermark after it = 10:30,
+    // which is PAST the end of June 1's day window (00:00) — that window
+    // is expired for the aggregation, whose lateness cutoff is window END
+    // (an open window legitimately accepts event-time-late rows)
+    SparkEntry.writeSliceFile(ev(Seq(
+      (1L, "2024-06-02 10:00:00"), (2L, "2024-06-02 11:30:00"))),
+      dir, "s0.parquet", base)
+    // batch 1: June 1 09:00 falls in the EXPIRED window (agg re-open
+    // path; dedup refuse path); June 2 12:00 is fresh and must land
+    SparkEntry.writeSliceFile(ev(Seq(
+      (3L, "2024-06-01 09:00:00"), (4L, "2024-06-02 12:00:00"))),
+      dir, "s1.parquet", base + 2000L)
+    // two trailing sentinels: the first advances the watermark past the
+    // day window, the second runs the batch that emits it (APPEND flush)
+    SparkEntry.writeSliceFile(
+      ev(Seq((5L, "2024-06-04 00:00:00"))).withColumn("event_type", lit("sentinel")),
+      dir, "s2.parquet", base + 4000L)
+    SparkEntry.writeSliceFile(
+      ev(Seq((6L, "2024-06-05 00:00:00"))).withColumn("event_type", lit("sentinel")),
+      dir, "s3.parquet", base + 6000L)
+    val q = EventStreamJob.runAvailableNow(
+      EventStreamJob.tumblingAgg(EventStreamJob.readEventStream(
+        spark, dir.toString, maxFilesPerTrigger = Some(1))),
+      "mb_late", "append")
+    // the watermark must have bound for batch 1 (this is what makes the
+    // late row genuinely late, not a staging accident)
+    val wmAtBatch1 = q.recentProgress.find(_.batchId == 1)
+      .map(_.eventTime.get("watermark")).orNull
+    assert(wmAtBatch1 == "2024-06-02T10:30:00.000Z", s"watermark: $wmAtBatch1")
+    q.stop()
+    val out = spark.table("mb_late").filter(col("event_type") === "view")
+      .select(date_format(col("day_start"), "yyyy-MM-dd"), col("n").cast("long"))
+      .as[(String, Long)].collect().toSet
+    // June 2's window holds exactly its three on-time rows — the late June 1
+    // row re-opened ITS OWN window as a separate append row, it never
+    // rewrote or polluted the live window
+    assert(out == Set(("2024-06-02", 3L), ("2024-06-01", 1L)),
+      s"unexpected window set: $out")
+    spark.catalog.dropTempView("mb_late")
+    // join half: the late purchase (June 1 09:00, below the June-2 08:00
+    // watermark bound for batch 1) still joins view 1 — admission is real,
+    // and so is the state bound: after the run the join keeps only rows
+    // the watermark hasn't passed.
+    def pev(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, s, t) => (id, nanos(s), t) }
+        .toDF("event_id", "ts", "event_type")
+        .select(col("event_id"), col("ts"), lit(7L).as("user_id"),
+          col("event_type"), lit(1.0).as("value"),
+          lit(null).cast("string").as("props"))
+    val jdir = java.nio.file.Files.createTempDirectory("graft_mb_late_j")
+    SparkEntry.writeSliceFile(pev(Seq(
+      (1L, "2024-06-01 08:30:00", "view"),       // would match the late purchase
+      (10L, "2024-06-02 10:00:00", "view"),
+      (11L, "2024-06-02 10:30:00", "purchase"))), // → wm after b0 = 09:30 June 2
+      jdir, "s0.parquet", base)
+    SparkEntry.writeSliceFile(pev(Seq(
+      (3L, "2024-06-01 09:00:00", "purchase"),   // BELOW the June-2 09:30 wm
+      (12L, "2024-06-02 11:00:00", "purchase"))), // fresh, matches view 10
+      jdir, "s1.parquet", base + 2000L)
+    val qj = EventStreamJob.runAvailableNow(
+      EventStreamJob.purchaseViewJoinStream(EventStreamJob.readEventStream(
+        spark, jdir.toString, maxFilesPerTrigger = Some(1))),
+      "mb_late_j", "append")
+    // watermark must have bound for the join's batch 1 too
+    val jwm = qj.recentProgress.find(_.batchId == 1)
+      .map(_.eventTime.get("watermark")).orNull
+    assert(jwm == "2024-06-02T08:00:00.000Z", s"join watermark: $jwm")
+    // state is BOUNDED: end-of-run state holds only watermark-live rows,
+    // not everything that ever arrived (5 distinct events, 2× source fan-out)
+    val finalStateRows = qj.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalStateRows <= 4, s"join state not evicted: $finalStateRows rows")
+    qj.stop()
+    val pairs = spark.table("mb_late_j")
+      .select(col("purchase_id"), col("view_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((11L, 10L), (3L, 1L), (12L, 10L)),
+      s"admission semantics changed: $pairs")
+    spark.catalog.dropTempView("mb_late_j")
+  }
+
   test("stream-stream join matches purchases to views held in earlier-batch state") {
     val streamed = SparkEntry.queries("q_stream_join")(spark, Sf)
     val batch = EventStreamJob.purchaseViewJoinStream(
