@@ -184,6 +184,46 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(joins <= 6, s"merge legs re-joined instead of sharing:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (the moderate-skew path)") {
+    // the repo's skew story is two-tier: AQE's skew join splits oversized
+    // partitions at runtime (this test), and Analytics.saltedJoin is the
+    // explicit knob for the single-key pathology AQE cannot split when the
+    // key is ALSO the aggregation key. Prove tier 1 actually fires:
+    // thresholds tuned down so the hot key's partition qualifies at test
+    // scale, broadcast disabled so the join must shuffle.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~190k rows of key 1 (one fat partition), the rest spread thin
+      val fact = spark.range(200000).select(
+        when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_"), col("id")).as("payload"))
+      val dim = spark.range(200000).select(col("id").as("k"),
+        (col("id") * 2).as("dim_v"))
+      val joined = fact.join(dim, Seq("k"))
+      // drive THIS Dataset's QueryExecution (count() would build its own
+      // plan and leave joined's adaptive plan unexecuted)
+      assert(joined.collect().length == 200000)
+      // query stages are LEAF wrappers (collect cannot descend into
+      // ResultQueryStage), so assert on the final plan's rendering
+      val root = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case o                        => o
+      }).toString
+      assert(root.contains("skew=true") && root.contains("skewed"),
+        s"AQE skew join did not fire:\n$root")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("contamination broadcasts the eval side and shuffles only longs") {
     val df = q("q_contamination")
     val p = plan(df)
