@@ -503,6 +503,12 @@ object SparkEntry {
     // -- data-quality gate (the validation stage the reference's DAGs lack)
     "q_quality_report" -> ((s, d) => Profiling.qualityReport(s, d)),
 
+    // -- cross-source federation: parquet fact ⋈ JDBC dimension (the
+    //    reference's migration-period shape; embedded Derby stands in for
+    //    its Postgres)
+    "q_jdbc_dim_join" -> ((s, d) =>
+      graft.sources.Federation.jdbcDimJoinRevenue(s, d)),
+
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
@@ -1939,6 +1945,16 @@ object SparkEntry {
         |  TRUE AS within_bound
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |GROUP BY 1""".stripMargin,
+
+    // federation must change the SOURCES, never the answer: the oracle
+    // recomputes from the parquet orders the JDBC dimension was loaded from
+    "q_jdbc_dim_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 100 = 0
         |GROUP BY 1""".stripMargin,
 
     // the streaming-maintained store must answer exactly like the

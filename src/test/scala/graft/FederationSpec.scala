@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.Federation
+import org.apache.spark.sql.functions._
+
+/** Cross-source federation contracts: the JDBC dimension joins the parquet
+  * fact with the dimension broadcast (fact never shuffles) and only the
+  * projected columns crossing the wire; sources change, the answer doesn't.
+  */
+class FederationSpec extends SparkSpecBase {
+
+  test("jdbc dim join: broadcast over JDBCRelation, answer equals all-parquet") {
+    val df = Federation.jdbcDimJoinRevenue(spark, Sf)
+    val got = df.orderBy("o_orderstatus").collect().toSeq
+    val expected = Tables.lineitem(spark, Sf)
+      .join(Tables.orders(spark, Sf).filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .as("sum_price"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus").collect().toSeq
+    assert(got == expected, s"federated answer diverged: $got vs $expected")
+    assert(got.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString +
+      df.queryExecution.optimizedPlan.toString
+    assert(p.contains("JDBCRelation"), s"dimension not read over JDBC:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+    // column pruning reaches the generated SELECT: the wire carries the two
+    // projected columns, never a SELECT *
+    val scan = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("JDBCRelation")).getOrElse("")
+    assert(scan.contains("o_orderkey") && scan.contains("o_orderstatus"),
+      s"unexpected JDBC scan shape: $scan")
+  }
+}
