@@ -226,7 +226,7 @@ object SparkEntry {
     "q_stream_tumbling" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("tumbling_mb", d) { dir =>
-        val raw = Tables.table(s, d, "events")
+        val raw = Tables.eventsRawNanos(s, d)
         val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
         def sentinel(days: Long) = s.range(1).select(lit(-1L).as("event_id"),
           lit(maxTs + days * 86400L * 1000000000L).as("ts"), lit(0L).as("user_id"),
@@ -281,7 +281,7 @@ object SparkEntry {
     "q_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("sessions_mb", d) { dir =>
-        val raw = Tables.table(s, d, "events")
+        val raw = Tables.eventsRawNanos(s, d)
         val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
         val sentinel = raw.select(col("user_id")).distinct()
           .select(lit(-1L).as("event_id"),
@@ -508,6 +508,10 @@ object SparkEntry {
     //    its Postgres)
     "q_jdbc_dim_join" -> ((s, d) =>
       graft.sources.Federation.jdbcDimJoinRevenue(s, d)),
+    //    fact-sized JDBC history: partitionColumn range read — 8 concurrent
+    //    range SELECTs instead of one cursor (r7 verdict task 8)
+    "q_jdbc_fact_scan" -> ((s, d) =>
+      graft.sources.Federation.jdbcFactRevenue(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
@@ -661,13 +665,16 @@ object SparkEntry {
     *    so a sentinel whose advance must itself be emitted needs a second,
     *    later sentinel behind it.
     *
-    * Raw read: ts stays INT64 nanos, so every staged file carries the same
-    * physical type the stream's explicit schema expects.
+    * Read via [[Tables.eventsRawNanos]]: ts is canonicalized to BIGINT
+    * nanos whatever the testdata's physical encoding, so the range math
+    * below holds and every staged file carries one known type — which
+    * [[graft.streaming.EventStreamJob.readEventStream]] re-detects from the
+    * landing itself.
     */
   private[graft] def stageEventSlices(s: SparkSession, d: String,
       dir: java.nio.file.Path, k: Int, dupWithinFile: Boolean = false,
       overlapDupHours: Double = 0.0, extraLast: Seq[DataFrame] = Nil): Unit = {
-    val raw = Tables.table(s, d, "events")
+    val raw = Tables.eventsRawNanos(s, d)
     val mm = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(hi - lo + 1, 1L)
@@ -1955,6 +1962,14 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 100 = 0
+        |GROUP BY 1""".stripMargin,
+
+    // partitioned-range JDBC fact scan: the oracle recomputes from the
+    // parquet orders the fact table was loaded from
+    "q_jdbc_fact_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
         |GROUP BY 1""".stripMargin,
 
     // the streaming-maintained store must answer exactly like the

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's parquet test tables (`TESTDATA.md`).
   *
@@ -21,18 +22,59 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos and truncate to micros — exactly what
-    * DuckDB does when it loads the same file (its TIMESTAMP is microsecond-
-    * precision), so both engines see identical values. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build (see
-    * [[sessionBuilder]]) — a reader must not mutate session conf as a side
-    * effect.
+  /** The physical encoding of `events.ts` is DRIVER-OWNED and has changed
+    * between rounds (TIMESTAMP(NANOS) through round 6; `timestamp[us]` from
+    * the 2026-08-13 19:17 regeneration — see TESTDATA_NOTES.md). Reads must
+    * therefore dispatch on the column's ACTUAL type, never assume one
+    * encoding:
+    *
+    *  - `LongType`  — TIMESTAMP(NANOS) surfaced as raw nanos by the
+    *    `nanosAsLong` legacy conf ([[sessionBuilder]] sets it; Spark's
+    *    vectorized reader rejects nanos otherwise). Truncate to micros —
+    *    exactly what DuckDB does loading the same file (its TIMESTAMP is
+    *    microsecond-precision), so both engines see identical values.
+    *  - `TimestampNTZType` — `timestamp[us]` without UTC adjustment under
+    *    `inferTimestampNTZ`: already the canonical type, pass through.
+    *  - `TimestampType` — `timestamp[us]` WITH UTC adjustment (or
+    *    `inferTimestampNTZ` off): same instant, session TZ is pinned UTC so
+    *    the cast to NTZ is wall-clock-preserving.
+    *
+    * Canonical output: `ts` as TIMESTAMP_NTZ at microsecond precision,
+    * identical values from every encoding (pinned by TsEncodingSpec).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", tsAsNtz(raw.schema("ts").dataType))
+  }
+
+  private def tsAsNtz(dt: DataType) = dt match {
+    case LongType         => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+    case TimestampNTZType => col("ts")
+    case TimestampType    => col("ts").cast("timestamp_ntz")
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other — extend Tables.tsAsNtz")
+  }
+
+  /** `events` with `ts` as canonical epoch-micros×1000 BIGINT ("nanos"),
+    * whatever the physical encoding — the representation the streaming
+    * staging and sentinel arithmetic use ([[graft.SparkEntry.stageEventSlices]]
+    * does range math and `Row.getLong` on it). Values are micros-truncated
+    * under every encoding, matching [[events]] exactly.
+    */
+  def eventsRawNanos(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.withColumn("ts", tsAsNanos(raw.schema("ts").dataType))
+  }
+
+  private def tsAsNanos(dt: DataType) = dt match {
+    // truncate to micros FIRST so downstream values agree with [[events]]
+    // bit-for-bit even if a future regeneration carries sub-micro digits
+    case LongType         => expr("(ts div 1000) * 1000")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * 1000L
+    case TimestampType    => unix_micros(col("ts")) * 1000L
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other — extend Tables.tsAsNanos")
+  }
 
   /** The session configuration every graft entrypoint (Bench, Verify, tests)
     * builds on: UTC wall-clock semantics, NTZ parquet timestamps, nanos-as-long

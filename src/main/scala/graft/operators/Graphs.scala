@@ -17,6 +17,20 @@ import scala.collection.concurrent.TrieMap
   */
 object Graphs {
 
+  /** Per-phase wall-clock attribution to stderr. The r6/r7 bench artifacts
+    * showed the graph pair breaching the 30 s ceiling in DRIVER context
+    * while builder/judge clean sessions measured 3–6× less; these lines make
+    * every driver run carry its own attribution (which gate path fired,
+    * where the seconds went) instead of leaving the gap to speculation.
+    */
+  private def timed[T](query: String, phase: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    System.err.println(
+      f"[graft.graphs] $query $phase%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+    r
+  }
+
   /** Undirected co-order edges as canonical `u < v` pairs. Per-order
     * all-pairs is bounded by order size (≤7 items in TPC-H-shaped data, and
     * in general the basket, not the corpus), so the self-join on the order
@@ -186,15 +200,18 @@ object Graphs {
     // distinct) is the expensive subtree — checkpoint the directed edge
     // list first so it runs exactly once, then derive degrees and the
     // adjacency from the checkpointed rows (2m (long, long) rows)
-    val (dirCk, dirIds) = IterCheckpoint.checkpoint(
-      edges.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(edges.select(col("v").as("src"), col("u").as("dst"))))
-    val (deg, degIds) = IterCheckpoint.checkpoint(
-      dirCk.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val (dirCk, dirIds) = timed("pagerank", "edge_ckpt")(
+      IterCheckpoint.checkpoint(
+        edges.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))))
+    val (deg, degIds) = timed("pagerank", "degree_ckpt")(
+      IterCheckpoint.checkpoint(
+        dirCk.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
     val nNodes = deg.count()
     val scale = pageRankScale(nNodes)
     val degSide = if (nNodes <= BroadcastRowCap) broadcast(deg) else deg
-    val (adj, adjIds) = IterCheckpoint.checkpoint(dirCk.join(degSide, Seq("src")))
+    val (adj, adjIds) = timed("pagerank", "adj_ckpt")(
+      IterCheckpoint.checkpoint(dirCk.join(degSide, Seq("src"))))
     // dir's blocks are dead once deg+adj are materialized; free them NOW
     // rather than at the next invocation — only deg (n rows) and adj stay
     IterCheckpoint.free(s, dirIds)
@@ -257,18 +274,25 @@ object Graphs {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-    val (ori, oriIds) = IterCheckpoint.checkpoint(oriented)
+    val (ori, oriIds) = timed("triangle", "edge_ckpt")(
+      IterCheckpoint.checkpoint(oriented))
     IterCheckpoint.supersede(s, "triangleCount", oriIds)
     // the gate job: exact edge count + exact wedge volume Σ C(outdeg, 2) in
     // one aggregate over the checkpointed DAG (n-row shuffle of longs)
-    val st = ori.groupBy(col("s")).agg(count(lit(1)).as("od"))
-      .agg(sum(col("od")).as("m"),
-        (sum(col("od") * (col("od") - 1)) / 2).cast("long").as("wedges"))
-      .head()
+    val st = timed("triangle", "gate_stats")(
+      ori.groupBy(col("s")).agg(count(lit(1)).as("od"))
+        .agg(sum(col("od")).as("m"),
+          (sum(col("od") * (col("od") - 1)) / 2).cast("long").as("wedges"))
+        .head())
     val nEdges = if (st.isNullAt(0)) 0L else st.getLong(0)
     if (nEdges == 0) return s.range(1).select(lit(0L).as("n_triangles"))
     val nWedges = st.getLong(1)
     val bc = nEdges <= broadcastMaxEdges
+    System.err.println(s"[graft.graphs] triangle path=" +
+      (if (bc) "broadcast"
+       else if (nWedges > sketchWedgeFactor * nEdges) "bloom-pruned"
+       else "plain-shuffle") +
+      s" m=$nEdges wedges=$nWedges")
     def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
     val closing = ori.select(
       least(col("s"), col("t")).as("p"), greatest(col("s"), col("t")).as("q"))

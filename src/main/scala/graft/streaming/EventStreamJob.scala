@@ -23,18 +23,29 @@ import org.apache.spark.sql.types._
   */
 object EventStreamJob extends Serializable {
 
-  /** Streaming schema of the events table after nanos→micros normalization. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos (nanosAsLong read)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Columns of the events table; `ts`'s physical type is resolved per
+    * landing at read time (see [[readEventStream]]).
+    */
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** File-source stream over an events parquet directory. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build
-    * ([[graft.Tables.sessionBuilder]]) for the TIMESTAMP(NANOS) column.
+  /** File-source stream over an events parquet directory or file.
+    *
+    * A file stream REQUIRES an explicit schema, but the physical encoding of
+    * `ts` is not ours to pin: landings are staged from driver-owned testdata
+    * whose encoding has changed between rounds (INT64 TIMESTAMP(NANOS) →
+    * `timestamp[us]`; see [[graft.Tables.events]]). So peek the ACTUAL type
+    * with a one-footer batch read, declare the stream schema around it, and
+    * normalize to a canonical TIMESTAMP `ts` — the same three-way dispatch as
+    * the batch reader, in lockstep by construction. The peek costs one
+    * parquet footer; the stream itself never re-reads it.
+    *
     * `maxFilesPerTrigger = Some(1)` forces one landed file per micro-batch
     * (files are taken oldest-mtime-first), which is how the harness drives
     * REAL multi-batch execution — watermark advance, state eviction, and
@@ -42,11 +53,17 @@ object EventStreamJob extends Serializable {
     */
   def readEventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val reader = spark.readStream.schema(eventsSchema)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsSchema(tsType))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = reader.parquet(dir)
+    tsType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — extend readEventStream")
+    }
   }
 
   /** Tumbling 1-day windowed aggregation with a 1-hour watermark — the

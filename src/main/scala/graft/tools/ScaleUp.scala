@@ -56,9 +56,9 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    // raw read keeps ts as INT64 nanos — the replica file then carries the
-    // same physical type the readers expect
-    val ev = Tables.table(s, src, "events")
+    // canonical BIGINT-nanos read — the replica file then carries one known
+    // encoding (readers re-detect the type per file either way)
+    val ev = Tables.eventsRawNanos(s, src)
     val nEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     ev.crossJoin(copies)
       .select((col("event_id") + col("copy") * nEv).as("event_id"),

@@ -33,4 +33,37 @@ class FederationSpec extends SparkSpecBase {
     assert(scan.contains("o_orderkey") && scan.contains("o_orderstatus"),
       s"unexpected JDBC scan shape: $scan")
   }
+
+  test("jdbc fact scan: partitioned range read, answer equals all-parquet") {
+    val scan = Federation.jdbcFactScan(spark, Sf)
+    // the scan itself must be split into concurrent range reads — one JDBC
+    // connection per partition — BEFORE any shuffle
+    assert(scan.rdd.getNumPartitions == Federation.FactScanPartitions,
+      s"expected ${Federation.FactScanPartitions} scan partitions, " +
+        s"got ${scan.rdd.getNumPartitions}")
+
+    val df = Federation.jdbcFactRevenue(spark, Sf)
+    val got = df.orderBy("o_orderpriority").collect().toSeq
+    val expected = Tables.orders(spark, Sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_total"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == expected, s"federated fact answer diverged: $got vs $expected")
+    assert(got.nonEmpty)
+
+    // the partitioning reaches the physical relation, and column pruning
+    // drops the partition key from the wire (only the rollup columns cross)
+    val leaf = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("JDBCRelation")).getOrElse("")
+    assert(leaf.contains(s"numPartitions=${Federation.FactScanPartitions}"),
+      s"scan not partitioned: $leaf")
+    assert(leaf.contains("o_orderpriority") && leaf.contains("o_totalprice"),
+      s"unexpected JDBC fact scan shape: $leaf")
+
+    // every row arrives exactly once across the range partitions (no seam
+    // dup/loss at stride boundaries)
+    assert(scan.count() == Tables.orders(spark, Sf).count())
+  }
 }

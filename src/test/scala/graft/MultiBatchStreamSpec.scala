@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class MultiBatchStreamSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def raw = Tables.table(spark, Sf, "events")
+  private def raw = Tables.eventsRawNanos(spark, Sf)
 
   test("tumbling agg settles to the batch face across K slice batches + sentinel flush") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mb_tum")

@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.EventStreamJob
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Pins the round-7 breakage class forever: the physical encoding of
+  * `events.ts` is driver-owned and CHANGED between rounds (TIMESTAMP(NANOS)
+  * through r6 → `timestamp[us]` at the 2026-08-13 19:17 regeneration),
+  * which silently removed all 32 events queries from the driver-checked set.
+  * Every reader must dispatch on the actual column type, so a regeneration
+  * with ANY supported encoding yields identical values.
+  *
+  * Three fixtures, same logical rows:
+  *  - INT64 nanos — the Spark-visible shape of a TIMESTAMP(NANOS) file under
+  *    `nanosAsLong=true` (the conf rewrites the annotated type to LongType
+  *    before any graft code runs, so a plain BIGINT column exercises the
+  *    identical dispatch branch);
+  *  - TIMESTAMP_NTZ — written as `timestamp[us]` isAdjustedToUTC=false, the
+  *    regenerated testdata's exact shape;
+  *  - TIMESTAMP (LTZ) — `timestamp[us]` adjusted to UTC, the third way a
+  *    future regeneration could plausibly encode the same instants.
+  */
+class TsEncodingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // sub-micro digits in the nanos fixture prove micros-truncation parity
+  private val rowsNanos = Seq(
+    (1L, 1700000000123456789L, 10L, "click", 1.5, """{"k":1}"""),
+    (2L, 1700000086400999999L, 11L, "view", 2.0, null.asInstanceOf[String]),
+    (3L, 1700000172800000001L, 10L, "purchase", 3.25, """{"k":3}"""))
+
+  private def baseDf =
+    rowsNanos.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private lazy val dirs: Map[String, String] = {
+    val nanosDir = Files.createTempDirectory("graft_ts_nanos")
+    baseDf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$nanosDir/events.parquet")
+
+    val ntzDir = Files.createTempDirectory("graft_ts_ntz")
+    baseDf
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$ntzDir/events.parquet")
+
+    val ltzDir = Files.createTempDirectory("graft_ts_ltz")
+    baseDf
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$ltzDir/events.parquet")
+
+    Map("nanos" -> nanosDir.toString, "ntz" -> ntzDir.toString,
+      "ltz" -> ltzDir.toString)
+  }
+
+  private def canon(df: DataFrame): Set[(Long, String, Long, String, Double)] =
+    df.select(col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+      col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Long, String, Double)].collect().toSet
+
+  test("fixtures really carry three distinct physical encodings") {
+    assert(Tables.table(spark, dirs("nanos"), "events").schema("ts").dataType == LongType)
+    assert(Tables.table(spark, dirs("ntz"), "events").schema("ts").dataType == TimestampNTZType)
+    assert(Tables.table(spark, dirs("ltz"), "events").schema("ts").dataType == TimestampType)
+  }
+
+  test("Tables.events returns identical TIMESTAMP_NTZ values from every encoding") {
+    val results = dirs.map { case (k, d) =>
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType == TimestampNTZType,
+        s"$k: canonical output must be TIMESTAMP_NTZ")
+      k -> canon(df)
+    }
+    assert(results("nanos").nonEmpty)
+    assert(results("nanos") == results("ntz"), "nanos vs timestamp[us] NTZ")
+    assert(results("nanos") == results("ltz"), "nanos vs timestamp[us] LTZ")
+    // micros truncation (not rounding), the DuckDB-parity contract
+    assert(results("nanos").exists(_._2 == "2023-11-14 22:13:20.123456"))
+    assert(results("nanos").exists(_._2 == "2023-11-14 22:14:46.400999"))
+  }
+
+  test("Tables.eventsRawNanos agrees with Tables.events bit-for-bit under every encoding") {
+    val sets = dirs.map { case (k, d) =>
+      k -> Tables.eventsRawNanos(spark, d)
+        .select(col("event_id"), col("ts")).as[(Long, Long)].collect().toSet
+    }
+    assert(sets("nanos") == sets("ntz") && sets("nanos") == sets("ltz"))
+    // micros-truncated nanos, so ×1000 grid and exact expected values
+    assert(sets("nanos") == Set(
+      (1L, 1700000000123456000L),
+      (2L, 1700000086400999000L),
+      (3L, 1700000172800000000L)))
+  }
+
+  test("readEventStream yields identical settled rows from every encoding") {
+    val results = dirs.map { case (k, d) =>
+      val q = EventStreamJob.runAvailableNow(
+        EventStreamJob.readEventStream(spark, s"$d/events.parquet"),
+        s"ts_enc_$k", "append")
+      q.stop()
+      val got = canon(spark.table(s"ts_enc_$k"))
+      spark.catalog.dropTempView(s"ts_enc_$k")
+      k -> got
+    }
+    assert(results("nanos").nonEmpty)
+    assert(results("nanos") == results("ntz") && results("nanos") == results("ltz"))
+  }
+
+  test("the driver's actual testdata reads under the dispatch (whatever its current encoding)") {
+    val df = Tables.events(spark, Sf)
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    assert(df.count() > 0)
+    assert(Tables.eventsRawNanos(spark, Sf).schema("ts").dataType == LongType)
+  }
+}
