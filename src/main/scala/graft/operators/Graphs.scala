@@ -33,21 +33,36 @@ object Graphs {
 
   /** Undirected co-order edges as canonical `u < v` pairs. Per-order
     * all-pairs is bounded by order size (≤7 items in TPC-H-shaped data, and
-    * in general the basket, not the corpus), so the self-join on the order
-    * key is group-local quadratic with small groups — the safe direction.
-    * A part-keyed self-join ("orders sharing a part") would be the
+    * in general the basket, not the corpus), so pair generation is
+    * group-local quadratic with small groups — the safe direction. A
+    * part-keyed expansion ("orders sharing a part") would be the
     * skew-quadratic one; that direction is exactly what [[triangleCount]]'s
     * degree orientation exists to avoid.
+    *
+    * Shape: ONE aggregation shuffle (`collect_set` per order — partial aggs
+    * map-side, basket-bounded arrays) + group-local pair expansion from the
+    * sorted array (u < v for free) + the final distinct — two exchanges
+    * total. The round-7 self-join formulation paid four (distinct incidence,
+    * both join sides re-hashed on the order key, final distinct); at 2.4M
+    * incidence rows the extra exchanges were ~40% of every graph query's
+    * edge-build time.
     */
-  def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val inc = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    inc.as("a").join(inc.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-  }
+  def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    coOrderPairs(s, d).distinct()
+
+  /** Per-order canonical pairs (one row per (order, pair); NOT globally
+    * distinct): the shared expansion under [[coOrderEdges]] (distinct) and
+    * [[coOrderTopK]] (support counts).
+    */
+  private def coOrderPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
 
   /** Global triangle count via the degree-ordered node-iterator — the
     * O(m^{3/2}) algorithm (Schank/Wagner; the standard distributed
@@ -80,17 +95,11 @@ object Graphs {
     * fuses to `TakeOrderedAndProject` — per-partition k-buffers, no full
     * sort at any scale. Ties break on the pair itself for determinism.
     */
-  def coOrderTopK(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val inc = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    inc.as("a").join(inc.as("b"), Seq("ok"))
-      .filter(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+  def coOrderTopK(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    coOrderPairs(s, d)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("u"), col("v"))
       .limit(k)
-  }
 
   /** Fixed-point PageRank over the undirected co-order graph: every edge
     * carries rank in both directions, damping 0.85, a fixed iteration count.
@@ -217,8 +226,19 @@ object Graphs {
     IterCheckpoint.free(s, dirIds)
     IterCheckpoint.supersede(s, "pageRank", degIds ++ adjIds)
     val r0 = deg.select(col("src").as("node"), lit(scale).as("rank_scaled"))
+    // Each round joins the 2m-row adjacency to the n-row rank table. Ranks
+    // are node-count-sized, so below the cap BROADCAST the rank side: the
+    // adjacency is scanned map-side from its checkpoint and only the
+    // partial contribution sums shuffle (n keys), instead of re-hashing all
+    // 2m adjacency rows per round — at sf0.1 that was ~14 s of the 24 s
+    // wall for 3 rounds over a 24k-node graph. Beyond the cap the join
+    // falls back to the shuffle shape, which is the correct 100 TB plan
+    // (and where per-round state would warrant checkpointed rounds — see
+    // the iteration note above).
+    val rankSide: DataFrame => DataFrame =
+      if (nNodes <= BroadcastRowCap) broadcast else identity
     (1 to iters).foldLeft(r0) { (rank, _) =>
-      adj.join(rank, col("src") === col("node"))
+      adj.join(rankSide(rank), col("src") === col("node"))
         .select(col("dst"), expr("rank_scaled div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
@@ -262,51 +282,84 @@ object Graphs {
       broadcastMaxEdges: Long = BroadcastRowCap,
       sketchWedgeFactor: Long = SketchWedgeFactor): DataFrame = {
     val s = edges.sparkSession
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
+    // checkpoint the CANONICAL edge list first: it is the expensive subtree
+    // (for the co-order graph, the basket expansion + distinct), it doubles
+    // as the closing-edge probe set verbatim, and a count over its
+    // checkpointed blocks is a shuffle-free job that lets the degree joins
+    // below be EXPLICITLY broadcast (checkpoint leaves carry no stats, so
+    // without the measured count Catalyst would shuffle 2m rows through
+    // both joins — ~2 s of the r7 edge-build time at sf0.1)
+    val (edg, edgIds) = timed("triangle", "edge_ckpt")(
+      IterCheckpoint.checkpoint(edges))
+    val nEdges = edg.count()
+    if (nEdges == 0) {
+      IterCheckpoint.supersede(s, "triangleCount", edgIds)
+      return s.range(1).select(lit(0L).as("n_triangles"))
+    }
+    val bc = nEdges <= broadcastMaxEdges
+    val deg = edg.select(col("u").as("node"))
+      .unionAll(edg.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val oriented = edges
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    // deg has ≤ 2m rows and usually far fewer; broadcastable iff m is
+    def degSide(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+    val oriented = edg
+      .join(degSide(deg.select(col("node").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(degSide(deg.select(col("node").as("v"), col("deg").as("dv"))), Seq("v"))
       .select(
         when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-    val (ori, oriIds) = timed("triangle", "edge_ckpt")(
+    val (ori, oriIds) = timed("triangle", "orient_ckpt")(
       IterCheckpoint.checkpoint(oriented))
-    IterCheckpoint.supersede(s, "triangleCount", oriIds)
-    // the gate job: exact edge count + exact wedge volume Σ C(outdeg, 2) in
-    // one aggregate over the checkpointed DAG (n-row shuffle of longs)
-    val st = timed("triangle", "gate_stats")(
+    IterCheckpoint.supersede(s, "triangleCount", edgIds ++ oriIds)
+    // the gate job: exact wedge volume Σ C(outdeg, 2) in one aggregate over
+    // the checkpointed DAG (n-row shuffle of longs)
+    val nWedges = timed("triangle", "gate_stats")(
       ori.groupBy(col("s")).agg(count(lit(1)).as("od"))
-        .agg(sum(col("od")).as("m"),
-          (sum(col("od") * (col("od") - 1)) / 2).cast("long").as("wedges"))
-        .head())
-    val nEdges = if (st.isNullAt(0)) 0L else st.getLong(0)
-    if (nEdges == 0) return s.range(1).select(lit(0L).as("n_triangles"))
-    val nWedges = st.getLong(1)
-    val bc = nEdges <= broadcastMaxEdges
+        .agg((sum(col("od") * (col("od") - 1)) / 2).cast("long").as("wedges"))
+        .head().getLong(0))
     System.err.println(s"[graft.graphs] triangle path=" +
       (if (bc) "broadcast"
        else if (nWedges > sketchWedgeFactor * nEdges) "bloom-pruned"
        else "plain-shuffle") +
       s" m=$nEdges wedges=$nWedges")
-    def side(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
-    val closing = ori.select(
-      least(col("s"), col("t")).as("p"), greatest(col("s"), col("t")).as("q"))
-    val wedges = ori.as("x").join(side(ori.as("y")), Seq("s"))
-      .filter(col("x.t") < col("y.t"))
-      .select(col("x.t").as("p"), col("y.t").as("q"))
-    val pruned =
-      if (!bc && nWedges > sketchWedgeFactor * nEdges) {
-        val path = writeSketchFile(s, closing, nEdges)
-        wedges.filter(call_function("graft_bloom_might_file",
-          lit(path), xxhash64(col("p"), col("q"))))
-      } else wedges
-    pruned.join(side(closing), Seq("p", "q"))
-      .agg(count(lit(1)).as("n_triangles"))
+    if (bc) {
+      // Broadcast path: edge-iterator with adjacency-list intersection.
+      // Each oriented edge (s, t) contributes |N⁺(s) ∩ N⁺(t)| — within a
+      // triangle exactly one edge is the one whose endpoints both out-point
+      // to the third node (the out-degree-2 apex's edge), so the sum counts
+      // each triangle once. Work is Σ(od(s)+od(t)) per edge ≈ 2·wedges+m
+      // hash operations, the SAME complexity class as the wedge join below
+      // — but no 41M-row wedge frame is ever materialized, shuffled, or
+      // probed through join machinery: the whole count is one map-side
+      // stage over the checkpointed edges against a broadcast n-row
+      // adjacency (arrays totalling m longs — broadcastable exactly when
+      // the closing set itself is, i.e. the gate condition already holds).
+      val adjArr = ori.groupBy(col("s"))
+        .agg(array_sort(collect_list(col("t"))).as("nbr"))
+      ori
+        .join(broadcast(adjArr.select(col("s").as("a1"), col("nbr").as("n1"))),
+          col("s") === col("a1"))
+        .join(broadcast(adjArr.select(col("s").as("a2"), col("nbr").as("n2"))),
+          col("t") === col("a2")) // inner: a t with no out-edges adds 0
+        .select(size(array_intersect(col("n1"), col("n2"))).as("c"))
+        .agg(sum(col("c")).cast("long").as("n_triangles"))
+    } else {
+      val closing = edg.select(col("u").as("p"), col("v").as("q"))
+      val wedges = ori.as("x").join(ori.as("y"), Seq("s"))
+        .filter(col("x.t") < col("y.t"))
+        .select(col("x.t").as("p"), col("y.t").as("q"))
+      val pruned =
+        if (nWedges > sketchWedgeFactor * nEdges) {
+          val path = writeSketchFile(s, closing, nEdges)
+          wedges.filter(call_function("graft_bloom_might_file",
+            lit(path), xxhash64(col("p"), col("q"))))
+        } else wedges
+      pruned.join(closing, Seq("p", "q"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
   }
 
   /** Build the closing-edge Bloom sketch (m keys, fpp 0.01 ⇒ m·~10 bits)
