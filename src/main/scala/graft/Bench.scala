@@ -149,7 +149,15 @@ object Bench {
     val overJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val retriesJson = retried.map { case (n, first, s2, _) =>
       jstr(n) + ":[" + first + "," + s2 + "]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"sf":"$sfDir"}"""
+    println(line)
+    // the round-7 driver artifact captured only a 2000-char TAIL of this
+    // output, losing the per-query map and most of the error entries
+    // (ADVICE r7) — also land the full line on disk so every bench run
+    // leaves a self-sufficient artifact regardless of how stdout is captured
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }

@@ -20,8 +20,19 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  // o_orderdate / l_shipdate are timestamp[us] today, but the r7 events
+  // regeneration proved physical encodings driver-owned — run the same
+  // dispatch (pass-through today, immune to a nanos/LTZ re-encode tomorrow)
+  def orders(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "orders")
+    raw.withColumn("o_orderdate",
+      tsAsNtz(raw.schema("o_orderdate").dataType, "o_orderdate"))
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "lineitem")
+    raw.withColumn("l_shipdate",
+      tsAsNtz(raw.schema("l_shipdate").dataType, "l_shipdate"))
+  }
   /** The physical encoding of `events.ts` is DRIVER-OWNED and has changed
     * between rounds (TIMESTAMP(NANOS) through round 6; `timestamp[us]` from
     * the 2026-08-13 19:17 regeneration — see TESTDATA_NOTES.md). Reads must
@@ -44,15 +55,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    raw.withColumn("ts", tsAsNtz(raw.schema("ts").dataType))
+    raw.withColumn("ts", tsAsNtz(raw.schema("ts").dataType, "ts"))
   }
 
-  private def tsAsNtz(dt: DataType) = dt match {
-    case LongType         => timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
-    case TimestampNTZType => col("ts")
-    case TimestampType    => col("ts").cast("timestamp_ntz")
+  private def tsAsNtz(dt: DataType, c: String) = dt match {
+    case LongType         => timestamp_micros(expr(s"$c div 1000")).cast("timestamp_ntz")
+    case TimestampNTZType => col(c)
+    case TimestampType    => col(c).cast("timestamp_ntz")
     case other => throw new IllegalStateException(
-      s"events.ts has unsupported physical type $other — extend Tables.tsAsNtz")
+      s"$c has unsupported physical type $other — extend Tables.tsAsNtz")
   }
 
   /** `events` with `ts` as canonical epoch-micros×1000 BIGINT ("nanos"),
@@ -73,7 +84,7 @@ object Tables {
     case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * 1000L
     case TimestampType    => unix_micros(col("ts")) * 1000L
     case other => throw new IllegalStateException(
-      s"events.ts has unsupported physical type $other — extend Tables.tsAsNanos")
+      s"ts has unsupported physical type $other — extend Tables.tsAsNanos")
   }
 
   /** The session configuration every graft entrypoint (Bench, Verify, tests)

@@ -116,5 +116,9 @@ class TsEncodingSpec extends SparkSpecBase {
     assert(df.schema("ts").dataType == TimestampNTZType)
     assert(df.count() > 0)
     assert(Tables.eventsRawNanos(spark, Sf).schema("ts").dataType == LongType)
+    // the date-carrying relational tables run the same dispatch (pass-through
+    // today; immune if the driver re-encodes them the way it did events.ts)
+    assert(Tables.orders(spark, Sf).schema("o_orderdate").dataType == TimestampNTZType)
+    assert(Tables.lineitem(spark, Sf).schema("l_shipdate").dataType == TimestampNTZType)
   }
 }
