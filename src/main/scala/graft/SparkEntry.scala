@@ -314,6 +314,29 @@ object SparkEntry {
         "q_stream_join_sink", "append")
     }),
 
+    //    stream-STATIC enrichment — the canonical production shape missing
+    //    from the stream-stream faces above: every event in the stream is
+    //    enriched map-side with a BROADCAST dimension (here each user's
+    //    first-seen cohort day, computed batch-side). No watermark, no
+    //    state: a stream⋈static inner join re-broadcasts the dim per
+    //    micro-batch and never holds rows. At 100 TB the dim is whatever
+    //    fits a broadcast (the usual case for user/item metadata); a
+    //    fact-sized dim would flip to shuffle per batch.
+    "q_stream_enrich" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val landing = stagedLanding("enrich_mb", d) { dir =>
+        stageEventSlices(s, d, dir, StreamSlices)
+      }
+      val cohort = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day"))
+      settledStream(s,
+        EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))
+          .join(broadcast(cohort), Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("cohort_day"),
+            col("event_type"), col("value")),
+        "q_stream_enrich_sink", "append")
+    }),
+
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -323,6 +346,10 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))),
+    // representative selection after clustering: keep the longest member
+    // per near-dup cluster (ties -> min doc_id) via one max_by aggregation
+    "q_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(s, d, Dedup.minhashLshPairs(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_simhash" -> (Dedup.simhash _),
     "q_simhash_pairs" -> ((s, d) =>
@@ -1203,6 +1230,15 @@ object SparkEntry {
     "q_stream_dedup" ->
       "SELECT event_id, user_id, event_type, value FROM events",
 
+    // stream-static enrichment settles to the batch join: every event
+    // carries its user's first-seen cohort day
+    "q_stream_enrich" ->
+      """WITH cohort AS (
+        |  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, c.cohort_day, e.event_type, e.value
+        |FROM events e JOIN cohort c ON e.user_id = c.user_id""".stripMargin,
+
     // the sentinel-flushed fMGWS stream must settle to exactly the batch
     // session set — same oracle as q_window_session
     "q_stream_sessions" ->
@@ -1394,6 +1430,36 @@ object SparkEntry {
          |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
          |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
+
+    // keep-longest representative per cluster: same recursive-CTE labels,
+    // then a window argmax (Spark side is a max_by aggregation — different
+    // mechanism, same selection, exact tie-break on (n_tokens DESC, doc_id))
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($sqlMinhashPairs),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |clu AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |tok AS (
+         |  SELECT doc_id, ${sqlWordCount("text")} AS n_tokens FROM documents),
+         |sel AS (
+         |  SELECT c.cluster_id, c.doc_id, t.n_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |                       ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM clu c JOIN tok t ON c.doc_id = t.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc_id, n_tokens AS kept_n_tokens,
+         |  n_members
+         |FROM sel WHERE rn = 1""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH base AS (

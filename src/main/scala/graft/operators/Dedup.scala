@@ -744,6 +744,32 @@ object Dedup {
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
 
+  /** Representative selection after near-dup clustering — the step a real
+    * training-data pipeline runs right after [[dedupClusters]]: each cluster
+    * keeps its BEST member, here the longest (max token count; ties → min
+    * doc_id), the common keep-longest heuristic for web corpora where
+    * truncated mirrors are the typical duplicate.
+    *
+    * Shape: cluster labels ⋈ per-doc token counts on doc_id, then ONE
+    * aggregation — `max_by` over a (n_tokens, −doc_id) struct makes the
+    * argmax a partial-aggregable scalar (no window, no per-cluster sort),
+    * so the whole selection is a single narrow shuffle at any corpus size.
+    */
+  def dedupKeepBest(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val len = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    dedupClusters(s, d, pairs)
+      .join(len, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_tokens"), (-col("doc_id")).as("nd"))).as("kept_doc_id"),
+        max(col("n_tokens")).as("kept_n_tokens"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Exact dedup: one survivor (min doc_id) per normalized-content
     * fingerprint. At 100 TB this is a single hash-shuffle on a 32-char key —
     * the md5 projection keeps the shuffle narrow (no full text movement).

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Dedup
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions, Row}
 
 /** Connected-components labeling over near-duplicate pair lists: chains that
   * need label flooding, multiple components, cliques, and convergence.
@@ -110,5 +110,29 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(out(1L) == 1L)
     // every doc not in the single pair is its own cluster
     assert(out.count { case (d, c) => d == c } == allDocs - 1)
+  }
+
+  test("dedupKeepBest keeps the longest member per cluster, covers every cluster once") {
+    val pairs = Seq((1L, 3L), (3L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupKeepBest(spark, Sf, pairs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (c, kept, n, m) => c -> ((kept, n, m)) }.toMap
+    val allDocs = Tables.documents(spark, Sf).count()
+    // one row per cluster; member counts sum back to the corpus
+    assert(out.values.map(_._3).sum == allDocs)
+    assert(out(1L)._3 == 3L && out(10L)._3 == 2L)
+    // the kept doc really is the longest member (ties -> min doc_id)
+    val lens = Tables.documents(spark, Sf)
+      .select(functions.col("doc_id"),
+        functions.size(graft.operators.TextAnalysis.tokens(
+          functions.col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    for ((c, members) <- Map(1L -> Seq(1L, 3L, 7L), 10L -> Seq(10L, 11L))) {
+      val best: (Long, Long) = members.map(d => (lens(d), -d)).max
+      val expect = (-best._2, best._1)
+      assert((out(c)._1, out(c)._2) == expect, s"cluster $c")
+    }
+    // singleton clusters keep themselves with their own length
+    assert(out(2L) == ((2L, lens(2L), 1L)))
   }
 }

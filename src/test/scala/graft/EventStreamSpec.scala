@@ -164,6 +164,24 @@ class EventStreamSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("q_stream_enrich settles to the batch cohort join (stream-static broadcast)") {
+    val streamed = SparkEntry.queries("q_stream_enrich")(spark, Sf)
+    val cohort = Tables.events(spark, Sf).groupBy(col("user_id"))
+      .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day"))
+    val batch = Tables.events(spark, Sf)
+      .join(cohort, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("cohort_day"),
+        col("event_type"), col("value"))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, String, Double)] =
+      df.select(col("event_id"), col("user_id"),
+        date_format(col("cohort_day"), "yyyy-MM-dd"), col("event_type"), col("value"))
+        .as[(Long, Long, String, String, Double)].collect().toSet
+    val got = canon(streamed)
+    assert(got == canon(batch))
+    // exactly one enriched row per source event — the join is 1:1 on the dim
+    assert(got.size == Tables.events(spark, Sf).count())
+  }
+
   test("streaming harness hygiene: repeated runs leave no new temp dirs or tables") {
     // round-4 ADVICE: the harness entries used to leak one graft_stream_*
     // temp dir per invocation and silently replace a fixed-name memory-sink
