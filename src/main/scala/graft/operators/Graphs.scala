@@ -313,7 +313,15 @@ object Graphs {
       .select(col("e.s").as("s"), col("e.t").as("t"))
     val (ori, oriIds) = timed("triangle", "orient_ckpt")(
       IterCheckpoint.checkpoint(oriented))
-    IterCheckpoint.supersede(s, "triangleCount", edgIds ++ oriIds)
+    // broadcast path: the result plan reads only `ori` (the adjacency and
+    // both join sides derive from it), so edg's blocks are dead once ori is
+    // materialized — free them NOW instead of leaving them to the GC-driven
+    // cleaner (DedupLeakSpec pins the flat-pinned-RDD contract). The
+    // shuffle paths keep edg: it IS the closing probe set.
+    if (bc) {
+      IterCheckpoint.free(s, edgIds)
+      IterCheckpoint.supersede(s, "triangleCount", oriIds)
+    } else IterCheckpoint.supersede(s, "triangleCount", edgIds ++ oriIds)
     // the gate job: exact wedge volume Σ C(outdeg, 2) in one aggregate over
     // the checkpointed DAG (n-row shuffle of longs)
     val nWedges = timed("triangle", "gate_stats")(
