@@ -115,5 +115,10 @@ object Tables {
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  // the similarity operators assume float elements; the cast is a no-op on
+  // today's list<float> encoding and keeps them alive if the driver ever
+  // re-encodes as doubles (same drift class as events.ts — TESTDATA_NOTES.md)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
 }

@@ -53,16 +53,22 @@ object Graphs {
   /** Per-order canonical pairs (one row per (order, pair); NOT globally
     * distinct): the shared expansion under [[coOrderEdges]] (distinct) and
     * [[coOrderTopK]] (support counts).
+    *
+    * Two chained GENERATORS (posexplode the sorted set, then explode each
+    * element's tail slice) rather than one nested
+    * `transform(…transform(slice…))` expression: the higher-order-function
+    * form allocates per-element arrays and structs through interpreted
+    * lambda evaluation — measured 3× slower on a 36M-pair expansion (30×
+    * replica: 65 s → 22 s) — while Generate(explode) runs inside
+    * whole-stage codegen. Sortedness of `ps` gives `u < v` for free.
     */
   private def coOrderPairs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps) - i - 1),
-          |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"),
+        explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("v"))
 
   /** Global triangle count via the degree-ordered node-iterator — the
     * O(m^{3/2}) algorithm (Schank/Wagner; the standard distributed
