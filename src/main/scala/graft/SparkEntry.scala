@@ -360,6 +360,10 @@ object SparkEntry {
       Similarity.bruteForceTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    // filtered vector search: the attribute predicate restricts candidates
+    // BEFORE scoring (post-filtering a top-k under-returns)
+    "q_ann_filtered" -> ((s, d) =>
+      Similarity.filteredTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
@@ -416,6 +420,8 @@ object SparkEntry {
     "q_seq_packing" -> ((s, d) => TrainingData.packSequences(s, d)),
     "q_lang_balance" -> ((s, d) => TrainingData.languageBalance(s, d)),
     "q_sample_stratified" -> ((s, d) => TrainingData.stratifiedSample(s, d)),
+    // deterministic exactly-k-per-group eval sample (md5-ranked, seeded)
+    "q_sample_topk_group" -> ((s, d) => TrainingData.sampleTopKPerGroup(s, d)),
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
     "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
     "q_robust_clip" -> ((s, d) => TrainingData.robustClip(s, d)),
@@ -1503,6 +1509,19 @@ object SparkEntry {
          |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
          |WHERE rnk <= 5""".stripMargin,
 
+    // filtered vector search: same scoring, candidates restricted by the
+    // metadata predicate BEFORE ranking
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+         |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND n.label = 1)
+         |SELECT query_id, neighbor_id, rnk, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+         |WHERE rnk <= 5""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
          |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm2 AS cnrm2
@@ -1708,6 +1727,16 @@ object SparkEntry {
          |            / 1152921504606846976.0 AS u
          |        FROM documents))
          |WHERE rnk <= 64""".stripMargin,
+
+    // deterministic exactly-k-per-group eval sample: md5 of a seeded id
+    // string ranks identically in both engines
+    "q_sample_topk_group" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
 
     // linear idf (N/df): transcendental-free so the score is the identical
     // IEEE (double * int) / int chain in both engines (see tfidfTopK scaladoc)

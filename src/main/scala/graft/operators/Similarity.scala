@@ -174,6 +174,29 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-FILTERED exact cosine top-k — the "filtered vector search"
+    * production shape: the attribute predicate restricts candidates BEFORE
+    * scoring (post-filtering a top-k returns < k rows or misses matches
+    * entirely). Here: neighbors restricted to one `label` value.
+    *
+    * Scale shape: the filter pushes into the parquet scan (PushedFilters),
+    * so selectivity cuts the scored volume linearly — the argument for
+    * attribute-partitioned vector layouts at 100 TB, where the same
+    * predicate becomes partition pruning.
+    */
+  def filteredTopK(s: SparkSession, d: String, label: Int = 1, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
+    val corpus = emb.filter(col("label") === label)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .withColumn("nn", norm(col("nvec")))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN: probes only scan their own bucket, then exact cosine
     * rerank within the bucket. Approximate (recall < 1 across bucket
     * boundaries) — the scale path; oracle-checked exactly because the buckets

@@ -267,4 +267,25 @@ object TrainingData {
       .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("p05"), col("p95"))
   }
+
+  /** Deterministic EXACTLY-k-per-group sample — eval-set construction: the
+    * same k docs per language on every run, every engine, any row order.
+    * Ranking key is the md5 of a seeded doc-id string (bit-equal in DuckDB,
+    * so the oracle reproduces the exact selection), doc_id tiebreak.
+    *
+    * Shape: one hash shuffle on the group key + a per-group sort bounded by
+    * the group's size. At 100 TB a group is corpus-scale, so the production
+    * form pre-prunes by hash prefix first (`u < c·k/|group|` with generous
+    * c, the [[hashSplit]] trick) and ranks only the survivors — same
+    * selection, sort input ∝ k. The face keeps the un-pruned form: its
+    * selection is what the oracle pins.
+    */
+  def sampleTopKPerGroup(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val key = md5(concat(lit("seed42:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang")).orderBy(key, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

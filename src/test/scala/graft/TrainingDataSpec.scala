@@ -202,4 +202,40 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(inconsistent == 0, "duplicate 2-gram implies a duplicate word")
     r.unpersist()
   }
+
+  test("sampleTopKPerGroup is exactly-k per group and run-deterministic") {
+    import spark.implicits._
+    val k = 10
+    val s1 = TrainingData.sampleTopKPerGroup(spark, Sf, k)
+      .as[(Long, String, Long)].collect().toSet
+    // exactly min(k, |group|) rows per group, ranks dense 1..n
+    val perGroup = s1.groupBy(_._2)
+    val sizes = Tables.documents(spark, Sf).groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    perGroup.foreach { case (lang, rows) =>
+      val expect = math.min(k.toLong, sizes(lang))
+      assert(rows.size == expect, s"$lang: ${rows.size} != $expect")
+      assert(rows.map(_._3) == (1L to expect).toSet, s"$lang ranks not dense")
+    }
+    assert(perGroup.keySet == sizes.keySet, "every group sampled")
+    // identical selection on a rerun (the whole point of the seeded hash)
+    val s2 = TrainingData.sampleTopKPerGroup(spark, Sf, k)
+      .as[(Long, String, Long)].collect().toSet
+    assert(s1 == s2)
+  }
+
+  test("filteredTopK honors the metadata predicate and pushes it to the scan") {
+    import spark.implicits._
+    val df = graft.operators.Similarity.filteredTopK(spark, Sf)
+    val rows = df.as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // every neighbor satisfies the predicate — the filter ran BEFORE top-k
+    val labels = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => labels(r._2) == 1), "neighbor outside label=1")
+    // and the predicate reaches the parquet scan, not a post-scan Filter only
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate not pushed:\n${plan.take(2000)}")
+  }
 }
