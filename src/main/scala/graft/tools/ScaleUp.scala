@@ -50,9 +50,11 @@ object ScaleUp {
 
     val emb = Tables.embeddings(s, src)
     val nVecs = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    // keep the FULL schema (label included — q_ann_filtered needs it; the
+    // 100x probe caught the dropped column)
     emb.crossJoin(copies)
       .select((col("vec_id") + col("copy") * nVecs).as("vec_id"),
-        col("embedding"))
+        col("embedding"), col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
