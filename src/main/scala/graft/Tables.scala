@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
-import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's parquet test tables (`TESTDATA.md`).
   *
@@ -115,10 +115,20 @@ object Tables {
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  // the similarity operators assume float elements; the cast is a no-op on
-  // today's list<float> encoding and keeps them alive if the driver ever
-  // re-encodes as doubles (same drift class as events.ts — TESTDATA_NOTES.md)
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings")
-      .withColumn("embedding", col("embedding").cast("array<float>"))
+  // The similarity operators assume FLOAT elements and the DuckDB oracle
+  // computes on the same parquet file's physical type — so dispatch on the
+  // actual element type like tsAsNtz does (same drift class as events.ts,
+  // TESTDATA_NOTES.md). A silent cast from a double re-encode would make
+  // cosine scores diverge from the oracle SUBTLY (float32 rounding on one
+  // side only) instead of failing loudly; unexpected encodings throw.
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported physical type $other (expected " +
+          "array<float>) — the oracle parity contract depends on the element " +
+          "type; extend Tables.embeddings with an explicit, oracle-mirrored rule")
+    }
+  }
 }

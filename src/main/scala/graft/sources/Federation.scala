@@ -26,6 +26,27 @@ object Federation {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val dbSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Drop an in-memory Derby database. Derby signals a successful drop with
+    * SQLException 08006 ("shutdown"), so the catch IS the success path.
+    */
+  private def dropDb(url: String): Unit = {
+    val base = url.takeWhile(_ != ';')
+    try { java.sql.DriverManager.getConnection(s"$base;drop=true"); () }
+    catch { case _: java.sql.SQLException => () }
+  }
+
+  /** Each staged database is a full in-heap copy of its source slice, and a
+    * TrieMap keyed by session would otherwise retain it for the JVM lifetime
+    * even after the session stops (r8 ADVICE) — sweep stopped sessions'
+    * entries and drop their Derby dbs before staging a new one (mirroring
+    * IterCheckpoint.supersede's eager-release discipline).
+    */
+  private def evictStopped(): Unit =
+    Seq(staged, stagedFact).foreach { cache =>
+      cache.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(k => cache.remove(k).foreach(dropDb))
+    }
+
   /** The federated dimension table name inside the staged database. */
   val DimTable = "orders_dim"
 
@@ -34,7 +55,8 @@ object Federation {
     * JDBC url — the sandbox's Postgres stand-in (same `df.write.jdbc` /
     * `spark.read.jdbc` call shape, see README's migration section).
     */
-  private[graft] def ordersDimUrl(s: SparkSession, d: String): String =
+  private[graft] def ordersDimUrl(s: SparkSession, d: String): String = {
+    evictStopped()
     staged.getOrElseUpdate((s, d), {
       val url = s"jdbc:derby:memory:graft_fed_${dbSeq.incrementAndGet()};create=true"
       Tables.orders(s, d)
@@ -44,6 +66,7 @@ object Federation {
         .jdbc(url, DimTable, new java.util.Properties())
       url
     })
+  }
 
   /** Driver face: revenue by status over parquet lineitem joined to the
     * JDBC dimension. The oracle recomputes from the parquet orders the
@@ -78,7 +101,8 @@ object Federation {
     * loaded; real migrations prune at this step for the same reason the
     * reads do: the wire is the bottleneck.
     */
-  private[graft] def ordersFactUrl(s: SparkSession, d: String): String =
+  private[graft] def ordersFactUrl(s: SparkSession, d: String): String = {
+    evictStopped()
     stagedFact.getOrElseUpdate((s, d), {
       val url = s"jdbc:derby:memory:graft_fedfact_${dbSeq.incrementAndGet()};create=true"
       Tables.orders(s, d)
@@ -87,6 +111,7 @@ object Federation {
         .jdbc(url, FactTable, new java.util.Properties())
       url
     })
+  }
 
   /** Partitioned range read of the JDBC fact table: `partitionColumn` +
     * key bounds split the scan into [[FactScanPartitions]] concurrent range

@@ -23,10 +23,21 @@ import org.apache.spark.sql.DataFrame
   */
 class DedupLeakSpec extends SparkSpecBase {
 
+  /** The ContextCleaner drains its reference queue asynchronously and a
+    * fixed sleep races it on a loaded machine (r8 ADVICE) — poll until the
+    * count is stable across two consecutive samples, with a deadline.
+    */
   private def pinnedSettled: Int = {
     System.gc()
-    Thread.sleep(500) // ContextCleaner drains its ref queue asynchronously
-    spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var prev = spark.sparkContext.getPersistentRDDs.size
+    while (System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      val cur = spark.sparkContext.getPersistentRDDs.size
+      if (cur == prev) return cur
+      prev = cur
+    }
+    prev
   }
 
   private def assertFlat(name: String)(run: => (DataFrame, Long)): Unit = {

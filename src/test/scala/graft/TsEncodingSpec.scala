@@ -1,10 +1,11 @@
 package graft
 
 import graft.streaming.EventStreamJob
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.scalatest.BeforeAndAfterAll
 
 /** Pins the round-7 breakage class forever: the physical encoding of
   * `events.ts` is driver-owned and CHANGED between rounds (TIMESTAMP(NANOS)
@@ -13,7 +14,9 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * Every reader must dispatch on the actual column type, so a regeneration
   * with ANY supported encoding yields identical values.
   *
-  * Three fixtures, same logical rows:
+  * Three fixtures per driver-owned ts column (events.ts, orders.o_orderdate,
+  * lineitem.l_shipdate — the full matrix, r8 verdict task 7), same logical
+  * rows each:
   *  - INT64 nanos — the Spark-visible shape of a TIMESTAMP(NANOS) file under
   *    `nanosAsLong=true` (the conf rewrites the annotated type to LongType
   *    before any graft code runs, so a plain BIGINT column exercises the
@@ -23,8 +26,26 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   *  - TIMESTAMP (LTZ) — `timestamp[us]` adjusted to UTC, the third way a
   *    future regeneration could plausibly encode the same instants.
   */
-class TsEncodingSpec extends SparkSpecBase {
+class TsEncodingSpec extends SparkSpecBase with BeforeAndAfterAll {
   import spark.implicits._
+
+  // fixture temp dirs used to accumulate across runs (r8 ADVICE) — track
+  // every created dir and remove them recursively after the suite
+  private val createdDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private def tempDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    createdDirs.synchronized { createdDirs += p }
+    p
+  }
+  override def afterAll(): Unit = {
+    createdDirs.foreach { dir =>
+      val st = Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally st.close()
+    }
+    super.afterAll()
+  }
 
   // sub-micro digits in the nanos fixture prove micros-truncation parity
   private val rowsNanos = Seq(
@@ -35,27 +56,26 @@ class TsEncodingSpec extends SparkSpecBase {
   private def baseDf =
     rowsNanos.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
-  private lazy val dirs: Map[String, String] = {
-    val nanosDir = Files.createTempDirectory("graft_ts_nanos")
-    baseDf.coalesce(1).write.mode("overwrite")
-      .parquet(s"$nanosDir/events.parquet")
-
-    val ntzDir = Files.createTempDirectory("graft_ts_ntz")
-    baseDf
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$ntzDir/events.parquet")
-
-    val ltzDir = Files.createTempDirectory("graft_ts_ltz")
-    baseDf
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$ltzDir/events.parquet")
-
-    Map("nanos" -> nanosDir.toString, "ntz" -> ntzDir.toString,
-      "ltz" -> ltzDir.toString)
+  /** Write `df` (with BIGINT-nanos column `tsCol`) as `table`.parquet under
+    * three sibling dirs, one per physical encoding. Returns encoding → dir.
+    */
+  private def encodedDirs(table: String, tsCol: String, df: DataFrame)
+      : Map[String, String] = {
+    def write(suffix: String, enc: DataFrame => DataFrame): String = {
+      val dir = tempDir(s"graft_ts_${table}_$suffix")
+      enc(df).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/$table.parquet")
+      dir.toString
+    }
+    Map(
+      "nanos" -> write("nanos", identity),
+      "ntz" -> write("ntz", _.withColumn(tsCol,
+        timestamp_micros(expr(s"$tsCol div 1000")).cast("timestamp_ntz"))),
+      "ltz" -> write("ltz", _.withColumn(tsCol,
+        timestamp_micros(expr(s"$tsCol div 1000")))))
   }
+
+  private lazy val dirs: Map[String, String] = encodedDirs("events", "ts", baseDf)
 
   private def canon(df: DataFrame): Set[(Long, String, Long, String, Double)] =
     df.select(col("event_id"),
@@ -97,6 +117,46 @@ class TsEncodingSpec extends SparkSpecBase {
       (3L, 1700000172800000000L)))
   }
 
+  test("Tables.orders o_orderdate dispatches identically under every encoding") {
+    val base = Seq((1L, 1700000000123456789L, "O"), (2L, 1700000086400999999L, "F"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderstatus")
+    val ds = encodedDirs("orders", "o_orderdate", base)
+    val results = ds.map { case (k, d) =>
+      val df = Tables.orders(spark, d)
+      assert(df.schema("o_orderdate").dataType == TimestampNTZType,
+        s"$k: canonical o_orderdate must be TIMESTAMP_NTZ")
+      k -> df.select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .as[(Long, String)].collect().toSet
+    }
+    assert(results("nanos") == results("ntz") && results("nanos") == results("ltz"))
+    assert(results("nanos").contains((1L, "2023-11-14 22:13:20.123456")))
+  }
+
+  test("Tables.lineitem l_shipdate dispatches identically under every encoding") {
+    val base = Seq((1L, 1L, 1700000000123456789L), (2L, 1L, 1700000172800000001L))
+      .toDF("l_orderkey", "l_linenumber", "l_shipdate")
+    val ds = encodedDirs("lineitem", "l_shipdate", base)
+    val results = ds.map { case (k, d) =>
+      val df = Tables.lineitem(spark, d)
+      assert(df.schema("l_shipdate").dataType == TimestampNTZType,
+        s"$k: canonical l_shipdate must be TIMESTAMP_NTZ")
+      k -> df.select(col("l_orderkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .as[(Long, String)].collect().toSet
+    }
+    assert(results("nanos") == results("ntz") && results("nanos") == results("ltz"))
+    assert(results("nanos").contains((2L, "2023-11-14 22:16:12.800000")))
+  }
+
+  test("Tables.embeddings fails fast on a double re-encode") {
+    val dir = tempDir("graft_emb_double")
+    Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, dir.toString))
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
   test("readEventStream yields identical settled rows from every encoding") {
     val results = dirs.map { case (k, d) =>
       val q = EventStreamJob.runAvailableNow(
@@ -120,5 +180,11 @@ class TsEncodingSpec extends SparkSpecBase {
     // today; immune if the driver re-encodes them the way it did events.ts)
     assert(Tables.orders(spark, Sf).schema("o_orderdate").dataType == TimestampNTZType)
     assert(Tables.lineitem(spark, Sf).schema("l_shipdate").dataType == TimestampNTZType)
+    // the embeddings element-type dispatch (same drift class): float today
+    assert(Tables.embeddings(spark, Sf).schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
   }
 }
