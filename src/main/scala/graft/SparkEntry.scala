@@ -360,6 +360,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    // query-directed multi-probe LSH: flips subsets of the query's 6
+    // lowest-margin planes (64 probe buckets ≈ the IVF faces' candidate
+    // fraction); the recall face measures what the probing buys (0.04 →
+    // 0.54 at sf0.01). Oracle generated (plane count) — see lshOracles.
+    "q_ann_multiprobe" -> ((s, d) =>
+      Similarity.lshMultiProbeTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     // filtered vector search: the attribute predicate restricts candidates
     // BEFORE scoring (post-filtering a top-k under-returns)
     "q_ann_filtered" -> ((s, d) =>
@@ -373,6 +379,10 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTopKTrained(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
+    // measured recall@5 of each approximate face vs the exact brute force —
+    // the quality gate that makes the ANN faces shippable (r8 verdict task
+    // 1). Oracle is generated (it composes the lsh + trained-ivf oracles).
+    "q_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, 0.2)),
     // SemDeDup-style semantic dedup: trained-quantizer clustering as the
     // blocking, drop-by-any-smaller-id within a cluster at cosine ≥ 0.2.
@@ -2185,8 +2195,9 @@ object SparkEntry {
       : (Map[String, String], Map[String, String]) = {
     val groups: Seq[(Seq[String], () => Map[String, String])] = Seq(
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
-      (Seq("q_ann_lsh", "q_embed_neardup"), () => lshOracles(s, d)),
-      (Seq("q_ann_ivf_trained", "q_semantic_dedup"), () => centroidOracles(s, d)))
+      (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
+      (Seq("q_ann_ivf_trained", "q_semantic_dedup"), () => centroidOracles(s, d)),
+      (Seq("q_ann_recall"), () => annRecallOracle(s, d)))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
       case ((ok, errs), (names, gen)) =>
         try (ok ++ gen(), errs)
@@ -2198,7 +2209,49 @@ object SparkEntry {
   }
 
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] =
-    pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d)
+    pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d) ++
+      annRecallOracle(s, d)
+
+  /** Mirror of [[graft.operators.Similarity.annRecall]]: recall@5 of each
+    * approximate face against the exact brute-force top-k. Composes the
+    * same statements the individual faces are checked against (the lsh and
+    * trained-ivf parts embed run-time values — plane count, fitted
+    * centroids — hence generated). DuckDB allows a WITH inside a
+    * parenthesized subquery, so each face's full statement nests verbatim.
+    */
+  private def annRecallOracle(s: SparkSession, d: String): Map[String, String] = {
+    val exactSql = oracleSql("q_ann_cosine")
+    val ivfSql = oracleSql("q_ann_ivf")
+    val lsh = lshOracles(s, d)
+    val lshSql = lsh("q_ann_lsh")
+    val mpSql = lsh("q_ann_multiprobe")
+    val trainedSql = centroidOracles(s, d)("q_ann_ivf_trained")
+    Map("q_ann_recall" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+         |a_lsh AS (SELECT query_id, neighbor_id FROM ($lshSql)),
+         |a_mp AS (SELECT query_id, neighbor_id FROM ($mpSql)),
+         |a_ivf AS (SELECT query_id, neighbor_id FROM ($ivfSql)),
+         |a_tr AS (SELECT query_id, neighbor_id FROM ($trainedSql)),
+         |approx AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM a_lsh
+         |  UNION ALL SELECT 'lsh_multiprobe', query_id, neighbor_id FROM a_mp
+         |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM a_ivf
+         |  UNION ALL SELECT 'ivf_trained', query_id, neighbor_id FROM a_tr),
+         |hits AS (
+         |  SELECT a.method, a.query_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+         |  GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT m.method, q.query_id
+         |  FROM (SELECT DISTINCT query_id FROM exact) q
+         |  CROSS JOIN (VALUES ('lsh'), ('lsh_multiprobe'), ('ivf'),
+         |    ('ivf_trained')) m(method))
+         |SELECT spine.method, spine.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+         |FROM spine LEFT JOIN hits h
+         |  ON h.method = spine.method AND h.query_id = spine.query_id""".stripMargin)
+  }
 
   /** Graph-derived PageRank scale (overflow guard): the query run derives
     * the same constant from the same node count, so both embed S = 10^12
@@ -2251,6 +2304,8 @@ object SparkEntry {
            |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
            |WHERE rnk <= 5""".stripMargin,
 
+      "q_ann_multiprobe" -> sqlMultiProbe(planes),
+
       "q_embed_neardup" ->
         s"""WITH e AS (SELECT vec_id, embedding, ${sqlLshBucket(planes)} AS bucket,
            |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings)
@@ -2259,6 +2314,47 @@ object SparkEntry {
            |    ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine
            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |WHERE cosine >= 0.2""".stripMargin)
+  }
+
+  /** Mirror of [[graft.operators.Similarity.lshMultiProbeTopK]]: per-plane
+    * query projections, flip planes = the `fp` lowest-|proj| plane ids
+    * ((|proj|, plane) order — total, so both engines pick identical flip
+    * sets), 2^fp probe buckets via XOR of bit subsets, exact-cosine rerank
+    * of the probed buckets' union.
+    */
+  private def sqlMultiProbe(planes: Int): String = {
+    val fp = math.min(graft.operators.Similarity.MultiProbeFlipPlanes, planes)
+    val planeVal = "((CAST(" +
+      "CAST(concat('0x', substring(md5('plane' || CAST(r.p AS VARCHAR) || '~' || CAST(i-1 AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)" +
+      " AS DOUBLE) / 576460752303423488.0) - 1.0)"
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlLshBucket(planes)} AS bucket,
+       |    ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding, bucket, nrm2 FROM e WHERE vec_id < 10),
+       |proj AS (
+       |  SELECT query_id, r.p AS p,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * $planeVal), (x, y) -> x + y) AS proj
+       |  FROM q, range(0, $planes) r(p)),
+       |pids AS (
+       |  SELECT query_id, list(p ORDER BY abs(proj), p)[1:$fp] AS pids
+       |  FROM proj GROUP BY query_id),
+       |probes AS (
+       |  SELECT query_id, xor(bucket, list_reduce(list_transform(range(0, $fp),
+       |      j -> CASE WHEN (mask >> j) & 1 = 1
+       |        THEN CAST(1::BIGINT << pids[j+1] AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |    (x, y) -> x + y)) AS pbucket
+       |  FROM (SELECT q.query_id, q.bucket, pd.pids, m.range AS mask
+       |        FROM q JOIN pids pd USING (query_id), range(0, ${1 << fp}) m)),
+       |pairs AS (
+       |  SELECT p.query_id, n.vec_id AS neighbor_id,
+       |    ${sqlDot("qe.embedding", "n.embedding")} / (sqrt(qe.nrm2) * sqrt(n.nrm2)) AS cosine
+       |  FROM probes p
+       |  JOIN e n ON n.bucket = p.pbucket AND n.vec_id <> p.query_id
+       |  JOIN e qe ON qe.vec_id = p.query_id)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+       |WHERE rnk <= 5""".stripMargin
   }
 
   private def centroidOracles(s: SparkSession, d: String): Map[String, String] = {

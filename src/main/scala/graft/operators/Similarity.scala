@@ -219,6 +219,75 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Planes whose hyperplane the query sits closest to (smallest |proj|)
+    * are the likeliest to separate the query from its true neighbors —
+    * query-directed multi-probe flips subsets of exactly those. 6 flip
+    * planes → 2^6 = 64 probe buckets per query: at the 8-plane contract
+    * scale that is the same 25% candidate fraction the IVF face scans
+    * (4 of 16 cells), making the measured recall@5 comparison fair —
+    * 0.54 (multi-probe) vs 0.92 (IVF) vs 0.04 (single-bucket LSH) at
+    * sf0.01. The flip count is a recall knob, not corpus-derived: probe
+    * volume stays 2^flip × target occupancy (~512 vectors) at ANY corpus
+    * size, while single-bucket recall keeps degrading as [[planesFor]]
+    * grows the plane count with log N.
+    */
+  val MultiProbeFlipPlanes = 6
+
+  /** Query-directed multi-probe LSH (the Lv et al. 2007 idea, power-set
+    * variant): each query probes the 2^[[MultiProbeFlipPlanes]] buckets
+    * reachable by flipping any subset of its lowest-|projection| planes,
+    * then exact-cosine reranks the union of those buckets. Single-bucket
+    * LSH on this corpus measures recall@5 ≈ 0.04 ([[annRecall]]) — the
+    * sign bits of near-hyperplane projections are near-coin-flips, so the
+    * true neighbors sit one or two low-margin flips away; probing those
+    * buckets buys back most of the recall for a bounded candidate volume
+    * (32 × target-occupancy ≈ 256 candidates/query vs the corpus scan of
+    * brute force).
+    *
+    * Deterministic and oracle-exact: projections are the same md5-derived
+    * doubles on both engines, flip planes are chosen by (|proj|, plane)
+    * sort — total order, no float ties broken by luck — and distinct bit
+    * subsets give distinct buckets (no candidate dedup needed beyond the
+    * probe construction itself).
+    */
+  def lshMultiProbeTopK(s: SparkSession, d: String, k: Int = 5,
+      flipPlanes: Int = MultiProbeFlipPlanes): DataFrame = {
+    val planes = lshPlanes(s, d)
+    val fp = math.min(flipPlanes, planes)
+    val m = planeMatrix(planes)
+    val emb = Tables.embeddings(s, d)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"))
+      .withColumn("nn", norm(col("nvec")))
+      .withColumn("bucket", lshBucket(col("nvec"), planes))
+    val projCols = (0 until planes).map { p =>
+      dot(col("qvec"), array(m(p).map(lit).toSeq: _*)).as(s"proj$p")
+    }
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .withColumn("qn", norm(col("qvec")))
+      .withColumn("bucket", lshBucket(col("qvec"), planes))
+    val withProj = q.select(Seq(col("query_id"), col("qvec"), col("qn"),
+      col("bucket")) ++ projCols: _*)
+      // plane ids ordered by margin: struct sort on (|proj|, plane) — the
+      // plane id tiebreak makes the order total on both engines
+      .withColumn("pids", expr(
+        s"transform(slice(array_sort(array(${(0 until planes).map(p =>
+          s"struct(abs(proj$p) AS m, $p AS p)").mkString(", ")})), 1, $fp), x -> x.p)"))
+      .select(col("query_id"), col("qvec"), col("qn"), col("bucket"), col("pids"))
+    val probes = withProj
+      .select(col("query_id"), col("qvec"), col("qn"), col("bucket"), col("pids"),
+        explode(sequence(lit(0), lit((1 << fp) - 1))).as("mask"))
+      .withColumn("pbucket", expr(
+        s"bucket ^ aggregate(sequence(0, ${fp - 1}), 0L, (acc, j) -> acc + " +
+          "CASE WHEN (mask >> j) & 1 = 1 THEN shiftleft(1L, element_at(pids, j + 1)) " +
+          "ELSE 0L END)"))
+      .select(col("query_id"), col("qvec"), col("qn"), col("pbucket"))
+    val scored = corpus.join(broadcast(probes), col("bucket") === col("pbucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    topKPerQuery(scored, k)
+  }
+
   val IvfCentroids = 16
   val IvfProbe = 4
 
@@ -393,6 +462,44 @@ object Similarity {
       .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .withColumnRenamed("vec_id", "neighbor_id")
     topKPerQuery(scored, k)
+  }
+
+  /** Measured recall@k of every approximate ANN face against the exact
+    * brute-force top-k — the quality number an ANN index is shipped (or
+    * rejected) on. Without it a recall-0.2 index passes every determinism
+    * check in the suite (r8 verdict: the engine's largest unmeasured risk).
+    *
+    * Per (method, query): `n_hits` = |approx top-k ∩ exact top-k|,
+    * `recall` = n_hits / k. Methods with empty result sets for a query
+    * (an LSH probe whose bucket holds < k neighbors) still appear, at 0 —
+    * the spine is queries × methods, not whatever the index returned.
+    *
+    * Scale shape: each face's top-k is queries×k rows, so every join here
+    * is tiny regardless of corpus size — the measurement costs one extra
+    * exact scan (the brute-force baseline), which at 100 TB runs over a
+    * SAMPLED query set exactly as it does here (vec_id < 10).
+    */
+  def annRecall(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val exact = bruteForceTopK(s, d, k).select(col("query_id"), col("neighbor_id"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> lshTopK(s, d, k),
+      "lsh_multiprobe" -> lshMultiProbeTopK(s, d, k),
+      "ivf" -> ivfTopK(s, d, k),
+      "ivf_trained" -> ivfTopKTrained(s, d, k))
+    val approx = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("method"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val spine = exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(methods.map(_._1).toDF("method")))
+    spine.join(hits, Seq("method", "query_id"), "left_outer")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        // n_hits / k over small integers: exact in IEEE on both engines
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
   }
 
   /** SemDeDup-style semantic deduplication: cluster every vector with the

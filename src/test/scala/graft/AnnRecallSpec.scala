@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Measured ANN quality (r8 verdict task 1): recall@5 of every approximate
+  * face against the exact brute-force top-k, at the driver's sf0.01 contract
+  * scale. Until this spec, a recall-0.2 index passed every check in the
+  * suite — the oracles replicate the approximation, so only an explicit
+  * exact-baseline comparison can see quality.
+  *
+  * Measured at sf0.01 (2000 vectors, 10 queries): ivf ≈ 0.92,
+  * ivf_trained ≈ 0.88, lsh_multiprobe ≈ 0.54, single-bucket lsh ≈ 0.04.
+  * The floors assert with margin below those. The honest headline: on this
+  * near-isotropic synthetic corpus (exact top-5 cosine ≈ 0.33 avg), IVF
+  * dominates sign-LSH at the same 25% candidate fraction — which is exactly
+  * the steer a user needs and exactly what an unmeasured index hides.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  private lazy val meanRecall: Map[String, Double] =
+    Similarity.annRecall(spark, Sf01)
+      .groupBy(col("method")).agg(avg(col("recall")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("recall report covers every face × every query") {
+    val rows = Similarity.annRecall(spark, Sf01).collect()
+    assert(rows.length == 4 * 10) // 4 methods × 10 probe queries
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("IVF faces clear a 0.7 recall floor at sf0.01") {
+    info(s"measured mean recall@5: $meanRecall")
+    assert(meanRecall("ivf") >= 0.75, s"ivf recall ${meanRecall("ivf")}")
+    assert(meanRecall("ivf_trained") >= 0.7,
+      s"ivf_trained recall ${meanRecall("ivf_trained")}")
+  }
+
+  test("multi-probe LSH clears a 0.4 floor and strictly dominates single-bucket LSH") {
+    assert(meanRecall("lsh_multiprobe") >= 0.4,
+      s"multiprobe recall ${meanRecall("lsh_multiprobe")}")
+    // mask 0 probes the base bucket, so multiprobe candidates are a strict
+    // superset of the single-bucket face's — recall can only improve
+    assert(meanRecall("lsh_multiprobe") > meanRecall("lsh"),
+      s"multiprobe ${meanRecall("lsh_multiprobe")} vs lsh ${meanRecall("lsh")}")
+  }
+
+  test("multiprobe recall >= single-bucket recall per query (superset property)") {
+    val per = Similarity.annRecall(spark, Sf01)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("method") === "lsh", col("recall"))).as("r_lsh"),
+        max(when(col("method") === "lsh_multiprobe", col("recall"))).as("r_mp"))
+      .collect()
+    per.foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(1),
+        s"query ${r.get(0)}: multiprobe ${r.getDouble(2)} < lsh ${r.getDouble(1)}")
+    }
+  }
+}
