@@ -337,6 +337,11 @@ object SparkEntry {
         "q_stream_enrich_sink", "append")
     }),
 
+    // -- correlated subqueries (the ad-hoc SQL surface, TPC-H q4/q17 class;
+    //    Catalyst decorrelation plan-asserted in PlanQualitySpec)
+    "q_exists_orders" -> (Analytics.existsReturnedOrders _),
+    "q_corr_scalar" -> (Analytics.correlatedAvgQuantity _),
+
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -1902,6 +1907,30 @@ object SparkEntry {
          |    CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
          |FROM m""".stripMargin
     },
+
+    // the same EXISTS text DuckDB decorrelates its own way — what's checked
+    // is that both rewrites preserve the subquery semantics exactly
+    "q_exists_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // correlated scalar subquery; l_quantity is integral so the double avg
+    // is exact on both engines (sum of integers < 2^53)
+    "q_corr_scalar" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_partkey % 7 = 0
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+        |                    WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
 
     // canonical u<v<w triple join — a DIFFERENT algorithm than the Spark
     // side's degree-ordered node-iterator, same exact integer count

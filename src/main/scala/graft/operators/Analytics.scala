@@ -557,4 +557,60 @@ object Analytics {
   def nationsExcept(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
       .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+
+  // ---- correlated subqueries (the E3 ad-hoc-SQL surface; SURVEY §3 E3) ----
+
+  /** Register this dataset's tables as session temp views so ad-hoc SQL —
+    * the reference's Adminer path (README.MD:50-59) — runs against the same
+    * dispatch-corrected readers every DataFrame face uses. Names are
+    * prefixed to keep the session catalog collision-free.
+    */
+  private def sqlViews(s: SparkSession, d: String): Unit = {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+  }
+
+  /** TPC-H Q4-class EXISTS semi-join, as a user would type it at the ad-hoc
+    * SQL surface: orders in a date window having at least one returned line
+    * item. Catalyst's RewritePredicateSubquery decorrelates the EXISTS into
+    * a LEFT SEMI join (PlanQualitySpec asserts no per-row subquery node
+    * survives in the physical plan) — the shape that scales: one shuffle on
+    * the join key instead of a subquery execution per outer row.
+    */
+  def existsReturnedOrders(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM g_orders
+        |WHERE o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP_NTZ '1995-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q17-class correlated SCALAR subquery: line items priced below
+    * 20% of their part's average quantity, rolled up per brand. Catalyst's
+    * RewriteCorrelatedScalarSubquery pulls the per-part aggregate out into
+    * one grouped aggregation joined back on the correlation key — O(parts)
+    * aggregate + one join, not an aggregate per outer row.
+    *
+    * Oracle parity: l_quantity is integral (1..50), so the double avg is an
+    * exact-integer sum / count — bit-identical across engines with no
+    * decimal detour; the revenue output goes through decimal as everywhere.
+    */
+  def correlatedAvgQuantity(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    s.sql(
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM g_lineitem JOIN g_part ON p_partkey = l_partkey
+        |WHERE p_partkey % 7 = 0
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM g_lineitem
+        |                    WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin)
+  }
 }

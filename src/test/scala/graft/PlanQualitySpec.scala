@@ -224,6 +224,26 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("EXISTS decorrelates to a left semi join (no per-row subquery)") {
+    val p = plan(q("q_exists_orders"))
+    assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$p")
+    // the rewrite must be total: no subquery node survives into execution
+    assert(!p.toLowerCase.contains("subquery"),
+      s"residual subquery execution in EXISTS plan:\n$p")
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val df = q("q_corr_scalar")
+    val p = plan(df)
+    // RewriteCorrelatedScalarSubquery: per-part avg becomes ONE grouped
+    // aggregate joined back on the correlation key — never an aggregate
+    // per outer row (a scalar-subquery exec node would mean per-row)
+    assert(!p.toLowerCase.contains("scalar-subquery") &&
+      !p.contains("ScalarSubquery"),
+      s"correlated scalar subquery not decorrelated:\n$p")
+    assert(p.contains("avg(l_quantity"), s"pulled-up aggregate missing:\n$p")
+  }
+
   test("contamination broadcasts the eval side and shuffles only longs") {
     val df = q("q_contamination")
     val p = plan(df)
