@@ -273,14 +273,57 @@ object TrainingData {
     * Ranking key is the md5 of a seeded doc-id string (bit-equal in DuckDB,
     * so the oracle reproduces the exact selection), doc_id tiebreak.
     *
-    * Shape: one hash shuffle on the group key + a per-group sort bounded by
-    * the group's size. At 100 TB a group is corpus-scale, so the production
-    * form pre-prunes by hash prefix first (`u < c·k/|group|` with generous
-    * c, the [[hashSplit]] trick) and ranks only the survivors — same
-    * selection, sort input ∝ k. The face keeps the un-pruned form: its
-    * selection is what the oracle pins.
+    * Production shape (r8 verdict task 3 — now implemented, not just
+    * documented): the window never sees the corpus. Survivors are
+    * pre-pruned by hash PREFIX — `u ≤ c·k/|group|` where `u` is the first
+    * 60 bits of the ranking md5 as a uniform [0,1) draw — so the per-group
+    * sort input is ∝ c·k instead of the group size. Exactness argument: if
+    * a group keeps ≥ min(k, |group|) survivors, the true top-k are all
+    * survivors (any non-survivor has a strictly larger 60-bit prefix than
+    * every survivor, hence a larger full key — prefix order IS string order
+    * on equal-length hex). Groups where the uniform draw under-delivers
+    * (P ≈ e^{-c·k} per group — negligible, but the guarantee must not be
+    * probabilistic) are detected by a survivor count against min(k, n_g)
+    * and ranked IN FULL: bit-identical selection under every outcome,
+    * pinned by TrainingDataSpec against the un-pruned reference.
+    *
+    * Cost: two narrow passes over (doc_id, lang) + a languages-sized
+    * broadcast, against the full-corpus per-group SORT the naive form pays
+    * — the sort is the term that breaks at 100 TB (a group is corpus-scale
+    * there), the scans are the cheap linear part.
     */
-  def sampleTopKPerGroup(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+  def sampleTopKPerGroup(s: SparkSession, d: String, k: Int = 10,
+      pruneFactor: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk_key", md5(concat(lit("seed42:"), col("doc_id").cast("string"))))
+      .withColumn("u", call_function("graft_hex15", col("rk_key")).cast("double")
+        / lit((1L << 60).toDouble))
+    val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+    val bound = least(lit(1.0), lit(pruneFactor.toDouble * k) / col("n_g"))
+    val candidates = docs.join(broadcast(sizes), Seq("lang"))
+      .filter(col("u") <= bound)
+    // safety net: a group whose survivor count fell below min(k, n_g) is
+    // ranked in full (languages-sized frames; empty in practice)
+    val deficient = candidates.groupBy(col("lang")).agg(count(lit(1)).as("n_surv"))
+      .join(sizes, Seq("lang"), "right_outer")
+      .filter(coalesce(col("n_surv"), lit(0L)) < least(lit(k.toLong), col("n_g")))
+      .select(col("lang"))
+    val pruned = candidates.join(broadcast(deficient), Seq("lang"), "left_anti")
+    val fallback = docs.join(broadcast(deficient), Seq("lang"), "left_semi")
+    val w = Window.partitionBy(col("lang")).orderBy(col("rk_key"), col("doc_id"))
+    pruned.select(col("doc_id"), col("lang"), col("rk_key"))
+      .unionByName(fallback.select(col("doc_id"), col("lang"), col("rk_key")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** The un-pruned reference form of [[sampleTopKPerGroup]] (full per-group
+    * sort) — kept for the spec's bit-identity assertion.
+    */
+  private[graft] def sampleTopKPerGroupFullSort(s: SparkSession, d: String,
+      k: Int = 10): DataFrame = {
     val key = md5(concat(lit("seed42:"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("lang")).orderBy(key, col("doc_id"))
     Tables.documents(s, d)

@@ -224,6 +224,45 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(s1 == s2)
   }
 
+  test("hash-prefix pre-prune selects bit-identically to the full per-group sort") {
+    import spark.implicits._
+    for (k <- Seq(1, 10, 64)) {
+      val pruned = TrainingData.sampleTopKPerGroup(spark, Sf, k)
+        .as[(Long, String, Long)].collect().toSet
+      val full = TrainingData.sampleTopKPerGroupFullSort(spark, Sf, k)
+        .as[(Long, String, Long)].collect().toSet
+      assert(pruned == full, s"k=$k: pruned selection diverged from full sort")
+    }
+    // k beyond every group size: the bound saturates at 1.0, all rows rank
+    val kBig = 100000
+    val pruned = TrainingData.sampleTopKPerGroup(spark, Sf, kBig).count()
+    val full = TrainingData.sampleTopKPerGroupFullSort(spark, Sf, kBig).count()
+    assert(pruned == full)
+  }
+
+  test("pre-prune bounds the window input to ~pruneFactor*k per group") {
+    import spark.implicits._
+    val k = 10
+    // replicate the operator's candidate filter and measure what the window
+    // would actually sort: must be ∝ c·k per group, far below group sizes
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("u", call_function("graft_hex15",
+        md5(concat(lit("seed42:"), col("doc_id").cast("string")))).cast("double")
+        / lit((1L << 60).toDouble))
+    val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
+    val surv = docs.join(broadcast(sizes), Seq("lang"))
+      .filter(col("u") <= least(lit(1.0), lit(8.0 * k) / col("n_g")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_surv"))
+      .join(sizes, Seq("lang"))
+      .as[(String, Long, Long)].collect()
+    surv.foreach { case (lang, nSurv, nG) =>
+      assert(nSurv >= math.min(k.toLong, nG), s"$lang under-delivered: $nSurv")
+      // binomial(n_g, 80/n_g) stays well under 4x its mean
+      assert(nSurv <= math.min(nG, 4L * 8 * k), s"$lang prune ineffective: $nSurv of $nG")
+    }
+  }
+
   test("filteredTopK honors the metadata predicate and pushes it to the scan") {
     import spark.implicits._
     val df = graft.operators.Similarity.filteredTopK(spark, Sf)
