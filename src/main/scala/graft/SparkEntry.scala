@@ -548,6 +548,33 @@ object SparkEntry {
       Layouts.sketchStoreCheckedAt(s, d, s"$root/store")
     }),
 
+    //    streaming maintenance of the dedup band index: the corpus arrives
+    //    as four doc slices through Sinks.streamBandIndex (anti-join replay
+    //    safety keyed on doc_id), and the settled store then serves the
+    //    SAME batch-probes-corpus query the statically-built index answers
+    //    — one oracle (q_dedup_incremental's), two maintenance paths.
+    "q_stream_band_index" -> ((s, d) => {
+      val root = stagedLanding("bandidx_mb", d) { dir =>
+        java.nio.file.Files.createDirectory(dir.resolve("landing"))
+        val corpus = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val base = System.currentTimeMillis()
+        for (i <- 0 until StreamSlices) {
+          writeSliceFile(
+            corpus.filter(pmod(expr("doc_id div 5"), lit(StreamSlices)) === i),
+            dir.resolve("landing"), f"b$i%02d.parquet", base + i * 2000L)
+        }
+      }
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/landing")
+      graft.sources.Sinks.streamBandIndex(stream, s"$root/store", s"$root/ckpt")
+        .awaitTermination()
+      Dedup.incrementalNearDupProbeIndex(s, d, s"$root/store")
+    }),
+
     // -- data-quality gate (the validation stage the reference's DAGs lack)
     "q_quality_report" -> ((s, d) => Profiling.qualityReport(s, d)),
 
@@ -563,6 +590,9 @@ object SparkEntry {
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
+    // DOULION edge-sampled estimate (p = 1/4, md5-deterministic so the
+    // oracle reproduces the same sampled subgraph and the same integer)
+    "q_triangle_approx" -> ((s, d) => Graphs.triangleCountApprox(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
     "q_co_order_topk" -> ((s, d) => Graphs.coOrderTopK(s, d)),
 
@@ -905,6 +935,29 @@ object SparkEntry {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin
+
+  /** Shared by q_dedup_incremental (statically-built index) and
+    * q_stream_band_index (streaming-maintained index): both probe the
+    * batch docs against the corpus band index and must land the same pairs.
+    */
+  private lazy val IncrementalNearDupOracleSql: String =
+    s"""WITH sh AS ($sqlShingles),
+       |sig AS (
+       |  SELECT doc_id, sset, list_transform(range(0, ${Dedup.NumHashes}), k ->
+       |    list_min(list_transform(sset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sset, r.b AS band,
+       |    md5(concat(CAST(sig[2*r.b+1] AS VARCHAR), ',', CAST(sig[2*r.b+2] AS VARCHAR))) AS band_key
+       |  FROM sig, range(0, ${Dedup.Bands}) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+       |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+       |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+       |SELECT batch_doc, corpus_doc, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin
 
   private val decQty = "CAST(l_quantity AS DECIMAL(18,2))"
   private val decRevenue =
@@ -1415,24 +1468,11 @@ object SparkEntry {
     // corpus-side (sides disjoint, so no ordering tiebreak); the Spark
     // side's distinct-set collapse and band-population capping are
     // optimizations proven recall-exact against exactly this semantics
-    "q_dedup_incremental" ->
-      s"""WITH sh AS ($sqlShingles),
-         |sig AS (
-         |  SELECT doc_id, sset, list_transform(range(0, ${Dedup.NumHashes}), k ->
-         |    list_min(list_transform(sset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
-         |  FROM sh),
-         |bands AS (
-         |  SELECT doc_id, sset, r.b AS band,
-         |    md5(concat(CAST(sig[2*r.b+1] AS VARCHAR), ',', CAST(sig[2*r.b+2] AS VARCHAR))) AS band_key
-         |  FROM sig, range(0, ${Dedup.Bands}) r(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
-         |    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
-         |      (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
-         |SELECT batch_doc, corpus_doc, jaccard FROM cand WHERE jaccard >= 0.35""".stripMargin,
+    "q_dedup_incremental" -> IncrementalNearDupOracleSql,
+
+    // the STREAMING-maintained band index must answer the identical
+    // batch-probes-corpus question — one oracle, two maintenance paths
+    "q_stream_band_index" -> IncrementalNearDupOracleSql,
 
     // independent implementation of connected components: transitive closure
     // by recursive CTE (UNION's set semantics terminate cycles), then the
@@ -1942,6 +1982,25 @@ object SparkEntry {
         |FROM edges e1
         |JOIN edges e2 ON e2.u = e1.v
         |JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // md5-deterministic DOULION sample: both engines keep the same edges
+    // (60-bit md5 prefix < 2^58 ⇔ p = 1/4) and count the same triangles on
+    // the subgraph; 1/p³ = 64 keeps the estimate an exact integer
+    "q_triangle_approx" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |          FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk),
+        |sampled AS (SELECT u, v FROM edges
+        |  WHERE CAST(concat('0x', substring(md5('tri:' || CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    < 288230376151711744),
+        |t AS (SELECT count(*) AS n_sampled
+        |      FROM sampled e1
+        |      JOIN sampled e2 ON e2.u = e1.v
+        |      JOIN sampled e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST(n_sampled * 64 AS BIGINT) AS est_triangles,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  (n_sampled >= 25) AS sample_ok
+        |FROM t""".stripMargin,
 
     // heaviest co-order pairs with support; (n DESC, u, v) tiebreak makes
     // the LIMIT deterministic

@@ -155,6 +155,41 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  /** (doc_id, sset, skey) for a (doc_id, text) frame: distinct 3-shingle
+    * set + its order-normalized exact identity key. The shared front of
+    * every minhash face (shingles never contain NUL, so skey is
+    * collision-free up to md5).
+    */
+  private[graft] def keyedShingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingles3(col("text")).as("sset"))
+      .filter(size(col("sset")) > 0)
+      .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset")))))
+
+  /** (doc_id, skey, band, band_key) PER-DOCUMENT band rows — the append-only
+    * index layout the STREAMING maintenance lands in storage
+    * ([[graft.sources.Sinks.streamBandIndex]]): a batch's docs band
+    * independently of every other batch (no cross-batch rep bookkeeping —
+    * identical ssets get identical band keys wherever they arrive), and the
+    * probe collapses to rep level at read time. Same signature aggregation
+    * as [[repBands]].
+    */
+  private[graft] def docBands(keyed: DataFrame): DataFrame = {
+    val postings = keyed.select(col("doc_id"), col("skey"),
+      explode(col("sset")).as("shingle"))
+      .repartition(col("doc_id"))
+    val mins = (0 until NumHashes).map(k =>
+      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+    postings.groupBy(col("doc_id"), col("skey")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), col("skey"),
+        posexplode(array((0 until Bands).map(b =>
+          md5(concat_ws(",",
+            col(s"h${2 * b}").cast("string"),
+            col(s"h${2 * b + 1}").cast("string")))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
   def minhashLshPairs(s: SparkSession, d: String,
       hotBandCap: Int = HotBandCap): DataFrame = {
     // (doc_id, sset, skey): skey = exact set identity, order-normalized.
@@ -272,6 +307,73 @@ object Dedup {
     val membersC = keyed.filter(!col("in_batch"))
       .select(col("skey").as("skey_c"), col("doc_id").as("corpus_doc"))
     repPairs.join(membersB, Seq("skey_b")).join(membersC, Seq("skey_c"))
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
+  /** [[incrementalNearDup]] against a MATERIALIZED band index — the fully
+    * end-to-end production loop: the corpus side comes from the stored
+    * (doc_id, skey, band, band_key) table that
+    * [[graft.sources.Sinks.streamBandIndex]] maintains append-only, never
+    * from re-banding the corpus. The index supplies candidates AND corpus
+    * membership; `documents` is touched only for the batch side and for
+    * point-fetching the candidate representatives' content at verify time
+    * (the narrow lookup a deployment pays to compute exact Jaccard).
+    *
+    * Result-identical to [[incrementalNearDup]] (and so answers the same
+    * oracle): the index stores per-doc rows, but identical ssets band
+    * identically, so collapsing to (skey → min doc_id) at read time
+    * reproduces exactly the rep table the batch face builds; candidates are
+    * deduped per rep pair before verification, and the population cap only
+    * redistributes meetings (`ba = hash(brid) mod g`), never changes the
+    * candidate set.
+    */
+  def incrementalNearDupProbeIndex(s: SparkSession, d: String,
+      storePath: String, threshold: Double = 0.35,
+      hotBandCap: Int = HotBandCap): DataFrame = {
+    val idx = s.read.parquet(storePath)
+    val (bKeyed, bkIds) = IterCheckpoint.checkpoint(
+      keyedShingles(Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))))
+    val (bReps, bIds) = IterCheckpoint.checkpoint(
+      bKeyed.groupBy(col("skey"))
+        .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset")))
+    supersede(s, "incrementalNearDupProbeIndex", bkIds ++ bIds)
+    // rep-level corpus rows from the stored index: min member per distinct
+    // set (all members of a skey carry identical band rows)
+    val cIdx = idx.groupBy(col("skey"), col("band"), col("band_key"))
+      .agg(min(col("doc_id")).as("rid"))
+    val banded = repBands(bReps).withColumn("probe", lit(true))
+      .unionByName(cIdx.select(col("rid"), col("band"), col("band_key"))
+        .withColumn("probe", lit(false)))
+    val popln = Window.partitionBy(col("band"), col("band_key"))
+    val sized = banded
+      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
+    val a = sized.filter(col("probe")).select(col("band"), col("band_key"),
+      pmod(xxhash64(col("rid")), col("g")).cast("int").as("ba"), col("rid").as("brid"))
+    val b = sized.filter(!col("probe")).select(col("band"), col("band_key"),
+      col("rid").as("crid"), explode(sequence(lit(0), col("g") - 1)).as("ba"))
+    val cand = a.join(b, Seq("band", "band_key", "ba"))
+      .select(col("brid"), col("crid")).distinct()
+    // verify: batch sets ride the rep table; corpus candidate sets are
+    // point-fetched from documents by rep doc id (content lookup, not scan)
+    val cRepSets = Tables.documents(s, d)
+      .join(cand.select(col("crid")).distinct(), col("doc_id") === col("crid"))
+      .select(col("crid"), shingles3(col("text")).as("set_c"))
+    val repPairs = cand
+      .join(bReps.select(col("rid").as("brid"), col("skey").as("skey_b"),
+        col("sset").as("set_b")), Seq("brid"))
+      .join(cRepSets, Seq("crid"))
+      .select(col("skey_b"), col("crid"),
+        (size(array_intersect(col("set_b"), col("set_c"))).cast("double") /
+          size(array_union(col("set_b"), col("set_c")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val membersB = bKeyed.select(col("skey").as("skey_b"), col("doc_id").as("batch_doc"))
+    // rep id → its set's members, both straight from the index
+    val cridSkey = idx.groupBy(col("skey")).agg(min(col("doc_id")).as("crid"))
+    val membersC = idx.select(col("skey"), col("doc_id").as("corpus_doc")).distinct()
+    repPairs.join(membersB, Seq("skey_b"))
+      .join(cridSkey, Seq("crid"))
+      .join(membersC, Seq("skey"))
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
   }
 

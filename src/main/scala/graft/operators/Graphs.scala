@@ -376,6 +376,47 @@ object Graphs {
     }
   }
 
+  /** DOULION-style approximate triangle count (Tsourakakis et al. 2009):
+    * keep each edge independently with probability p = 2^-`invPLog2`, count
+    * triangles EXACTLY on the sampled graph, scale by 1/p³. The unbiased
+    * estimator whose concentration the paper proves — and the face the
+    * exact [[triangleCount]] needs beside it at 100 TB: the Σ outdeg² wedge
+    * volume that times the exact count out on dense graphs (SURVEY §12.6:
+    * 35.2B wedges at 30×-dense) shrinks by p² ≈ 16× at the default p, while
+    * the estimate stays within a few percent whenever the sampled count
+    * clears the in-plan gate.
+    *
+    * Oracle-exact despite being approximate: the coin flip is the md5 of
+    * the canonical edge ("tri:u,v" — 60-bit prefix < p·2^60), so both
+    * engines sample the identical subgraph and the estimate is the same
+    * integer (p a power of two ⇒ 1/p³ = 2^{3·invPLog2} exactly).
+    *
+    * `sample_ok` is the error gate: rel. std-error of the estimator is
+    * ~1/√n_sampled (Poisson-ish survival of triangles at p³), so
+    * n_sampled ≥ 25 bounds it near 20%. A FALSE here means p is too
+    * aggressive for this graph — the caller should halve `invPLog2`, not
+    * trust the number.
+    */
+  def triangleCountApprox(s: SparkSession, d: String, invPLog2: Int = 2): DataFrame =
+    triangleCountApproxEdges(coOrderEdges(s, d), invPLog2)
+
+  val ApproxMinSampled = 25L
+
+  def triangleCountApproxEdges(edges: DataFrame, invPLog2: Int = 2): DataFrame = {
+    require(invPLog2 >= 0 && invPLog2 <= 19, s"invPLog2 $invPLog2 out of range")
+    val keepBound = 1L << (60 - invPLog2)
+    val scale = 1L << (3 * invPLog2)
+    val sampled = edges.filter(
+      call_function("graft_hex15",
+        md5(concat(lit("tri:"), col("u").cast("string"), lit(","),
+          col("v").cast("string")))) < lit(keepBound))
+    triangleCountEdges(sampled)
+      .select(
+        (col("n_triangles") * scale).as("est_triangles"),
+        col("n_triangles").as("n_sampled"),
+        (col("n_triangles") >= ApproxMinSampled).as("sample_ok"))
+  }
+
   /** Build the closing-edge Bloom sketch (m keys, fpp 0.01 ⇒ m·~10 bits)
     * and land it in STORAGE: the single merged sketch row is written by the
     * executor running the final aggregate task and lazily re-read by every

@@ -233,6 +233,43 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance of the MinHash-LSH band index
+    * ([[graft.operators.Dedup]]): each micro-batch of (doc_id, text) docs
+    * lands its per-doc (doc_id, skey, band, band_key) rows append-only —
+    * the daily-crawl loop's standing index, maintained as batches are
+    * admitted instead of rebuilt per probe. Banding is a pure function of
+    * a doc's own content (md5-derived), so batches index independently —
+    * no cross-batch state beyond the store itself.
+    *
+    * Replay safety is the [[streamInsertIgnore]] anti-join shape keyed on
+    * doc_id: a doc's 8 band rows land atomically in its batch's append, so
+    * key-level presence ⇒ the full row group is present, and a torn batch
+    * (append landed, checkpoint commit lost) replays to nothing
+    * (SinksSpec).
+    */
+  def streamBandIndex(stream: DataFrame, storePath: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bands = graft.operators.Dedup.docBands(
+          graft.operators.Dedup.keyedShingles(batch))
+        val fresh =
+          try {
+            val existing = spark.read.parquet(storePath)
+              .select("doc_id").distinct()
+            bands.join(existing, Seq("doc_id"), "left_anti")
+          } catch { case _: org.apache.spark.sql.AnalysisException => bands }
+        fresh.write.mode(SaveMode.Append).parquet(storePath)
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   def writeJdbcInsertIgnore(incoming: DataFrame, url: String, table: String,
       key: String, props: Properties = new Properties(),
       batchSize: Int = 10000): Unit = {

@@ -35,6 +35,27 @@ class GraphsSpec extends SparkSpecBase {
       sketchWedgeFactor = 0) == 4L)                           // forced sketch file
   }
 
+  test("approx triangle: p=1 degenerates to exact, estimate deterministic and near exact") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // invPLog2 = 0 ⇒ keep-bound 2^60 > any md5 prefix ⇒ every edge kept,
+    // scale 1 ⇒ the estimator IS the exact count
+    val full = Graphs.triangleCountApproxEdges(k4.toDF("u", "v"), 0).head()
+    assert(full.getLong(0) == 4L && full.getLong(1) == 4L)
+    // the real co-order graph at p=1/4: deterministic across runs, unbiased
+    // enough to land within ±20% of exact here (measured −3%; the loose
+    // band keeps the assertion about the MECHANISM, not this dataset)
+    val exact = Graphs.triangleCount(spark, Sf).head().getLong(0)
+    val a1 = Graphs.triangleCountApprox(spark, Sf).head()
+    val a2 = Graphs.triangleCountApprox(spark, Sf).head()
+    assert(a1.getLong(0) == a2.getLong(0), "sampling not deterministic")
+    assert(a1.getBoolean(2), s"sample_ok false: n_sampled=${a1.getLong(1)}")
+    val est = a1.getLong(0).toDouble
+    assert(math.abs(est - exact) / exact <= 0.2,
+      s"estimate $est vs exact $exact out of band")
+    // the estimator arithmetic: est = n_sampled * 64 at p = 1/4
+    assert(a1.getLong(0) == a1.getLong(1) * 64)
+  }
+
   test("fixed-point pageRank: hand-computed ranks on the path graph 1-2-3") {
     val S = Graphs.RankScale
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")

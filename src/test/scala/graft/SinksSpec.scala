@@ -191,6 +191,56 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("streamBandIndex: torn batch replays to an identical index; probe equals batch face") {
+    import graft.operators.Dedup
+    val landing = Files.createTempDirectory("graft_bisrc")
+    val corpus = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"))
+    // two slices, written as separate files with ordered mtimes
+    corpus.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(landing.toString + "/s0")
+    corpus.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(landing.toString + "/s1")
+    val flat = Files.createTempDirectory("graft_biland")
+    var t = System.currentTimeMillis()
+    for (i <- 0 to 1) {
+      val part = Files.list(java.nio.file.Paths.get(s"$landing/s$i"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = flat.resolve(f"b$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+      t += 2000
+    }
+    val store = Files.createTempDirectory("graft_bitgt").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_bick").toString
+    def start() = Sinks.streamBandIndex(
+      spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(flat.toString),
+      store, ckpt)
+    try {
+      Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn band-index batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    start().awaitTermination() // restart: torn batch replays, must add nothing
+    // no doc indexed twice: exactly 8 band rows per indexed doc
+    val perDoc = spark.read.parquet(store).groupBy("doc_id").count()
+      .select("count").distinct().as[Long].collect().toSet
+    assert(perDoc == Set(Dedup.Bands.toLong), s"band rows per doc: $perDoc")
+    // the streaming-built index answers exactly like the batch face
+    val viaIndex = Dedup.incrementalNearDupProbeIndex(spark, Sf, store)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchFace = Dedup.incrementalNearDup(spark, Sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == batchFace,
+      s"index probe diverged: ${viaIndex.size} vs ${batchFace.size} pairs")
+  }
+
   test("writeJdbcInsertIgnore is idempotent against a real JDBC database") {
     // embedded Derby (ships with Spark for the Hive metastore) — a real
     // df.write.jdbc round-trip, the same call shape the README documents
