@@ -630,6 +630,14 @@ object SparkEntry {
         .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
     }),
 
+    // perceptual-hash near-dup over decoded media content: SimHash on
+    // character 4-grams of the decoded payload, banded like text simhash.
+    // The stub decode makes content = the synthetic text, so the oracle
+    // recomputes identical fingerprints from documents.
+    "q_media_neardup" -> ((s, d) =>
+      graft.multimodal.BinaryPipeline.mediaNearDup(s, d)
+        .withColumn("hamming", col("hamming").cast("long"))),
+
     // -- storage layouts (operators/Layouts.scala): same answers as the
     //    plain-scan forms, different physics — co-bucketed join (no
     //    exchange), hive-partitioned scan (directory pruning), materialized
@@ -1549,6 +1557,32 @@ object SparkEntry {
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT doc_a, doc_b, CAST(len(list_filter(range(1, 61),
+         |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 6""".stripMargin,
+
+    // decoded-content perceptual hash: the stub decode round-trips the
+    // synthetic payload back to the document text, so the fingerprint is
+    // a char-4-gram SimHash over `text` — same majority-vote expression
+    // as q_simhash, same quarter-band candidate join as q_simhash_pairs
+    "q_media_neardup" ->
+      s"""WITH g AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(list_distinct(CASE WHEN length(text) >= 4
+         |      THEN list_transform(range(1, length(text) - 2), i -> substring(text, i, 4))
+         |      ELSE CAST([] AS VARCHAR[]) END), t -> ${sqlMd5Hash60("t", "0")}) AS th
+         |  FROM documents),
+         |sh AS (SELECT media_id, $sqlSimhashExpr AS simhash FROM g),
+         |bands AS (
+         |  SELECT media_id, simhash, r.q AS band, substring(simhash, r.q*15+1, 15) AS band_key
+         |  FROM sh, range(0, 4) r(q)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.media_id < b.media_id)
+         |SELECT media_a, media_b, hamming FROM (
+         |  SELECT media_a, media_b, CAST(len(list_filter(range(1, 61),
          |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
          |  FROM cand)
          |WHERE hamming <= 6""".stripMargin,

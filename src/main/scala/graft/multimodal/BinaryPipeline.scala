@@ -141,6 +141,48 @@ object BinaryPipeline {
     }
   }
 
+  /** Perceptual-hash-style near-duplicate MEDIA pairs: decode each payload
+    * (per-partition decoder shape, headers validated), fingerprint the
+    * decoded CONTENT with a 60-bit SimHash over its character 4-grams, and
+    * find pairs within hamming ≤ `maxHamming` via the capped quarter-band
+    * machinery shared with text SimHash ([[graft.operators.Dedup]]).
+    *
+    * This is the dedup face the multimodal tier was missing (r8 verdict
+    * task 6): the same banding/verification a real perceptual hash (pHash/
+    * dHash over downsampled pixels) plugs into — a real codec would swap
+    * the gram extraction for DCT-coefficient signs and nothing downstream
+    * changes. The stub decode makes content = the synthetic payload's
+    * UTF-8 text, which is what keeps the face oracle-checkable: DuckDB
+    * recomputes the identical fingerprints from the documents table.
+    */
+  def mediaNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 6)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val decoded = media.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { r =>
+        FakeDecoder.decode(r.payload) // header validation, same as features
+        (r.media_id,
+          new String(r.payload.drop(12), java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toDF("media_id", "content")
+    val grams = expr(
+      "CASE WHEN length(content) >= 4 " +
+        "THEN transform(sequence(1, length(content) - 3), i -> substring(content, i, 4)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    val fps = graft.operators.Dedup
+      .simhashLongOver(decoded, "media_id", grams)
+      .withColumnRenamed("media_id", "id")
+    graft.operators.Dedup
+      .simhashNearDupPairs(fps, "mediaNearDupPairs", maxHamming)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+  }
+
+  /** Driver face over the synthetic media table. */
+  def mediaNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
+    mediaNearDupPairs(syntheticMediaFromDocuments(s, d), maxHamming)
+
   /** Synthesize a media table from `documents` text bytes (fixture path:
     * deterministic, no external data) — payload = fake header + utf-8 text.
     */

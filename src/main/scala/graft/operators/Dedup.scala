@@ -603,9 +603,40 @@ object Dedup {
     // bounded (a group of 10⁶ exact copies makes any doc-pair listing
     // absurd by volume regardless of algorithm — run [[exactDedup]] /
     // [[dedupClusters]] first at that shape).
+    simhashNearDupPairs(
+      simhashLong(s, d).withColumnRenamed("doc_id", "id"),
+      "simhashPairs", maxHamming, hotBandCap)
+  }
+
+  /** 60-bit packed SimHash over an ARBITRARY per-row gram array — the
+    * fingerprint core of [[simhashPairs]] opened up so other modalities
+    * (e.g. decoded media content, [[graft.multimodal.BinaryPipeline]])
+    * reuse the identical majority-vote/md5 machinery. Same aggregation
+    * form and empty-gram semantics (all-zero fingerprint) as
+    * [[simhashCounted]].
+    */
+  private[graft] def simhashLongOver(rows: DataFrame, idCol: String,
+      grams: Column): DataFrame = {
+    val hashed = rows.select(col(idCol), explode_outer(array_distinct(grams)).as("g"))
+      .withColumn("hv", md5Hash60(col("g"), lit(0)))
+    val bitCounts = (SimHashBits - 1 to 0 by -1).map(b =>
+      sum(when(col("hv").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(0)).as(s"b$b"))
+    val counted = hashed.groupBy(col(idCol)).agg(count(col("g")).as("n"), bitCounts: _*)
+    val packed = (SimHashBits - 1 to 0 by -1).map(b =>
+      when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+    counted.select(col(idCol), packed.reduce(_ + _).as("h"))
+  }
+
+  /** Banded near-dup pairs over any (id, h) fingerprint table: the
+    * distinct-fingerprint collapse + capped quarter-band join + grouped
+    * expansion pipeline of [[simhashPairs]], entity-agnostic. Output
+    * columns keep the historical doc_a/doc_b names; callers rename.
+    */
+  private[graft] def simhashNearDupPairs(fps: DataFrame, pipeline: String,
+      maxHamming: Int = 6, hotBandCap: Int = HotBandCap): DataFrame = {
     val (groups, gIds) = IterCheckpoint.checkpoint(
-      simhashLong(s, d).groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids")))
-    supersede(s, "simhashPairs", gIds)
+      fps.groupBy(col("h")).agg(collect_list(col("id")).as("ids")))
+    supersede(fps.sparkSession, pipeline, gIds)
     simhashExpand(groups,
       simhashFingerprintPairs(groups.select(col("h")), maxHamming, hotBandCap))
   }

@@ -79,4 +79,33 @@ class BinaryPipelineSpec extends SparkSpecBase {
     val n = feats.count()
     assert(n > 0 && n == Tables.documents(spark, Sf).count())
   }
+
+  test("mediaNearDupPairs: identical content pairs at hamming 0, distinct content does not") {
+    def rec(id: Long, content: String) =
+      MediaRecord(id, "image", BinaryPipeline.encodeFake(8, 8, content.getBytes("UTF-8")), "t")
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val media = Seq(
+      rec(1, base),
+      rec(2, base),                       // exact duplicate content
+      rec(3, base + " tail"),             // near-dup: tiny suffix (hamming 4)
+      rec(4, "completely different content about partition pruning and shuffles " * 3)
+    ).toDS()
+    val pairs = BinaryPipeline.mediaNearDupPairs(media)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)), s"exact dup not found: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L),
+      s"near-dup suffix variant not found: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L), s"unrelated content paired: $pairs")
+  }
+
+  test("mediaNearDup on the corpus is deterministic and hamming-bounded") {
+    val a = BinaryPipeline.mediaNearDup(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = BinaryPipeline.mediaNearDup(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "not deterministic across runs")
+    assert(a.nonEmpty, "corpus has exact dup docs; media face must see them")
+    assert(a.forall(p => p._3 >= 0 && p._3 <= 6))
+    assert(a.forall(p => p._1 < p._2), "pairs not canonical")
+  }
 }
