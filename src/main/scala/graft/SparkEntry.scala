@@ -341,6 +341,9 @@ object SparkEntry {
     //    Catalyst decorrelation plan-asserted in PlanQualitySpec)
     "q_exists_orders" -> (Analytics.existsReturnedOrders _),
     "q_corr_scalar" -> (Analytics.correlatedAvgQuantity _),
+    "q_not_exists" -> (Analytics.notExistsQuietCustomers _),
+    "q_not_in_null" -> (Analytics.notInNullSemantics _),
+    "q_bag_set_ops" -> (Analytics.bagSetOps _),
 
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
@@ -2005,6 +2008,57 @@ object SparkEntry {
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
         |                    WHERE l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
+
+    // NOT EXISTS anti-join — same text, each engine decorrelates its own way
+    "q_not_exists" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |                    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the NOT IN null trap: both engines must agree that one NULL in the
+    // subquery collapses the nullable NOT IN count to 0 while NOT EXISTS
+    // keeps counting (three-valued logic is ANSI, not an engine quirk)
+    "q_not_in_null" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderpriority = '1-URGENT'))
+        |    AS n_not_in_clean,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (
+        |     SELECT nullif(o_custkey, (SELECT min(o_custkey) FROM orders
+        |                               WHERE o_orderpriority = '1-URGENT'))
+        |     FROM orders WHERE o_orderpriority = '1-URGENT'))
+        |    AS n_not_in_nullable,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (
+        |     SELECT 1 FROM orders
+        |     WHERE nullif(o_custkey, (SELECT min(o_custkey) FROM orders
+        |                              WHERE o_orderpriority = '1-URGENT'))
+        |           = c.c_custkey
+        |       AND o_orderpriority = '1-URGENT'))
+        |    AS n_not_exists""".stripMargin,
+
+    // bag-semantics set ops: EXCEPT ALL / INTERSECT ALL multiplicities
+    "q_bag_set_ops" ->
+      """WITH y95 AS (SELECT o_orderpriority FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |     y96 AS (SELECT o_orderpriority FROM orders
+        |             WHERE year(o_orderdate) = 1996),
+        |     ex AS (SELECT o_orderpriority, count(*) AS n_except_all
+        |            FROM (SELECT * FROM y95 EXCEPT ALL SELECT * FROM y96)
+        |            GROUP BY 1),
+        |     ia AS (SELECT o_orderpriority, count(*) AS n_intersect_all
+        |            FROM (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96)
+        |            GROUP BY 1)
+        |SELECT coalesce(ex.o_orderpriority, ia.o_orderpriority) AS o_orderpriority,
+        |       coalesce(n_except_all, 0) AS n_except_all,
+        |       coalesce(n_intersect_all, 0) AS n_intersect_all
+        |FROM ex FULL OUTER JOIN ia ON ex.o_orderpriority = ia.o_orderpriority""".stripMargin,
 
     // canonical u<v<w triple join — a DIFFERENT algorithm than the Spark
     // side's degree-ordered node-iterator, same exact integer count

@@ -569,6 +569,7 @@ object Analytics {
     Tables.orders(s, d).createOrReplaceTempView("g_orders")
     Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
     Tables.part(s, d).createOrReplaceTempView("g_part")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
   }
 
   /** TPC-H Q4-class EXISTS semi-join, as a user would type it at the ad-hoc
@@ -612,5 +613,95 @@ object Analytics {
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM g_lineitem
         |                    WHERE l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin)
+  }
+
+  /** NOT EXISTS anti-join at the ad-hoc SQL surface (TPC-H q22 class):
+    * customers with NO order in a one-year window, rolled up per market
+    * segment. Catalyst's RewritePredicateSubquery turns the correlated NOT
+    * EXISTS into a LEFT ANTI hash join on o_custkey (PlanQualitySpec asserts
+    * no subquery node survives) — one shuffle on the key, never a probe per
+    * customer row. At 100 TB this is the shape to recommend over NOT IN
+    * (see [[notInNullSemantics]] for why).
+    */
+  def notExistsQuietCustomers(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM g_customer
+        |WHERE NOT EXISTS (SELECT 1 FROM g_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'
+        |                    AND o_orderdate <  TIMESTAMP_NTZ '1996-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** The NOT IN null trap, measured in one row — the single most common
+    * correctness surprise at the ad-hoc SQL surface. Three counts over the
+    * same intent ("customers with no 1-URGENT order"):
+    *
+    *  - `n_not_in_clean`: NOT IN over a null-free subquery — plans as a
+    *    regular anti join, agrees with NOT EXISTS;
+    *  - `n_not_in_nullable`: the subquery emits one NULL (the min urgent
+    *    custkey is nullif'd out) — three-valued logic makes `x NOT IN
+    *    (..., NULL)` never TRUE, so the count collapses to 0. Spark must
+    *    plan a null-aware anti join (a broadcast nested loop in the worst
+    *    case) to honor this — which is WHY NOT IN over a nullable column is
+    *    both a semantic and a performance hazard at 100 TB;
+    *  - `n_not_exists`: the NOT EXISTS phrasing of the same nullable
+    *    predicate — NULL keys simply never match, so the one nullif'd
+    *    customer is counted as order-less (= clean + 1), and the plan stays
+    *    a hash anti join.
+    */
+  def notInNullSemantics(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    // The nullif'd probe key (min urgent custkey) is resolved eagerly and
+    // inlined: in Spark 4 a scalar subquery nested inside the BROADCAST
+    // BUILD side of the null-aware anti join is not awaited before the
+    // relation is built ("Subquery ... has not finished"), so the nested
+    // form fails at execution. A single bounded scalar collect (same class
+    // as the sensor probes) sidesteps the limitation without changing the
+    // anti-join plan under test; the DuckDB oracle keeps the nested form.
+    val k0 = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(min(col("o_custkey"))).head.getLong(0)
+    s.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM g_customer
+         |   WHERE c_custkey NOT IN (SELECT o_custkey FROM g_orders
+         |                           WHERE o_orderpriority = '1-URGENT'))
+         |    AS n_not_in_clean,
+         |  (SELECT count(*) FROM g_customer
+         |   WHERE c_custkey NOT IN (
+         |     SELECT nullif(o_custkey, $k0)
+         |     FROM g_orders WHERE o_orderpriority = '1-URGENT'))
+         |    AS n_not_in_nullable,
+         |  (SELECT count(*) FROM g_customer c
+         |   WHERE NOT EXISTS (
+         |     SELECT 1 FROM g_orders
+         |     WHERE nullif(o_custkey, $k0) = c.c_custkey
+         |       AND o_orderpriority = '1-URGENT'))
+         |    AS n_not_exists""".stripMargin)
+  }
+
+  /** Bag-semantics set operations (`EXCEPT ALL` / `INTERSECT ALL`):
+    * multiplicity-preserving difference and intersection of the 1995 vs 1996
+    * order-priority multisets, rolled up per priority so the result is the
+    * multiplicity table rather than thousands of duplicate rows. Spark plans
+    * both as a single grouped count-compare per key (no join explosion);
+    * both engines implement ANSI bag semantics: except_all = max(n95-n96,0),
+    * intersect_all = min(n95,n96) per distinct value.
+    */
+  def bagSetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_orderpriority"))
+    val ex = yr(1995).exceptAll(yr(1996))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_except_all"))
+    val ia = yr(1995).intersectAll(yr(1996))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_intersect_all"))
+    ex.join(ia, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
   }
 }

@@ -244,6 +244,32 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("avg(l_quantity"), s"pulled-up aggregate missing:\n$p")
   }
 
+  test("NOT EXISTS decorrelates to a left anti join (no per-row subquery)") {
+    val p = plan(q("q_not_exists"))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$p")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"residual subquery execution in NOT EXISTS plan:\n$p")
+  }
+
+  test("nullable NOT IN plans null-aware; NOT EXISTS stays a hash anti join") {
+    // the semantics face itself: one NULL in the subquery collapses the
+    // nullable NOT IN count to 0 while NOT EXISTS keeps counting
+    val row = q("q_not_in_null").head
+    val (clean, nullable, notExists) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nullable == 0L,
+      s"NOT IN over a nullable subquery must collapse to 0, got $nullable")
+    assert(notExists == clean + 1,
+      s"NOT EXISTS must count the nullif'd customer too: clean=$clean notExists=$notExists")
+    // and the plan shape is WHY NOT EXISTS is the 100 TB recommendation:
+    // the nullable NOT IN needs a null-aware anti join (broadcast nested
+    // loop in the general case), the clean/exists forms stay hash anti
+    val p = plan(q("q_not_in_null"))
+    assert(p.contains("LeftAnti"), s"anti join missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("isnull"),
+      s"null-aware anti join shape not visible in plan:\n$p")
+  }
+
   test("contamination broadcasts the eval side and shuffles only longs") {
     val df = q("q_contamination")
     val p = plan(df)
