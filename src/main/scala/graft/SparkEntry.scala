@@ -166,6 +166,24 @@ object SparkEntry {
       Scd.snapshotDiff(old, fresh, "o_orderkey",
         Seq("o_totalprice", "o_orderstatus"))
     }),
+    // apply a CDC changelog (lineitem AS the feed: order = key, every
+    // qty%5==0 record a delete) to final snapshot state — latest version
+    // wins, deleted keys vanish. (l_orderkey, l_linenumber) is NOT unique
+    // in the synthetic data, so the version packs the verified-unique
+    // (linenumber, partkey, suppkey) triple into one ordered BIGINT
+    "q_changelog_apply" -> ((s, d) => {
+      val chg = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_key"),
+        (col("l_linenumber").cast("long") * lit(1L << 42) +
+          col("l_partkey") * lit(1L << 21) + col("l_suppkey")).as("ver"),
+        when(pmod(col("l_quantity").cast("int"), lit(5)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("price"),
+        col("l_returnflag").as("returnflag"))
+      Scd.changelogApply(chg, "order_key", "ver", "op", "D",
+        Seq("quantity", "price", "returnflag"))
+    }),
     "q_union_nations" -> (Analytics.nationsUnion _),
     "q_nation_presence" -> (Analytics.nationPresence _),
     "q_group_concat" -> (Analytics.groupConcat _),
@@ -344,6 +362,7 @@ object SparkEntry {
     "q_not_exists" -> (Analytics.notExistsQuietCustomers _),
     "q_not_in_null" -> (Analytics.notInNullSemantics _),
     "q_bag_set_ops" -> (Analytics.bagSetOps _),
+    "q_global_rank" -> (Analytics.globalRank _),
 
     // -- dedup (training-data pipeline surface)
     "q_dedup_exact" -> (Dedup.exactDedup _),
@@ -2060,6 +2079,14 @@ object SparkEntry {
         |       coalesce(n_intersect_all, 0) AS n_intersect_all
         |FROM ex FULL OUTER JOIN ia ON ex.o_orderpriority = ia.o_orderpriority""".stripMargin,
 
+    // the oracle IS the naive single-partition window the Spark side exists
+    // to avoid — the rank values must agree bit-for-bit (unique sort key)
+    "q_global_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        |  row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |    AS global_rank
+        |FROM lineitem""".stripMargin,
+
     // canonical u<v<w triple join — a DIFFERENT algorithm than the Spark
     // side's degree-ordered node-iterator, same exact integer count
     "q_triangle_count" ->
@@ -2173,6 +2200,26 @@ object SparkEntry {
         |WHERE o.o_orderkey IS NULL OR f.o_orderkey IS NULL
         |   OR o.o_totalprice IS DISTINCT FROM f.o_totalprice
         |   OR o.o_orderstatus IS DISTINCT FROM f.o_orderstatus""".stripMargin,
+
+    // deliberately the WINDOW formulation of latest-wins (the Spark side is
+    // a max_by aggregation — different mechanism, same selection); deleted
+    // keys must be absent, not null-padded
+    "q_changelog_apply" ->
+      """WITH chg AS (
+        |  SELECT l_orderkey AS order_key,
+        |    CAST(l_linenumber AS BIGINT) * 4398046511104
+        |      + l_partkey * 2097152 + l_suppkey AS ver,
+        |    CASE WHEN CAST(l_quantity AS INTEGER) % 5 = 0 THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    l_quantity AS quantity, l_extendedprice AS price,
+        |    l_returnflag AS returnflag
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY order_key
+        |                               ORDER BY ver DESC) AS rn
+        |  FROM chg)
+        |SELECT order_key, ver AS last_version, quantity, price, returnflag
+        |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
     // the rank-error gate runs in-plan Spark-side (assert_true on the
     // two-sided #(<v)/#(<=v) check); what the oracle verifies is the EXACT

@@ -683,6 +683,48 @@ object Analytics {
          |    AS n_not_exists""".stripMargin)
   }
 
+  /** Global row-number over a total order WITHOUT the single-partition
+    * window a naive `row_number() OVER (ORDER BY …)` plans (Spark warns and
+    * funnels 100 TB through one task). The scalable recipe:
+    *
+    *  1. `repartitionByRange` on the sort key — one exchange; sampled
+    *     boundaries give consecutive key ranges in ascending partition-id
+    *     order (the explicit partition count pins AQE off the exchange);
+    *  2. sort within partitions, then `monotonically_increasing_id()` —
+    *     after the sort the id is `pid·2³³ + local_idx` with local_idx
+    *     consecutive from 0, so it is order-consistent with the total order;
+    *  3. per-partition row counts (computed off the SAME exchange — no
+    *     sort needed, `ReusedExchange` makes it one scan+shuffle) cumsum'd
+    *     into offsets over a partition-count-sized frame, broadcast back;
+    *  4. `rank = offset + (id - pid·2³³) + 1`.
+    *
+    * The emitted rank is invariant to where the sampled range boundaries
+    * fall because the key (shipdate, orderkey, linenumber) is unique — the
+    * oracle's window formulation agrees bit-for-bit.
+    */
+  def globalRank(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val parted = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .repartitionByRange(32, keys: _*)
+    val sorted = parted
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+    // counts don't depend on the intra-partition order, so this side skips
+    // the sort and reuses the range exchange as-is
+    val counts = parted.groupBy(spark_partition_id().cast("long").as("_pid"))
+      .agg(count(lit(1)).as("_n"))
+    val offsets = counts.withColumn("_off",
+        coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    sorted.join(broadcast(offsets), Seq("_pid"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        (col("_off") + (col("_mid") - (col("_pid") * lit(1L << 33))) + 1L)
+          .as("global_rank"))
+  }
+
   /** Bag-semantics set operations (`EXCEPT ALL` / `INTERSECT ALL`):
     * multiplicity-preserving difference and intersection of the 1995 vs 1996
     * order-priority multisets, rolled up per priority so the result is the

@@ -69,6 +69,32 @@ object Scd {
       .unionByName(unchanged).unionByName(closed).unionByName(opened)
   }
 
+  /** Apply an ordered changelog (upserts + deletes) to materialize final
+    * table state — the batch MERGE face of CDC, the inverse direction of
+    * [[snapshotDiff]]: for each key the highest-version record wins, and if
+    * that record is a delete the key is absent from the output entirely.
+    * This is how a warehouse replays a Debezium/binlog-style feed into a
+    * queryable snapshot.
+    *
+    * Shape for scale: ONE partial-aggregating shuffle on the key —
+    * `max_by(payload, version)` is the associative argmax reduction, so
+    * map-side combine collapses each key to a single struct BEFORE the
+    * exchange and nothing ever sorts. The window `row_number() ... DESC = 1`
+    * formulation (the DuckDB oracle's, kept deliberately different) shuffles
+    * every changelog row and sorts each key group; at 100 TB of changelog
+    * the aggregation form moves only distinct-key rows. Requires
+    * (key, version) unique — the changelog's own ordering contract.
+    */
+  def changelogApply(changelog: DataFrame, key: String, verCol: String,
+      opCol: String, deleteOp: String, payload: Seq[String]): DataFrame = {
+    val packed = struct((verCol +: opCol +: payload).map(col): _*)
+    changelog.groupBy(col(key))
+      .agg(max_by(packed, col(verCol)).as("_w"))
+      .filter(col(s"_w.$opCol") =!= deleteOp)
+      .select(col(key) +: col(s"_w.$verCol").as("last_version") +:
+        payload.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
   /** Changed-data capture between two snapshots of the same table: which
     * keys were `added`, `removed`, or `changed` (any tracked column differs,
     * null-safely) from `old` to `new`. Unchanged keys are omitted — the

@@ -270,6 +270,31 @@ class PlanQualitySpec extends SparkSpecBase {
       s"null-aware anti join shape not visible in plan:\n$p")
   }
 
+  test("global rank range-partitions once and reuses the exchange for counts") {
+    val df = q("q_global_rank")
+    // drive THIS Dataset's QueryExecution (count() would build its own
+    // plan and leave df's adaptive plan unexecuted — the skew-test trap):
+    // AQE materializes exchange reuse only at runtime
+    assert(df.collect().nonEmpty)
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o                        => o.toString
+    })
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"global rank must range-partition the sort key:\n$p")
+    // the per-partition counts side must read the SAME materialized range
+    // shuffle, not rescan+reshuffle lineitem: exactly one range exchange
+    // materializes, the counts side consumes it as a reused stage
+    val nRange = "rangepartitioning".r.findAllIn(p.toLowerCase).length
+    assert(nRange == 1 || p.contains("ReusedExchange"),
+      s"counts side did not reuse the range exchange ($nRange range exchanges):\n$p")
+    // and no Window ever touches lineitem columns — the offsets cumsum is
+    // the only window and it runs over the partition-count-sized frame
+    val naive = "(?s)Window[^\\n]*l_shipdate".r
+    assert(naive.findFirstIn(p).isEmpty,
+      s"global rank fell back to a window over the data:\n$p")
+  }
+
   test("contamination broadcasts the eval side and shuffles only longs") {
     val df = q("q_contamination")
     val p = plan(df)

@@ -136,4 +136,42 @@ class ScdSpec extends SparkSpecBase {
         col("a.valid_to") =!= col("b.valid_from"))
     assert(bad.isEmpty, "version chain must be gap-free")
   }
+
+  test("changelogApply: latest version wins, delete removes the key, no sort") {
+    val chg = Seq(
+      (1L, 1L, "U", "a"), (1L, 3L, "U", "c"), (1L, 2L, "U", "b"), // upserts
+      (2L, 1L, "U", "x"), (2L, 2L, "D", "x"),                     // del last
+      (3L, 2L, "U", "y"), (3L, 1L, "D", "z"),                     // del superseded
+      (4L, 7L, "D", "q")                                          // only a delete
+    ).toDF("k", "ver", "op", "v")
+    val got = Scd.changelogApply(chg, "k", "ver", "op", "D", Seq("v"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, "c"),  // highest version's payload, arrival order irrelevant
+      (3L, 2L, "y"))) // delete at ver 1 superseded by the ver-2 upsert
+    // keys 2 and 4 (delete wins) are ABSENT, not null-padded
+
+    // the scale contract: the argmax is an aggregation with a PARTIAL
+    // (map-side) combine — each key collapses to one struct before the
+    // exchange — never a row_number window over the full changelog. (The
+    // struct buffer makes it a SortAggregate, which sorts by the GROUP key
+    // within partitions — that is not the window's per-key version sort.)
+    val plan = Scd.changelogApply(chg, "k", "ver", "op", "D", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"changelogApply must not window the changelog:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"expected a partial-aggregating argmax:\n$plan")
+  }
+
+  test("changelogApply: replaying the changelog is a no-op (idempotent)") {
+    val chg = Seq((1L, 1L, "U", "a"), (1L, 2L, "U", "b"), (2L, 1L, "D", "x"))
+      .toDF("k", "ver", "op", "v")
+    val once = Scd.changelogApply(chg, "k", "ver", "op", "D", Seq("v"))
+    val twice = Scd.changelogApply(chg.unionByName(chg.limit(2)), // partial replay
+      "k", "ver", "op", "D", Seq("v"))
+    // duplicated records carry identical (ver, payload) so the argmax is
+    // unchanged — the at-least-once delivery contract
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
 }
