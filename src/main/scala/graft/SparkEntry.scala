@@ -378,6 +378,9 @@ object SparkEntry {
     "q_dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(s, d, Dedup.minhashLshPairs(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // measured LSH quality: recall of the banding scheme per true-Jaccard
+    // band against the exact inverted-index pairs (the dedup q_ann_recall)
+    "q_dedup_recall" -> (Dedup.lshRecall _),
     "q_simhash" -> (Dedup.simhash _),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(s, d).withColumn("hamming", col("hamming").cast("long"))),
@@ -1564,6 +1567,35 @@ object SparkEntry {
          |    ON a.lang = b.lang AND a.doc_id < b.doc_id
          |   AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)
          |WHERE jaccard >= 0.2""".stripMargin,
+
+    // recall of the LSH banding vs the exact pairs, re-derived end-to-end:
+    // the truth side is the q_ngram_jaccard oracle at the LSH's 0.35
+    // threshold, the found side is the full q_dedup_minhash_lsh oracle
+    "q_dedup_recall" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, sset, len(sset) AS n
+         |  FROM ($sqlShingles) WHERE len(sset) > 0),
+         |truth AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+         |        (a.n + b.n - len(list_intersect(a.sset, b.sset))) AS jaccard
+         |    FROM base a JOIN base b
+         |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |     AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)
+         |  WHERE jaccard >= 0.35),
+         |lsh AS ($sqlMinhashPairs),
+         |binned AS (
+         |  SELECT CASE WHEN t.jaccard >= 0.9 THEN '0.90-1.00'
+         |              WHEN t.jaccard >= 0.7 THEN '0.70-0.90'
+         |              WHEN t.jaccard >= 0.5 THEN '0.50-0.70'
+         |              ELSE '0.35-0.50' END AS jband,
+         |    CASE WHEN l.doc_a IS NOT NULL THEN 1 END AS hit
+         |  FROM truth t LEFT JOIN lsh l
+         |    ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b)
+         |SELECT jband, count(*) AS n_true, count(hit) AS n_found,
+         |  CAST(count(hit) AS DOUBLE) / count(*) AS recall
+         |FROM binned GROUP BY jband""".stripMargin,
 
     "q_simhash" -> sqlSimhashDocs,
 

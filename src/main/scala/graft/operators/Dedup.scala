@@ -511,6 +511,37 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** MEASURED MinHash-LSH recall per true-Jaccard band — the dedup analog of
+    * the ANN `q_ann_recall` face (SURVEY §13.1), and the number the banding
+    * scheme's whole design hangs on: every pair in [[minhashLshPairs]] is
+    * exact-verified (precision 1.0 by construction), so the only quality
+    * unknown is which true pairs the 8×2 banding never surfaces as
+    * candidates. This joins the exact ≥-threshold pairs
+    * ([[ngramJaccardPairs]] — inverted-index, not approximate) against the
+    * LSH output and emits recall per similarity band. Theoretical catch
+    * probability at 2-row/8-band is 1-(1-J²)⁸: ≈0.65 at J=0.35 rising to
+    * ~1.0 by J=0.8 — the measured numbers pin the implementation to the
+    * theory (LshRecallSpec), exactly what an unmeasured index hides.
+    *
+    * Scale shape: both inputs are the already-scale-proven faces; the join
+    * and rollup add two narrow hash shuffles on (doc_a, doc_b) longs.
+    */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = ngramJaccardPairs(s, d, threshold = 0.35)
+    val found = minhashLshPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth
+      .withColumn("jband",
+        when(col("jaccard") >= 0.9, lit("0.90-1.00"))
+          .when(col("jaccard") >= 0.7, lit("0.70-0.90"))
+          .when(col("jaccard") >= 0.5, lit("0.50-0.70"))
+          .otherwise(lit("0.35-0.50")))
+      .join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("jband"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+  }
+
   val SimHashBits = 60
 
   /** Ids per slice when a member array is chunked ahead of a pair-expansion
