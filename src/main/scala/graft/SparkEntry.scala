@@ -332,6 +332,37 @@ object SparkEntry {
         "q_stream_join_sink", "append")
     }),
 
+    //    stream-stream LEFT OUTER interval join: the settled output must
+    //    also contain every never-matched purchase with a NULL view — which
+    //    only finalizes once the watermark proves no match can still arrive.
+    //    Two trailing sentinel batches (fake users, ts +1d/+2d past the real
+    //    max) push the watermark far enough that every REAL purchase's fate
+    //    is decided; the sentinels themselves are filtered from the result.
+    //    Watermark updates take effect one batch late, hence TWO sentinels.
+    "q_stream_left_join" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val landing = stagedLanding("left_join_mb", d) { dir =>
+        val raw = Tables.eventsRawNanos(s, d)
+        val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+        val one = s.range(1)
+        def sent(id: Long, user: Long, typ: String, tsNs: Long) =
+          one.select(lit(id).as("event_id"), lit(tsNs).as("ts"),
+            lit(user).as("user_id"), lit(typ).as("event_type"),
+            lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        val day = 86400L * 1000000000L
+        stageEventSlices(s, d, dir, StreamSlices, extraLast = Seq(
+          sent(-1L, -1L, "purchase", maxTs + day)
+            .unionByName(sent(-2L, -2L, "view", maxTs + day)),
+          sent(-3L, -3L, "purchase", maxTs + 2 * day)
+            .unionByName(sent(-4L, -4L, "view", maxTs + 2 * day))))
+      }
+      settledStream(s,
+        EventStreamJob.purchaseViewLeftJoinStream(
+          EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))),
+        "q_stream_left_join_sink", "append")
+        .filter(col("purchase_id") >= 0)
+    }),
+
     //    stream-STATIC enrichment — the canonical production shape missing
     //    from the stream-stream faces above: every event in the stream is
     //    enriched map-side with a BROADCAST dimension (here each user's
@@ -1372,6 +1403,18 @@ object SparkEntry {
         |  p.value AS purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    // the OUTER face: same predicate, plus every never-matched purchase
+    // with a NULL view — the rows the watermark finalizes
+    "q_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |  v.event_id AS view_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+        |  p.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON v.user_id = p.user_id
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
 

@@ -194,6 +194,36 @@ object EventStreamJob extends Serializable {
         col("view_id"), col("v_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — same predicate as
+    * [[purchaseViewJoinStream]], but a purchase with NO qualifying view must
+    * still emit (with a null view), and only once the watermark PROVES no
+    * matching view can arrive anymore: Spark holds the unmatched purchase in
+    * state until the view-side watermark passes the join condition's upper
+    * bound, then finalizes the null row. That makes the settled output
+    * deterministic — but ONLY if the final watermark advances past every
+    * real purchase, which is why the harness stages trailing sentinel
+    * batches (watermark updates take effect one batch late, so TWO are
+    * needed; `SparkEntry.q_stream_left_join`). The batch face is the plain
+    * left join the DuckDB oracle runs.
+    */
+  def purchaseViewLeftJoinStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"), col("purchase_value"))
+  }
+
   /** Run a streaming DataFrame to completion over the available input
     * (cron-batch semantics) into a named memory sink; returns the query.
     */

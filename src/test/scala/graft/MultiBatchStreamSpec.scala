@@ -202,4 +202,24 @@ class MultiBatchStreamSpec extends SparkSpecBase {
     assert(got == canon(batch))
     assert(got.nonEmpty)
   }
+
+  test("left-outer stream join finalizes never-matched purchases as null rows") {
+    val streamed = SparkEntry.queries("q_stream_left_join")(spark, Sf)
+    val batch = EventStreamJob.purchaseViewLeftJoinStream(
+      Tables.events(spark, Sf).withColumn("ts", col("ts").cast("timestamp")))
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long], Long)] =
+      df.select(col("purchase_id"), col("view_id"), col("user_id"))
+        .as[(Long, Option[Long], Long)].collect().toSet
+    val got = canon(streamed)
+    assert(got == canon(batch))
+    // the OUTER semantics must actually fire: the watermark-finalized
+    // null-view rows are the face's whole point (and would silently vanish
+    // if the sentinel staging stopped advancing the watermark far enough)
+    assert(got.exists(_._2.isEmpty), "no watermark-finalized outer rows")
+    assert(got.exists(_._2.nonEmpty), "no matched rows")
+    // inner rows of the outer join == the inner face (consistency)
+    val inner = canon(SparkEntry.queries("q_stream_join")(spark, Sf)
+      .select(col("purchase_id"), col("view_id"), col("user_id")))
+    assert(got.filter(_._2.nonEmpty) == inner)
+  }
 }
