@@ -391,6 +391,7 @@ object SparkEntry {
     "q_exists_orders" -> (Analytics.existsReturnedOrders _),
     "q_corr_scalar" -> (Analytics.correlatedAvgQuantity _),
     "q_not_exists" -> (Analytics.notExistsQuietCustomers _),
+    "q_in_subquery" -> (Analytics.inSubqueryFrequentBuyers _),
     "q_not_in_null" -> (Analytics.notInNullSemantics _),
     "q_bag_set_ops" -> (Analytics.bagSetOps _),
     "q_global_rank" -> (Analytics.globalRank _),
@@ -2111,6 +2112,14 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |                    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // IN over an aggregated (HAVING) subquery → semi join in both engines
+    "q_in_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_frequent
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    GROUP BY o_custkey HAVING count(*) >= 3)
         |GROUP BY c_mktsegment""".stripMargin,
 
     // the NOT IN null trap: both engines must agree that one NULL in the

@@ -635,6 +635,22 @@ object Analytics {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** IN over an aggregated subquery (the fourth face of the subquery
+    * family, next to EXISTS / NOT EXISTS / NOT IN): customers with ≥ 3
+    * orders, per market segment. Catalyst rewrites the IN to a LEFT SEMI
+    * join against the grouped subquery — the HAVING aggregate runs ONCE
+    * over orders, then one key shuffle; never a membership probe per row.
+    */
+  def inSubqueryFrequentBuyers(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_frequent
+        |FROM g_customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM g_orders
+        |                    GROUP BY o_custkey HAVING count(*) >= 3)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   /** The NOT IN null trap, measured in one row — the single most common
     * correctness surprise at the ad-hoc SQL surface. Three counts over the
     * same intent ("customers with no 1-URGENT order"):

@@ -251,6 +251,13 @@ class PlanQualitySpec extends SparkSpecBase {
       s"residual subquery execution in NOT EXISTS plan:\n$p")
   }
 
+  test("IN over an aggregated subquery decorrelates to aggregate + semi join") {
+    val p = plan(q("q_in_subquery"))
+    assert(p.contains("LeftSemi"), s"IN not rewritten to semi join:\n$p")
+    assert(!p.toLowerCase.contains("in-subquery") && !p.contains("InSubquery"),
+      s"residual subquery execution in IN plan:\n$p")
+  }
+
   test("nullable NOT IN plans null-aware; NOT EXISTS stays a hash anti join") {
     // the semantics face itself: one NULL in the subquery collapses the
     // nullable NOT IN count to 0 while NOT EXISTS keeps counting
