@@ -110,6 +110,12 @@ object SparkEntry {
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
     "q3_shipping_priority" -> (Analytics.shippingPriority _),
     "q5_local_supplier_volume" -> (Analytics.localSupplierVolume _),
+    // TPC-H q18-class: HAVING-filtered aggregate semi-joined back to the
+    // fact + dim — planned as a join of lineitem against its own aggregate
+    "q_large_orders" -> (Analytics.largeVolumeCustomers(_, _)),
+    // runtime-bloom-filter shape: ~0.8%-selective dim filter pre-pruning
+    // the fact scan (injection plan-asserted in PlanQualitySpec)
+    "q_bloom_join" -> (Analytics.selectiveFactJoin _),
     "q_top_customers" -> (Analytics.topCustomers _),
     "q_window_rank" -> ((s, d) =>
       Analytics.windowRank(s, d)
@@ -494,6 +500,9 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => TrainingData.stratifiedSample(s, d)),
     // deterministic exactly-k-per-group eval sample (md5-ranked, seeded)
     "q_sample_topk_group" -> ((s, d) => TrainingData.sampleTopKPerGroup(s, d)),
+    // split-leakage audit: val/test docs whose near-dup cluster contains
+    // train members — the contamination mode the n-gram screen misses
+    "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(s, d)),
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
     "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
     "q_robust_clip" -> ((s, d) => TrainingData.robustClip(s, d)),
@@ -702,6 +711,10 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, d) => Layouts.bucketedJoinRevenue(s, d)),
     "q_partition_pruned" -> ((s, d) => Layouts.partitionPrunedDaily(s, d)),
     "q_sketch_store" -> ((s, d) => Layouts.sketchStoreChecked(s, d)),
+    // z-order layout + per-file min/max skipping index: the box result is
+    // layout-independent (oracle recomputes from the flat parquet); the
+    // file-skipping ratio is asserted in LayoutsSpec
+    "q_zorder_box" -> ((s, d) => Layouts.zOrderBoxQuery(s, d)),
 
     // exact substring-level dedup (Lee et al. 2021 shape): per-doc count of
     // k-token spans shared with any other document
@@ -1112,6 +1125,28 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY n_name""".stripMargin,
+
+    // q18-class: the analyst's IN-subquery formulation — semantically the
+    // aggregate-then-join the Spark face declares directly
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE total_qty > 250.0""".stripMargin,
+
+    "q_bloom_join" ->
+      s"""SELECT o_orderstatus, l_returnflag,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS revenue, count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |  AND o_orderdate >= TIMESTAMP '1996-06-01'
+         |  AND o_orderdate < TIMESTAMP '1996-09-01'
+         |GROUP BY o_orderstatus, l_returnflag""".stripMargin,
 
     "q_top_customers" ->
       """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
@@ -1861,6 +1896,43 @@ object SparkEntry {
          |          / 1152921504606846976.0 AS u
          |      FROM documents)""".stripMargin,
 
+    // split leakage: the q_dedup_clusters recursive-CTE labels composed
+    // with the q_hash_split assignment — val/test docs sharing a cluster
+    // with >=1 train doc
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE pairs AS ($sqlMinhashPairs),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |clu AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN u < 0.9 THEN 'train'
+         |         WHEN u < 0.9 + 0.05 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "0")} AS DOUBLE)
+         |            / 1152921504606846976.0 AS u
+         |        FROM documents)),
+         |j AS (
+         |  SELECT c.doc_id, c.cluster_id, s.split
+         |  FROM clu c JOIN sp s ON c.doc_id = s.doc_id),
+         |tr AS (
+         |  SELECT cluster_id, count(*) AS n_train_dups
+         |  FROM j WHERE split = 'train' GROUP BY cluster_id)
+         |SELECT j.doc_id, j.split, j.cluster_id, tr.n_train_dups
+         |FROM j JOIN tr ON j.cluster_id = tr.cluster_id
+         |WHERE j.split <> 'train'""".stripMargin,
+
     "q_contamination" -> {
       val t = sqlTokens("text")
       val gram5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
@@ -2354,6 +2426,16 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
         |GROUP BY 1, 2""".stripMargin,
+
+    // layout-independence proof for the z-order skipping scan: the same
+    // grid box recomputed from the flat unordered parquet
+    "q_zorder_box" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_partkey % 256 AS BIGINT) AS zx,
+        |  CAST(floor(l_extendedprice) AS BIGINT) % 256 AS zy
+        |FROM lineitem
+        |WHERE l_partkey % 256 BETWEEN 32 AND 47
+        |  AND CAST(floor(l_extendedprice) AS BIGINT) % 256 BETWEEN 96 AND 111""".stripMargin,
 
     // the HLL merge-estimate gate runs in-plan Spark-side (assert_true);
     // what the oracle verifies is the exact distinct the query also emits,

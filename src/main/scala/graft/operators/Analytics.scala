@@ -762,4 +762,68 @@ object Analytics {
         coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
         coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
   }
+
+  /** TPC-H Q18-class "large volume customer": orders whose line quantities
+    * sum past a threshold, re-joined to customer and lineitem for the full
+    * report row. The HAVING-subquery formulation
+    * (`o_orderkey IN (SELECT … HAVING sum > t)`) is what an analyst writes;
+    * the plan Spark should (and does — PlanQualitySpec) produce is a
+    * self-join of lineitem against its own aggregate, never a per-row
+    * subquery.
+    *
+    * Scale shape: the qualifying-order set is the 99th-percentile tail
+    * (threshold 250 ≈ p99 of per-order quantity sums), so the big
+    * lineitem⋈orders work happens AFTER the semi-join cuts both sides to
+    * ~1% — the aggregate-then-filter side is one partial-agg shuffle over
+    * (orderkey, qty), the narrowest possible projection.
+    */
+  def largeVolumeCustomers(s: SparkSession, d: String,
+      qtyThreshold: Double = 250.0): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > qtyThreshold)
+    val ord = Tables.orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+    ord.join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** Selective-dimension fact join — the shape Spark's RUNTIME BLOOM FILTER
+    * exists for: the orders side keeps ~0.8% of rows (one priority × one
+    * quarter), so a bloom built from the filtered dim keys and pushed into
+    * the lineitem scan drops ~99% of fact rows BEFORE the join's shuffle.
+    * The result is bloom-independent (the filter is a pure may-contain
+    * pre-prune) — the oracle checks the answer, PlanQualitySpec checks that
+    * `bloom_filter_might_contain` actually lands in the fact scan's filters
+    * when the injection thresholds admit this scale. At 100 TB the same
+    * injection is the difference between shuffling the full fact table and
+    * shuffling the ~1% that can possibly match.
+    *
+    * (At the bench scale the dim side also broadcasts, which elides the
+    * shuffle anyway — the face is written against the config-default plan;
+    * the spec scopes the injection thresholds to prove the runtime-filter
+    * machinery engages when the fact side is too big to benefit from
+    * broadcast alone.)
+    */
+  def selectiveFactJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-06-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-09-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("l_returnflag"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-LAYOUT-aware query faces: the three physical-design levers that
@@ -30,6 +30,8 @@ object Layouts {
   private val stagedPartitioned =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val stagedSketches =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val stagedZOrder =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val tableSeq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -174,4 +176,107 @@ object Layouts {
           col("event_type"))).isNull)
       .select(col("event_type"), col("n_users"), inBound.as("within_bound"))
   }
+
+  // --------------------------------------------- z-order + file skipping
+
+  /** 8 bits per dimension — a 256×256 grid. The z-value is 16 bits, so a
+    * file covering a contiguous z-range covers a compact ~square tile set
+    * of the grid: its per-file min/max bounds are tight in BOTH dimensions
+    * at once, which is the whole point of the curve (a single-column sort
+    * gives tight bounds in that column and useless ones in every other).
+    */
+  val ZGridBits = 8
+  val ZFiles = 64
+
+  /** Morton interleave of the low [[ZGridBits]] bits of two grid
+    * coordinates: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
+    * Pure shift/mask arithmetic — one codegen'd projection, and the same
+    * expression is re-derivable in ANSI SQL (the generated oracle does).
+    */
+  def zValue(x: Column, y: Column): Column =
+    (0 until ZGridBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Grid coordinates with full 0..255 spread at every driver SF: part
+    * bucket × price band. (l_suppkey would be the natural second axis but
+    * spans only 0..9 at sf0.001 — a degenerate dimension makes the curve
+    * collapse to a single-column sort and the spec meaningless.)
+    */
+  private def zx = pmod(col("l_partkey"), lit(256L)).as("zx")
+  private def zy = pmod(floor(col("l_extendedprice")), lit(256L)).as("zy")
+
+  /** lineitem re-laid along the z-curve of (part, supplier) grid coords:
+    * one range-partition-and-sort on the z-value ([[graft.sources.Sinks
+    * .writeCompacted]] — the local sort is what makes footer min/max tight
+    * per FILE, not just per partition), paid once. This is the multi-
+    * dimensional clustering tier under Delta/Iceberg `OPTIMIZE ZORDER BY`:
+    * hive partitioning (above) prunes on ONE coarse column; the z-layout
+    * makes min/max skipping effective on TWO fine-grained columns that
+    * would each defeat a single-column sort.
+    */
+  private def zOrderedPath(s: SparkSession, d: String): String =
+    stagedZOrder.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_li_zorder")
+      val df = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("zx", zx).withColumn("zy", zy)
+        .withColumn("zv", zValue(col("zx"), col("zy")))
+      val total = df.count()
+      graft.sources.Sinks.writeCompacted(df, dir.toString, "zv",
+        rowsPerFile = math.max(1L, (total + ZFiles - 1) / ZFiles), total)
+      dir.toFile.deleteOnExit()
+      dir.toString
+    })
+
+  /** Per-file (min, max) of both grid coordinates — the data-skipping
+    * stats a Delta/Iceberg transaction log keeps per file. Built by one
+    * scan grouped on `input_file_name()`; size = file count (metadata
+    * scale: ~1 row per GB of data at production file sizes), which is why
+    * collecting it on the driver below is the legitimate metadata
+    * exception to the no-collect rule — it is exactly what a table
+    * format's planning phase does.
+    */
+  private[graft] def zFileStats(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("zx")).as("min_zx"), max(col("zx")).as("max_zx"),
+        min(col("zy")).as("min_zy"), max(col("zy")).as("max_zy"),
+        count(lit(1)).as("n_rows"))
+
+  /** File-skipping scan: prune the file list against the stats index
+    * (interval overlap per dimension), then read ONLY surviving files with
+    * the residual predicate applied. Returns (result, filesRead,
+    * filesTotal) so the spec can assert the skipping actually happened —
+    * the result itself is provably layout-independent (residual filter is
+    * the full predicate).
+    */
+  private[graft] def zSkippingScan(s: SparkSession, path: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): (DataFrame, Int, Int) = {
+    val stats = zFileStats(s, path)
+    val all = stats.select(col("file")).collect().map(_.getString(0))
+    val keep = stats
+      .filter(col("max_zx") >= xLo && col("min_zx") <= xHi &&
+        col("max_zy") >= yLo && col("min_zy") <= yHi)
+      .select(col("file")).collect().map(_.getString(0))
+    val src = if (keep.isEmpty) s.read.parquet(path).limit(0)
+      else s.read.parquet(keep.toIndexedSeq: _*)
+    val res = src.filter(col("zx").between(xLo, xHi) &&
+        col("zy").between(yLo, yHi))
+      .select(col("l_orderkey"), col("l_linenumber"), col("zx"), col("zy"))
+    (res, keep.length, all.length)
+  }
+
+  /** Driver face: a 16×16 grid box (1/256 of the space) over the z-layout.
+    * The oracle recomputes the box from the UNPARTITIONED lineitem parquet
+    * — same layout-independence proof as [[partitionPrunedDaily]]; the
+    * file-skipping ratio itself is asserted in LayoutsSpec (box query
+    * touches a handful of the [[ZFiles]] files; a y-only band query still
+    * skips most files, which a single-column x-sort cannot do).
+    */
+  def zOrderBoxQuery(s: SparkSession, d: String,
+      xLo: Long = 32, xHi: Long = 47, yLo: Long = 96, yHi: Long = 111): DataFrame =
+    zSkippingScan(s, zOrderedPath(s, d), xLo, xHi, yLo, yHi)._1
 }

@@ -331,4 +331,35 @@ object TrainingData {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Train/eval SPLIT LEAKAGE via near-dup clusters — the contamination mode
+    * [[contamination]]'s n-gram screen (train vs an external benchmark) does
+    * NOT cover: the corpus's own held-out split. [[hashSplit]] assigns docs
+    * independently, so two near-duplicate documents routinely land on
+    * opposite sides of the boundary, and every such val/test doc is an eval
+    * item the model has effectively seen — eval loss reads training
+    * memorization. Standard practice (Gopher/MassiveText, The Pile v2
+    * analyses) is therefore to split by DEDUP CLUSTER, not by document;
+    * this face is the audit that says how much a doc-level split leaks.
+    *
+    * Emits every val/test doc whose [[Dedup.dedupClusters]] cluster also
+    * contains ≥1 train doc, with the offending train-member count — the
+    * rows a pipeline either drops from eval or re-splits by cluster id.
+    *
+    * Scale shape: pure composition of scale-proven faces. Cluster labels ⋈
+    * split assignment is a doc_id-keyed narrow join (the split side is a
+    * shuffle-free projection); the train-member rollup is one partial-agg
+    * shuffle on cluster_id, and the final join is cluster-keyed on the
+    * leaked subset only (near-dup clusters spanning the split are rare next
+    * to the corpus, and val+test is ≤10% of it by construction).
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val labeled = Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))
+      .join(hashSplit(s, d).select(col("doc_id"), col("split")), Seq("doc_id"))
+    val trainPerCluster = labeled.filter(col("split") === "train")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_train_dups"))
+    labeled.filter(col("split") =!= "train")
+      .join(trainPerCluster, Seq("cluster_id"))
+      .select(col("doc_id"), col("split"), col("cluster_id"), col("n_train_dups"))
+  }
 }

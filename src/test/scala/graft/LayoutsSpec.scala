@@ -95,4 +95,68 @@ class LayoutsSpec extends SparkSpecBase {
     assert(r.exists(_.getLong(2) > 0),
       "testdata dup clusters must surface shared spans")
   }
+
+  test("zValue interleaves bits (known vectors)") {
+    // x=3 (011), y=5 (101): bits land at 1+2+4+32 = 39
+    val r = spark.range(1)
+      .select(Layouts.zValue(lit(3L), lit(5L)).as("a"),
+        Layouts.zValue(lit(0L), lit(0L)).as("b"),
+        Layouts.zValue(lit(255L), lit(255L)).as("c"))
+      .collect()(0)
+    assert(r.getLong(0) == 39L && r.getLong(1) == 0L && r.getLong(2) == 65535L)
+  }
+
+  test("z-order box query: answer is layout-independent, scan skips most files") {
+    val df = Layouts.zOrderBoxQuery(spark, Sf)
+    val expected = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256L)).as("zx"),
+        pmod(floor(col("l_extendedprice")), lit(256L)).as("zy"))
+      .filter(col("zx").between(32, 47) && col("zy").between(96, 111))
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "test box must be non-empty at sf0.001")
+    assert(df.collect().map(_.toSeq).toSet == expected,
+      "skipping scan changed the box answer")
+  }
+
+  test("z-layout bounds BOTH dimensions: a y-band query skips files a single-column sort cannot") {
+    // stage both layouts over the same projection
+    val base = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+      .withColumn("zx", pmod(col("l_partkey"), lit(256L)))
+      .withColumn("zy", pmod(floor(col("l_extendedprice")), lit(256L)))
+    val total = base.count()
+    val rowsPerFile = math.max(1L, (total + Layouts.ZFiles - 1) / Layouts.ZFiles)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z_test")
+    val xDir = java.nio.file.Files.createTempDirectory("graft_x_test")
+    try {
+      graft.sources.Sinks.writeCompacted(
+        base.withColumn("zv", Layouts.zValue(col("zx"), col("zy"))),
+        zDir.toString, "zv", rowsPerFile, total)
+      graft.sources.Sinks.writeCompacted(base, xDir.toString, "zx",
+        rowsPerFile, total)
+      // 2-D box: the z layout reads a small corner of the file set
+      val (_, zBoxRead, zTotal) =
+        Layouts.zSkippingScan(spark, zDir.toString, 32, 47, 96, 111)
+      assert(zBoxRead <= zTotal / 4,
+        s"z layout box read $zBoxRead of $zTotal files — no skipping")
+      // y-band only (x unconstrained): z still bounds y per file; the
+      // x-sorted layout has useless y stats and reads ~everything
+      val (zRes, zBandRead, _) =
+        Layouts.zSkippingScan(spark, zDir.toString, 0, 255, 96, 111)
+      val (xRes, xBandRead, xTotal) =
+        Layouts.zSkippingScan(spark, xDir.toString, 0, 255, 96, 111)
+      assert(zBandRead <= zTotal / 2,
+        s"z layout y-band read $zBandRead of $zTotal files")
+      assert(xBandRead > xTotal * 3 / 4,
+        s"x-sorted layout unexpectedly skipped on y: $xBandRead of $xTotal")
+      // both layouts agree with each other on the answer
+      assert(zRes.collect().map(_.toSeq).toSet == xRes.collect().map(_.toSeq).toSet)
+    } finally {
+      Seq(zDir, xDir).foreach { p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      }
+    }
+  }
 }

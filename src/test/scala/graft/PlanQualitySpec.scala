@@ -313,4 +313,45 @@ class PlanQualitySpec extends SparkSpecBase {
       a.dataType == org.apache.spark.sql.types.StringType).map(_.name))
     assert(offenders.isEmpty, s"non-scalar/string columns in shuffle: $offenders")
   }
+
+  test("large-orders aggregate semi-join broadcasts dims, aggregates partially") {
+    val p = plan(q("q_large_orders"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim not broadcast in q18-class plan:\n$p")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"q18-class plan executes a per-row subquery:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"quantity rollup not partial-aggregated:\n$p")
+  }
+
+  test("selective fact join gets a runtime bloom filter pushed into the fact side") {
+    import org.apache.spark.sql.internal.SQLConf
+    // thresholds tuned so the injection admits test-scale inputs; broadcast
+    // disabled so the join shuffles — the regime the bloom filter exists
+    // for (a broadcast join already prunes on the driver-built hash table)
+    val confs = Seq(
+      SQLConf.RUNTIME_BLOOM_FILTER_ENABLED.key -> "true",
+      SQLConf.RUNTIME_BLOOM_FILTER_APPLICATION_SIDE_SCAN_SIZE_THRESHOLD.key -> "0",
+      SQLConf.RUNTIME_BLOOM_FILTER_CREATION_SIDE_THRESHOLD.key -> "100MB",
+      SQLConf.AUTO_BROADCASTJOIN_THRESHOLD.key -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = operators.Analytics.selectiveFactJoin(spark, Sf)
+      val p = plan(df)
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected into the fact scan:\n$p")
+      // the bloom is a pure may-contain pre-prune: answer unchanged
+      val withBloom = df.orderBy("o_orderstatus", "l_returnflag")
+        .collect().toSeq
+      saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      val plainRun = operators.Analytics.selectiveFactJoin(spark, Sf)
+        .orderBy("o_orderstatus", "l_returnflag").collect().toSeq
+      assert(withBloom == plainRun, "bloom injection changed the answer")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -277,4 +277,28 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters") && plan.contains("label"),
       s"label predicate not pushed:\n${plan.take(2000)}")
   }
+
+  test("splitLeakage matches the window-count formulation; never emits train docs") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val got = TrainingData.splitLeakage(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.forall(_._2 != "train"), "leak report contains train docs")
+    // independent formulation: per-cluster train count via a window instead
+    // of the aggregate+join the operator uses
+    val labeled = Dedup.dedupClusters(spark, Sf, Dedup.minhashLshPairs(spark, Sf))
+      .join(TrainingData.hashSplit(spark, Sf).select(col("doc_id"), col("split")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    val expected = labeled
+      .withColumn("n_train_dups",
+        sum(when(col("split") === "train", 1L).otherwise(0L)).over(w))
+      .filter(col("split") =!= "train" && col("n_train_dups") >= 1)
+      .select(col("doc_id"), col("split"), col("cluster_id"), col("n_train_dups"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty,
+      "sf0.001 dup clusters must span the split for this test to bite")
+    assert(got == expected, s"mismatch: got ${got.size}, expected ${expected.size}")
+  }
 }
