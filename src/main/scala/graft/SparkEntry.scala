@@ -447,6 +447,17 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTopKTrained(s, d).withColumn("rnk", col("rnk").cast("long"))
         .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cosine"))),
+    // product quantization (Jégou et al. 2011): corpus vectors scored from
+    // 4-byte PQ codes via asymmetric distance — the 64× memory-compressed
+    // scan. Oracle is generated (fitted codebook literals — see
+    // oracleSqlDynamic); recall measured as method "pq" in q_ann_recall.
+    "q_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    // the production PQ recipe: ADC shortlist (50) + exact rerank — the
+    // compressed scan does corpus-sized work, exact cosine touches only
+    // shortlist×queries raw vectors
+    "q_ann_pq_rerank" -> ((s, d) =>
+      Similarity.pqRerankTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     // measured recall@5 of each approximate face vs the exact brute force —
     // the quality gate that makes the ANN faces shippable (r8 verdict task
     // 1). Oracle is generated (it composes the lsh + trained-ivf oracles).
@@ -2586,6 +2597,7 @@ object SparkEntry {
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
       (Seq("q_ann_ivf_trained", "q_semantic_dedup"), () => centroidOracles(s, d)),
+      (Seq("q_ann_pq", "q_ann_pq_rerank"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
       case ((ok, errs), (names, gen)) =>
@@ -2599,7 +2611,89 @@ object SparkEntry {
 
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] =
     pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d) ++
-      annRecallOracle(s, d)
+      pqOracles(s, d) ++ annRecallOracle(s, d)
+
+  /** Mirror of [[graft.operators.Similarity.pqTopK]] over the SAME fitted
+    * codebooks (memoized — query run and generator see one model instance,
+    * serialized as shortest-round-trip double literals): subspace L2²
+    * assignment with (d2, code) tie order, m-ordered reconstruction, and
+    * the asymmetric approximate cosine ranked with the neighbor-id
+    * tiebreak. Fold-order parity: DuckDB `list_reduce` starts at the first
+    * element where Spark's `aggregate` starts at 0.0 — identical doubles
+    * because 0.0 + x == x in IEEE.
+    */
+  private def pqOracles(s: SparkSession, d: String): Map[String, String] = {
+    val books = Similarity.trainedPqCodebooks(s, d)
+    val (mN, kN, sub) = (Similarity.PqM, Similarity.PqK, Similarity.PqSubDim)
+    // SCIENTIFIC notation, not Double.toString: DuckDB types plain decimal
+    // literals DECIMAL and unifies a list literal's elements to one common
+    // scale — values whose shortest repr needs a larger scale get ROUNDED
+    // (one-ulp codebook drift, caught by the q_ann_pq hash). E-notation
+    // literals are typed DOUBLE outright; %.17e round-trips every double.
+    val cbLit = books.map(_.map(_.map(v =>
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val core =
+      s"""WITH cb AS (
+         |  SELECT CAST(rm.i - 1 AS INTEGER) AS m, CAST(rk.i - 1 AS INTEGER) AS code,
+         |    t.cbs[rm.i][rk.i] AS csub
+         |  FROM (SELECT $cbLit AS cbs) t, range(1, ${mN + 1}) rm(i), range(1, ${kN + 1}) rk(i)),
+         |e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, CAST(rm.i - 1 AS INTEGER) AS m,
+         |    list_transform(range(1, ${sub + 1}),
+         |      j -> CAST(embedding[(rm.i - 1) * $sub + j] AS DOUBLE)) AS sv
+         |  FROM embeddings, range(1, ${mN + 1}) rm(i)),
+         |dist AS (
+         |  SELECT s.vec_id, s.m, cb.code,
+         |    list_reduce(list_transform(range(1, ${sub + 1}),
+         |      j -> (s.sv[j] - cb.csub[j]) * (s.sv[j] - cb.csub[j])), (x, y) -> x + y) AS d2
+         |  FROM sv s JOIN cb ON cb.m = s.m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d2, code) AS rn FROM dist) WHERE rn = 1),
+         |recon AS (
+         |  SELECT c.vec_id, flatten(list(cb.csub ORDER BY c.m)) AS rv
+         |  FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+         |  GROUP BY c.vec_id),
+         |rn2 AS (
+         |  SELECT vec_id, rv,
+         |    list_reduce(list_transform(range(1, ${Similarity.Dims + 1}),
+         |      i -> rv[i] * rv[i]), (x, y) -> x + y) AS rnrm2
+         |  FROM recon),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${sqlDot("q.embedding", "n.rv")} / (sqrt(q.nrm2) * sqrt(n.rnrm2)) AS approx_cosine
+         |  FROM e q JOIN rn2 n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)""".stripMargin
+    Map(
+      "q_ann_pq" ->
+        s"""$core
+           |SELECT query_id, neighbor_id, rnk, approx_cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY approx_cosine DESC, neighbor_id) AS rnk FROM pairs)
+           |WHERE rnk <= 5""".stripMargin,
+
+      // ADC shortlist (same pairs CTE, top-50) + exact cosine rerank over
+      // raw vectors — the production two-stage recipe
+      "q_ann_pq_rerank" ->
+        s"""$core,
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY approx_cosine DESC, neighbor_id) AS rn FROM pairs)
+           |  WHERE rn <= ${Similarity.PqShortlist}),
+           |exactp AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |  FROM short s
+           |  JOIN e q ON q.vec_id = s.query_id
+           |  JOIN e n ON n.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM exactp)
+           |WHERE rnk <= 5""".stripMargin)
+  }
 
   /** Mirror of [[graft.operators.Similarity.annRecall]]: recall@5 of each
     * approximate face against the exact brute-force top-k. Composes the
@@ -2615,17 +2709,24 @@ object SparkEntry {
     val lshSql = lsh("q_ann_lsh")
     val mpSql = lsh("q_ann_multiprobe")
     val trainedSql = centroidOracles(s, d)("q_ann_ivf_trained")
+    val pqAll = pqOracles(s, d)
+    val pqSql = pqAll("q_ann_pq")
+    val pqrSql = pqAll("q_ann_pq_rerank")
     Map("q_ann_recall" ->
       s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($exactSql)),
          |a_lsh AS (SELECT query_id, neighbor_id FROM ($lshSql)),
          |a_mp AS (SELECT query_id, neighbor_id FROM ($mpSql)),
          |a_ivf AS (SELECT query_id, neighbor_id FROM ($ivfSql)),
          |a_tr AS (SELECT query_id, neighbor_id FROM ($trainedSql)),
+         |a_pq AS (SELECT query_id, neighbor_id FROM ($pqSql)),
+         |a_pqr AS (SELECT query_id, neighbor_id FROM ($pqrSql)),
          |approx AS (
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM a_lsh
          |  UNION ALL SELECT 'lsh_multiprobe', query_id, neighbor_id FROM a_mp
          |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM a_ivf
-         |  UNION ALL SELECT 'ivf_trained', query_id, neighbor_id FROM a_tr),
+         |  UNION ALL SELECT 'ivf_trained', query_id, neighbor_id FROM a_tr
+         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM a_pq
+         |  UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM a_pqr),
          |hits AS (
          |  SELECT a.method, a.query_id, count(*) AS n_hits
          |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
@@ -2634,7 +2735,7 @@ object SparkEntry {
          |  SELECT m.method, q.query_id
          |  FROM (SELECT DISTINCT query_id FROM exact) q
          |  CROSS JOIN (VALUES ('lsh'), ('lsh_multiprobe'), ('ivf'),
-         |    ('ivf_trained')) m(method))
+         |    ('ivf_trained'), ('pq'), ('pq_rerank')) m(method))
          |SELECT spine.method, spine.query_id,
          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
@@ -2748,8 +2849,13 @@ object SparkEntry {
 
   private def centroidOracles(s: SparkSession, d: String): Map[String, String] = {
     val cents = Similarity.trainedCentroids(s, d)
-    val centsLit = cents.map(_.map(java.lang.Double.toString).mkString("[", ", ", "]"))
-      .mkString("[", ", ", "]")
+    // %.17e, not Double.toString — same DECIMAL-unification drift guard as
+    // the PQ codebook literals (these faces rerank with exact cosines so a
+    // one-ulp centroid drift only matters on an assignment tie, but exact
+    // parity costs nothing)
+    val centsLit = cents.map(_.map(v =>
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
     Map(
       // mirror of Similarity.ivfTopKTrained: literal trained centroids, then
       // the exact q_ann_ivf search dataflow (assign all vectors via

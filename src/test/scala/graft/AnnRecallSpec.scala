@@ -27,7 +27,7 @@ class AnnRecallSpec extends SparkSpecBase {
 
   test("recall report covers every face × every query") {
     val rows = Similarity.annRecall(spark, Sf01).collect()
-    assert(rows.length == 4 * 10) // 4 methods × 10 probe queries
+    assert(rows.length == 6 * 10) // 6 methods × 10 probe queries
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
@@ -45,6 +45,18 @@ class AnnRecallSpec extends SparkSpecBase {
     // superset of the single-bucket face's — recall can only improve
     assert(meanRecall("lsh_multiprobe") > meanRecall("lsh"),
       s"multiprobe ${meanRecall("lsh_multiprobe")} vs lsh ${meanRecall("lsh")}")
+  }
+
+  test("PQ rerank clears a 0.6 floor and strictly lifts pure-ADC PQ") {
+    // measured at sf0.01: pq (pure ADC, 16-entry codebooks on isotropic
+    // data) ≈ 0.26 — the quantization noise floor; the 50-candidate exact
+    // rerank lifts it to ≈ 0.76. The GAP is the point: it is the measured
+    // argument for the two-stage recipe.
+    assert(meanRecall("pq") >= 0.15, s"pq recall ${meanRecall("pq")}")
+    assert(meanRecall("pq_rerank") >= 0.6,
+      s"pq_rerank recall ${meanRecall("pq_rerank")}")
+    assert(meanRecall("pq_rerank") > meanRecall("pq"),
+      s"rerank ${meanRecall("pq_rerank")} did not lift ADC ${meanRecall("pq")}")
   }
 
   test("multiprobe recall >= single-bucket recall per query (superset property)") {
