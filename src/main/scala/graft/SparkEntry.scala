@@ -489,6 +489,11 @@ object SparkEntry {
     "q_repetition_score" -> (TextAnalysis.repetitionScore _),
     "q_tfidf_topk" -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(s, d)),
+    // retrieval tier over the posting-list index: conjunctive boolean
+    // intersection, and BM25-shaped ranked search (rational idf — the
+    // tfidf no-libm decision applied again)
+    "q_bool_search" -> ((s, d) => TextAnalysis.booleanSearch(s, d)),
+    "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     // PII redaction over a deterministically AUGMENTED corpus: the synthetic
     // text contains no addresses (checked), so every 5th doc gets a
     // constructed email + IPv4 appended — built identically in the oracle —
@@ -2032,6 +2037,48 @@ object SparkEntry {
          |  count(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($toks) AS term FROM documents) t
          |GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT 50""".stripMargin
+    },
+
+    "q_bool_search" -> {
+      val toks = sqlTokens("text")
+      s"""WITH terms AS (
+         |  SELECT doc_id, lower(unnest($toks)) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+         |FROM tf WHERE term IN ('vector', 'merge')
+         |GROUP BY doc_id HAVING count(*) = 2""".stripMargin
+    },
+
+    // mirror of TextAnalysis.bm25Search: rational Robertson idf (no libm
+    // ln), identical IEEE op tree, fixed-order cross-term sum. The float
+    // constants that are COMPUTED Scala-side (k1+1) are serialized %.17e so
+    // both engines score with the same doubles.
+    "q_bm25_search" -> {
+      val toks = sqlTokens("text")
+      def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH terms AS (
+         |  SELECT doc_id, lower(unnest($toks)) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |      * (CAST(tf AS DOUBLE) * ${fm(k1 + 1.0)})
+         |      / (CAST(tf AS DOUBLE)
+         |         + ${fm(k1)} * (${fm(1.0 - b)} + ${fm(b)} * dl / avgdl)) AS tscore
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  WHERE tf.term IN ('vector', 'merge')),
+         |agg AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s_0,
+         |    sum(CASE WHEN term = 'merge' THEN tscore END) AS s_1
+         |  FROM scored GROUP BY doc_id)
+         |SELECT doc_id, coalesce(s_0, 0.0) + coalesce(s_1, 0.0) AS score
+         |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
 
     // exact integer edit distance on both engines over the k²-bounded

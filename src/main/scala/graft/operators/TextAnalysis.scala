@@ -483,4 +483,90 @@ object TextAnalysis {
   /** Driver face over the documents table. */
   def bigramFluency(s: SparkSession, d: String): DataFrame =
     bigramFluencyOf(Tables.documents(s, d))
+
+  // ------------------------------------------------------------ retrieval
+
+  /** The corpus posting list — (term, doc_id, tf), the inverted index every
+    * retrieval face queries. At 100 TB this IS the index: term-partitioned
+    * by the tf aggregation's hash shuffle, materialized once next to the
+    * corpus and append-maintained per crawl batch (the
+    * [[graft.sources.Sinks.streamBandIndex]] pattern applies verbatim —
+    * bands and postings are the same (key → doc) shape).
+    */
+  private def postings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive boolean retrieval (`term1 AND term2 AND …`): posting-list
+    * intersection as a grouped count — a doc qualifies iff it matched ALL
+    * query terms. The classical merge-of-sorted-postings becomes, in
+    * relational form, one narrow (doc_id, tf) aggregation over the
+    * query-terms slice of the index; the term filter hits the posting
+    * table's partition key, so at scale only the query terms' partitions
+    * are read at all.
+    */
+  def booleanSearch(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("vector", "merge")): DataFrame =
+    postings(s, d)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_matched") === terms.length)
+      .select(col("doc_id"), col("total_tf"))
+
+  /** BM25-shaped ranked retrieval (disjunctive — any matched term scores):
+    * per-term score `idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` summed
+    * over the query terms, top-k docs. Two departures from textbook BM25,
+    * both deliberate:
+    *
+    *  - idf is the RATIONAL Robertson form WITHOUT the log,
+    *    `(N−df+0.5)/(df+0.5)` — same monotonicity in df, but a pure IEEE
+    *    div/add chain both engines compute bit-identically, where `ln` is a
+    *    libm call with cross-engine last-ulp drift (the [[tfidfTopK]]
+    *    decision applied again);
+    *  - the per-doc sum over matched terms is a FIXED-ORDER sum of
+    *    per-term conditional aggregates (one `sum(when(term=t))` column per
+    *    query term, added left-to-right), not `sum()` over rows — float
+    *    addition order must not depend on shuffle arrival.
+    *
+    * Scale shape: df/N/avgdl are vocab- and scalar-sized broadcasts off the
+    * posting table; the scoring slice is query-terms-only; the final top-k
+    * is an order+limit that fuses to TakeOrderedAndProject.
+    */
+  def bm25Search(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("vector", "merge"), k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val post = postings(s, d)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = post.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfT.filter(col("term").isin(terms: _*))), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("tscore",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // fixed-order cross-term sum: one conditional aggregate per query term,
+    // added left-to-right — never a row-order-dependent float sum()
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tscore"))).as(s"s_$i")
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score",
+        terms.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+          .reduce(_ + _))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
 }

@@ -129,4 +129,33 @@ class TextRelevanceSpec extends SparkSpecBase {
     // probabilities: every term in (0, 1]
     assert(r(1L)._2.get > 0 && r(1L)._2.get <= 1.0)
   }
+
+  test("booleanSearch returns exactly the docs containing ALL query terms") {
+    val terms = Seq("vector", "merge")
+    val got = TextAnalysis.booleanSearch(spark, Sf, terms)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent formulation: per-doc token-set containment
+    val expected = Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("t"))
+      .filter(terms.map(t => array_contains(col("t"), t)).reduce(_ && _))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "test terms must match at sf0.001")
+    assert(got == expected)
+  }
+
+  test("bm25Search: disjunctive match, descending scores, k-bounded") {
+    val rows = TextAnalysis.bm25Search(spark, Sf, k = 20).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b },
+      "scores must be non-increasing in rank order")
+    // every returned doc contains at least one query term (OR semantics)
+    val ids = rows.map(_.getLong(0)).toSet
+    val matching = Tables.documents(spark, Sf)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("t"))
+      .filter(array_contains(col("t"), "vector") || array_contains(col("t"), "merge"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(matching))
+  }
 }
