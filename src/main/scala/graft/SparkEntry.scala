@@ -659,6 +659,9 @@ object SparkEntry {
 
     // -- data-quality gate (the validation stage the reference's DAGs lack)
     "q_quality_report" -> ((s, d) => Profiling.qualityReport(s, d)),
+    // schema-wide FK sweep: orphan rows + distinct missing keys per
+    // relation of the star schema (the single-rule FK check generalized)
+    "q_ref_integrity" -> ((s, d) => Profiling.refIntegrity(s, d)),
 
     // -- cross-source federation: parquet fact ⋈ JDBC dimension (the
     //    reference's migration-period shape; embedded Derby stands in for
@@ -2566,6 +2569,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lineitem', 'fk l_orderkey -> orders', count(*)
         |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    "q_ref_integrity" -> {
+      def rel(name: String, child: String, ckey: String,
+          parent: String, pkey: String) =
+        s"""SELECT '$name' AS relation,
+           |  (SELECT count(*) FROM $child) AS n_child,
+           |  (SELECT count(*) FROM $child c
+           |     LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parent) p
+           |     ON c.$ckey = p.pk WHERE p.pk IS NULL) AS n_orphans,
+           |  (SELECT count(DISTINCT c.$ckey) FROM $child c
+           |     LEFT JOIN (SELECT DISTINCT $pkey AS pk FROM $parent) p
+           |     ON c.$ckey = p.pk WHERE p.pk IS NULL) AS n_missing_keys""".stripMargin
+      Seq(
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("\nUNION ALL\n")
+    },
 
     // independent bigram LM: same \s+ tokenization, add-one-smoothed
     // conditional probabilities as INTEGER ratios (one correctly-rounded

@@ -123,4 +123,60 @@ object Profiling {
     ordersRules.unionByName(ordersUnique)
       .unionByName(lineitemRules).unionByName(fk)
   }
+
+  /** Cross-table referential-integrity audit: every FK relation of the star
+    * schema in one report — (relation, child rows, orphan rows, distinct
+    * missing keys). [[qualityReport]] checks ONE relation as a rule; this
+    * is the schema-wide sweep a warehouse runs after every load, and the
+    * first thing to consult when a join "loses" rows.
+    *
+    * Scale shape per relation: the child side collapses to DISTINCT-key
+    * counts first (one partial-agg shuffle on a long key — orphan detection
+    * never rescans child rows per parent), then anti-joins the parent key
+    * set — broadcast for dimension parents, hash for the fact-sized orders
+    * parent. Row counts ride along as per-key sums, so the report costs no
+    * second scan of any child.
+    */
+  /** One relation's orphan stats — separated so detection is unit-testable
+    * on frames WITH violations (the driver corpus is referentially clean,
+    * so the all-zero report alone can't prove the detector works).
+    */
+  private[graft] def orphanStats(name: String, child: DataFrame, ckey: String,
+      parent: DataFrame, pkey: String, smallParent: Boolean): DataFrame = {
+    val keys = child.groupBy(col(ckey).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val pKeys = parent.select(col(pkey).cast("long").as("k")).distinct()
+    val orphans = keys.join(if (smallParent) broadcast(pKeys) else pKeys,
+      Seq("k"), "left_anti")
+    keys.agg(sum(col("n")).as("n_child"))
+      .crossJoin(orphans.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_orphans"),
+        count(lit(1)).as("n_missing_keys")))
+      .select(lit(name).as("relation"), col("n_child"),
+        col("n_orphans"), col("n_missing_keys"))
+  }
+
+  def refIntegrity(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables
+    def rel(name: String, child: DataFrame, ckey: String,
+        parent: DataFrame, pkey: String, smallParent: Boolean): DataFrame =
+      orphanStats(name, child, ckey, parent, pkey, smallParent)
+    val li = Tables.lineitem(s, d)
+    Seq(
+      rel("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", smallParent = false),
+      rel("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, d), "p_partkey", smallParent = true),
+      rel("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", smallParent = true),
+      rel("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", smallParent = true),
+      rel("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", smallParent = true),
+      rel("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey", smallParent = true),
+      rel("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey", smallParent = true))
+      .reduce(_ unionByName _)
+  }
 }

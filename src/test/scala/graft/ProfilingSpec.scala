@@ -55,4 +55,20 @@ class ProfilingSpec extends SparkSpecBase {
     assert(expected > 0L)
     assert(r(("lineitem", "range l_quantity [1,30]")) == expected)
   }
+
+  test("refIntegrity: driver corpus is clean; doctored orphans are counted exactly") {
+    import graft.operators.Profiling
+    val report = Profiling.refIntegrity(spark, Sf).collect()
+    assert(report.length == 7)
+    assert(report.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+      s"driver corpus must be referentially clean: ${report.mkString(";")}")
+    // detection proof: 2 orphan keys, one key twice -> 3 orphan rows
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L, 7L, 7L, 9L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = Profiling.orphanStats("t", child, "ck", parent, "pk",
+      smallParent = true).collect()(0)
+    assert(row.getLong(1) == 6L && row.getLong(2) == 3L && row.getLong(3) == 2L,
+      s"orphan stats wrong: $row")
+  }
 }
