@@ -116,6 +116,9 @@ object SparkEntry {
     // runtime-bloom-filter shape: ~0.8%-selective dim filter pre-pruning
     // the fact scan (injection plan-asserted in PlanQualitySpec)
     "q_bloom_join" -> (Analytics.selectiveFactJoin _),
+    // Pareto frontier via the shuffle-reusing running-max recipe — never a
+    // single-partition window, never the quadratic NOT-EXISTS self-join
+    "q_skyline" -> (Analytics.skyline _),
     "q_top_customers" -> (Analytics.topCustomers _),
     "q_window_rank" -> ((s, d) =>
       Analytics.windowRank(s, d)
@@ -1166,6 +1169,23 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-06-01'
          |  AND o_orderdate < TIMESTAMP '1996-09-01'
          |GROUP BY o_orderstatus, l_returnflag""".stripMargin,
+
+    // skyline: the single-window running-max formulation the two-level
+    // Spark recipe must agree with for any partition boundary placement
+    "q_skyline" ->
+      """WITH pp AS (
+        |  SELECT l_extendedprice AS price, max(l_quantity) AS pq
+        |  FROM lineitem GROUP BY 1),
+        |run AS (
+        |  SELECT price, pq,
+        |    coalesce(max(pq) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1.0)
+        |      AS cheaper_max
+        |  FROM pp)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  l.l_extendedprice AS price, l.l_quantity AS qty
+        |FROM lineitem l JOIN run r ON l.l_extendedprice = r.price
+        |WHERE NOT (r.cheaper_max >= l.l_quantity OR r.pq > l.l_quantity)""".stripMargin,
 
     "q_top_customers" ->
       """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,

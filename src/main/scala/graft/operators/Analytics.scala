@@ -741,6 +741,53 @@ object Analytics {
           .as("global_rank"))
   }
 
+  /** Skyline (Pareto frontier) over (minimize l_extendedprice, maximize
+    * l_quantity): every line item no other item strictly dominates — the
+    * classic "best trade-offs" query (Börzsönyi et al. 2001). The naive
+    * relational form is a NOT-EXISTS self-join (quadratic, and Catalyst
+    * would plan the dominance predicate as a cross join); the scalable form
+    * exploits that 2-D dominance reduces to a RUNNING MAX along one sorted
+    * dimension: a point is dominated iff some strictly-cheaper price
+    * achieves ≥ its quantity, or its own price level achieves > it.
+    *
+    * The running max over all prices is the same global-order scan
+    * [[globalRank]] solves without a single-partition window: per-price
+    * maxima (one narrow shuffle) are range-partitioned by price; the
+    * within-partition prefix max is a window PARTITIONED BY the physical
+    * partition id (partition-parallel); the cross-partition term is a
+    * partition-count-sized prefix-max broadcast computed off the SAME range
+    * exchange. `greatest` of the two equals the full-order running max for
+    * ANY boundary placement (max is associative), so the result is
+    * boundary-invariant — the oracle's single-window formulation agrees
+    * exactly (float comparisons only, no float arithmetic anywhere).
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+    val perPrice = pts.groupBy(col("price")).agg(max(col("qty")).as("pq"))
+    val parted = perPrice.repartitionByRange(32, col("price"))
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_runmax", max(col("pq")).over(wIn))
+    // per-partition maxima off the SAME exchange; prefix max over the
+    // partition-count-sized frame, broadcast back
+    val pmax = parted.groupBy(spark_partition_id().cast("long").as("_pid"))
+      .agg(max(col("pq")).as("_pmax"))
+    val prefix = pmax.withColumn("_prefmax",
+        max(col("_pmax")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("_pid"), col("_prefmax"))
+    val run = local.join(broadcast(prefix), Seq("_pid"))
+      .select(col("price"), col("pq"),
+        greatest(coalesce(col("_runmax"), lit(-1.0)),
+          coalesce(col("_prefmax"), lit(-1.0))).as("cheaper_max"))
+    pts.join(run, Seq("price"))
+      .filter(!(col("cheaper_max") >= col("qty") || col("pq") > col("qty")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("price"), col("qty"))
+  }
+
   /** Bag-semantics set operations (`EXCEPT ALL` / `INTERSECT ALL`):
     * multiplicity-preserving difference and intersection of the 1995 vs 1996
     * order-priority multisets, rolled up per priority so the result is the

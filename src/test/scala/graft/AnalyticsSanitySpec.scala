@@ -157,4 +157,21 @@ class AnalyticsSanitySpec extends SparkSpecBase {
     assert(expected.subsetOf(found),
       s"missing exact-dup pairs: ${expected -- found}")
   }
+
+  test("skyline equals brute-force dominance at sf0.001") {
+    val got = Analytics.skyline(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val pts = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val expected = pts.filter { case (_, _, price, qty) =>
+      !pts.exists { case (_, _, p2, q2) =>
+        p2 <= price && q2 >= qty && (p2 < price || q2 > qty)
+      }
+    }.map(p => (p._1, p._2)).toSet
+    assert(expected.nonEmpty, "frontier must be non-empty")
+    assert(got == expected,
+      s"skyline mismatch: got ${got.size}, expected ${expected.size}")
+  }
 }

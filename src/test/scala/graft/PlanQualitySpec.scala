@@ -324,6 +324,21 @@ class PlanQualitySpec extends SparkSpecBase {
       s"quantity rollup not partial-aggregated:\n$p")
   }
 
+  test("skyline: partitioned running max, no unpartitioned data window, no cross join") {
+    val p = plan(q("q_skyline"))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"per-price maxima not range-partitioned:\n$p")
+    // the only windows allowed: prefix max over the partition-id frame
+    // (windowspecdefinition(_pid ASC...)) and the _pid-PARTITIONED local
+    // running max (windowspecdefinition(_pid, price ASC...)). An
+    // unpartitioned price-ordered window over the data would print
+    // windowspecdefinition(price ...) — the single-partition funnel.
+    assert(!p.contains("windowspecdefinition(price"),
+      s"skyline fell back to a global price window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"skyline planned a dominance cross join:\n$p")
+  }
+
   test("selective fact join gets a runtime bloom filter pushed into the fact side") {
     import org.apache.spark.sql.internal.SQLConf
     // thresholds tuned so the injection admits test-scale inputs; broadcast
