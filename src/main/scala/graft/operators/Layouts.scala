@@ -186,7 +186,19 @@ object Layouts {
     * gives tight bounds in that column and useless ones in every other).
     */
   val ZGridBits = 8
-  val ZFiles = 64
+
+  /** File count scales with DATA VOLUME (rows / target-rows-per-file,
+    * floored so the test scales still exercise multi-file skipping) — a
+    * fixed file count would mean terabyte files at production scale. The
+    * row target stands in for the real byte budget (~128 MB–1 GB parquet
+    * files); rows are the right proxy here because the projected lineitem
+    * row width is constant.
+    */
+  val ZRowsPerFileTarget = 16384L
+  val ZMinFiles = 64
+  def zFilesFor(total: Long): Int =
+    math.min(4096L, math.max(ZMinFiles.toLong,
+      (total + ZRowsPerFileTarget - 1) / ZRowsPerFileTarget)).toInt
 
   /** Morton interleave of the low [[ZGridBits]] bits of two grid
     * coordinates: bit i of `x` lands at position 2i, bit i of `y` at 2i+1.
@@ -226,7 +238,8 @@ object Layouts {
         .withColumn("zv", zValue(col("zx"), col("zy")))
       val total = df.count()
       graft.sources.Sinks.writeCompacted(df, dir.toString, "zv",
-        rowsPerFile = math.max(1L, (total + ZFiles - 1) / ZFiles), total)
+        rowsPerFile = math.max(1L, (total + zFilesFor(total) - 1) / zFilesFor(total)),
+        total)
       dir.toFile.deleteOnExit()
       dir.toString
     })
@@ -273,7 +286,7 @@ object Layouts {
     * The oracle recomputes the box from the UNPARTITIONED lineitem parquet
     * — same layout-independence proof as [[partitionPrunedDaily]]; the
     * file-skipping ratio itself is asserted in LayoutsSpec (box query
-    * touches a handful of the [[ZFiles]] files; a y-only band query still
+    * touches a handful of the [[zFilesFor]] files; a y-only band query still
     * skips most files, which a single-column x-sort cannot do).
     */
   def zOrderBoxQuery(s: SparkSession, d: String,

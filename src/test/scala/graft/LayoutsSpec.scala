@@ -127,7 +127,8 @@ class LayoutsSpec extends SparkSpecBase {
       .withColumn("zx", pmod(col("l_partkey"), lit(256L)))
       .withColumn("zy", pmod(floor(col("l_extendedprice")), lit(256L)))
     val total = base.count()
-    val rowsPerFile = math.max(1L, (total + Layouts.ZFiles - 1) / Layouts.ZFiles)
+    val nf = Layouts.zFilesFor(total)
+    val rowsPerFile = math.max(1L, (total + nf - 1) / nf)
     val zDir = java.nio.file.Files.createTempDirectory("graft_z_test")
     val xDir = java.nio.file.Files.createTempDirectory("graft_x_test")
     try {
