@@ -497,6 +497,9 @@ object SparkEntry {
     // tfidf no-libm decision applied again)
     "q_bool_search" -> ((s, d) => TextAnalysis.booleanSearch(s, d)),
     "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    // trigram-pruned substring search (the pg_trgm / code-search design):
+    // posting intersection bounds candidates, exact contains verifies
+    "q_substring_search" -> ((s, d) => TextAnalysis.substringSearch(s, d)),
     // PII redaction over a deterministically AUGMENTED corpus: the synthetic
     // text contains no addresses (checked), so every 5th doc gets a
     // constructed email + IPv4 appended — built identically in the oracle —
@@ -2061,6 +2064,14 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest($toks) AS term FROM documents) t
          |GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT 50""".stripMargin
     },
+
+    // index-independence proof: the trigram pruning is a pure pre-filter,
+    // so the plain predicate recomputes the identical result
+    "q_substring_search" ->
+      """SELECT doc_id,
+        |  CAST(strpos(lower(text), 'hash join') AS BIGINT) AS first_pos
+        |FROM documents
+        |WHERE strpos(lower(text), 'hash join') > 0""".stripMargin,
 
     "q_bool_search" -> {
       val toks = sqlTokens("text")

@@ -535,6 +535,46 @@ object TextAnalysis {
     * posting table; the scoring slice is query-terms-only; the final top-k
     * is an order+limit that fuses to TakeOrderedAndProject.
     */
+  /** Trigram-indexed SUBSTRING search — how `LIKE '%phrase%'` avoids a full
+    * scan at 100 TB (the pg_trgm / Google-Code-Search / Zoekt design): a
+    * character-trigram posting table (tri → doc, distinct per doc) is built
+    * once; a query intersects the postings of ITS OWN trigrams — any true
+    * match must contain every one — and only the surviving candidates are
+    * verified with the exact `contains`. Candidate volume ∝ the rarest
+    * query trigram's document frequency, not the corpus; the verification
+    * join fetches text for candidates only. The result is provably
+    * index-independent (verification applies the full predicate), which is
+    * what the plain-LIKE oracle checks.
+    */
+  def substringSearch(s: SparkSession, d: String,
+      pattern: String = "hash join"): DataFrame = {
+    require(pattern.length >= 3, "trigram search needs a pattern of >= 3 chars")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val patTris = pattern.toLowerCase.sliding(3).toSeq.distinct
+    val candidates = substringCandidates(docs, patTris)
+    candidates.join(docs, Seq("doc_id"))
+      .withColumn("first_pos", instr(col("t"), pattern.toLowerCase).cast("long"))
+      .filter(col("first_pos") > 0)
+      .select(col("doc_id"), col("first_pos"))
+  }
+
+  /** The index-side candidate set: docs containing EVERY query trigram.
+    * Separated so the spec can measure the pruning ratio (candidates ≪
+    * corpus) independently of the verified result.
+    */
+  private[graft] def substringCandidates(docs: DataFrame,
+      patTris: Seq[String]): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")))
+        .as("tri"))
+      .filter(col("tri").isin(patTris: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"))
+      .filter(col("n_tris") === patTris.length)
+      .select(col("doc_id"))
+
   def bm25Search(s: SparkSession, d: String,
       terms: Seq[String] = Seq("vector", "merge"), k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

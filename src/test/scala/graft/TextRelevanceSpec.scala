@@ -143,6 +143,25 @@ class TextRelevanceSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("substringSearch: trigram candidates prune hard yet lose no match") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val corpus = docs.count()
+    val tris = "hash join".sliding(3).toSeq.distinct
+    val cand = TextAnalysis.substringCandidates(docs, tris)
+      .collect().map(_.getLong(0)).toSet
+    val verified = TextAnalysis.substringSearch(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = docs.filter(instr(col("t"), "hash join") > 0)
+      .select(col("doc_id"), instr(col("t"), "hash join").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(direct.nonEmpty, "pattern must match at sf0.001")
+    assert(verified == direct, "index path diverged from the direct scan")
+    assert(direct.keySet.subsetOf(cand), "pruning lost a true match")
+    assert(cand.size < corpus / 2,
+      s"trigram pruning kept ${cand.size} of $corpus docs — no selectivity")
+  }
+
   test("bm25Search: disjunctive match, descending scores, k-bounded") {
     val rows = TextAnalysis.bm25Search(spark, Sf, k = 20).collect()
     assert(rows.length == 20)
