@@ -146,6 +146,8 @@ object SparkEntry {
     "q_active_users" -> (Analytics.activeUsers _),
     "q_retention" -> (Analytics.retentionCohorts _),
     "q_incremental_agg" -> (Analytics.incrementalAgg _),
+    // join-view IVM: the bilinear delta rule, oracle = full recompute
+    "q_incremental_join" -> (Analytics.incrementalJoinAgg _),
     "q_skew_report" -> (Analytics.skewReport _),
     // the skew-safe salted path must be value-identical to a plain group-by
     // (its oracle): decimal sums are associative, so salting can't change them
@@ -1370,6 +1372,13 @@ object SparkEntry {
       s"""SELECT l_returnflag,
          |  CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_incremental_join" ->
+      """SELECT c_nationkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // per-key counts → sizing summary; quantile_cont ≡ Spark percentile,
     // max-key share is one BIGINT division

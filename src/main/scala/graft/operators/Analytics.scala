@@ -473,6 +473,41 @@ object Analytics {
       .agg(sum(col("sum_qty")).cast("double").as("sum_qty"), sum(col("n")).as("n"))
   }
 
+  /** Incremental maintenance of a JOIN view — the bilinear delta rule
+    * `(R+ΔR) ⋈ (S+ΔS) = R⋈S + ΔR⋈(S+ΔS) + R⋈ΔS` applied to the per-nation
+    * orders⋈customer rollup: the standing aggregate is merged with two
+    * DELTA-SIZED join terms instead of re-joining history. This is the law
+    * every materialized-view engine (dbt incremental, Materialize,
+    * Spark's own streaming stateful join) rests on; [[incrementalAgg]]
+    * shows the single-table monoid half, this face adds the join half.
+    * Each delta term keys one side to the delta, so at 100 TB the nightly
+    * refresh touches ΔR⋈S + R⋈ΔS — delta-proportional work — and the
+    * delta joins still broadcast their dimension side. The oracle IS the
+    * full recompute over the complete tables: exactly the equivalence the
+    * rule claims.
+    */
+  def incrementalJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val oBase = o.filter(col("o_orderkey") % 10 =!= 0)
+    val oDelta = o.filter(col("o_orderkey") % 10 === 0)
+    val cBase = c.filter(col("c_custkey") % 10 =!= 0)
+    val cDelta = c.filter(col("c_custkey") % 10 === 0)
+    def agg(df: DataFrame) = df.groupBy(col("c_nationkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("sp"), count(lit(1)).as("n"))
+    val standing = agg(oBase.join(broadcast(cBase),
+      col("o_custkey") === col("c_custkey")))
+    val dOrders = agg(oDelta.join(broadcast(c),
+      col("o_custkey") === col("c_custkey")))
+    val dCusts = agg(oBase.join(broadcast(cDelta),
+      col("o_custkey") === col("c_custkey")))
+    standing.unionAll(dOrders).unionAll(dCusts)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("sp")).cast("double").as("sum_totalprice"),
+        sum(col("n")).as("n_orders"))
+  }
+
   /** Key-skew diagnostic over a fact table's join key: per-key counts
     * summarized to the numbers an engineer sizes shuffles with — key count,
     * heaviest key, exact count quantiles, and the share of rows owned by the
