@@ -33,6 +33,15 @@ class PlanQualitySpec extends SparkSpecBase {
     // 2 of 6 orders columns → ReadSchema must not contain the rest
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>"),
       s"column pruning failed:\n$p")
+    // q18-class: the quantity rollup side reads exactly (orderkey, quantity)
+    val p18 = plan(q("q_large_orders"))
+    assert(p18.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"large-orders aggregate scan not pruned:\n$p18")
+    // skyline reads exactly the two trade-off columns on the per-price side
+    // (ReadSchema lists columns in FILE order: quantity before price)
+    val pSky = plan(q("q_skyline"))
+    assert(pSky.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double>"),
+      s"skyline per-price scan not pruned:\n$pSky")
   }
 
   test("star-schema joins broadcast the dimension side") {
