@@ -146,6 +146,8 @@ object SparkEntry {
     "q_active_users" -> (Analytics.activeUsers _),
     "q_retention" -> (Analytics.retentionCohorts _),
     "q_incremental_agg" -> (Analytics.incrementalAgg _),
+    // sample-based AQP, Horvitz-Thompson scaled, exact-gated in-plan
+    "q_approx_agg" -> ((s, d) => Analytics.approxAggChecked(s, d)),
     // join-view IVM: the bilinear delta rule, oracle = full recompute
     "q_incremental_join" -> (Analytics.incrementalJoinAgg _),
     "q_skew_report" -> (Analytics.skewReport _),
@@ -1372,6 +1374,26 @@ object SparkEntry {
       s"""SELECT l_returnflag,
          |  CAST(sum($decQty) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_approx_agg" -> {
+      val u = sqlMd5Hash60(
+        "CAST(l_orderkey AS VARCHAR) || '~' || CAST(l_linenumber AS VARCHAR)", "13")
+      s"""WITH exact AS (
+         |  SELECT l_returnflag,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |    count(*) AS n
+         |  FROM lineitem GROUP BY 1),
+         |est AS (
+         |  SELECT l_returnflag,
+         |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 20 AS DOUBLE) AS est_sum_qty,
+         |    count(*) * 20 AS est_n
+         |  FROM lineitem
+         |  WHERE CAST($u AS DOUBLE) / 1152921504606846976.0 < 1.0 / 20
+         |  GROUP BY 1)
+         |SELECT e.l_returnflag, e.sum_qty, e.n, a.est_sum_qty, a.est_n,
+         |  (abs(a.est_sum_qty - e.sum_qty) / e.sum_qty <= 0.5) AS within_bound
+         |FROM exact e JOIN est a ON e.l_returnflag = a.l_returnflag""".stripMargin
+    },
 
     "q_incremental_join" ->
       """SELECT c_nationkey,

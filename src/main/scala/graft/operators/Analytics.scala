@@ -508,6 +508,47 @@ object Analytics {
         sum(col("n")).as("n_orders"))
   }
 
+  /** Sampling-based approximate query processing (AQP) — the third
+    * bounded-error tier next to the sketches (HLL distinct, KLL quantiles,
+    * CMS frequency): grouped aggregates estimated from a deterministic
+    * 1/`sampleDenom` hash sample, Horvitz-Thompson scaled by the integer
+    * denominator (decimal × int — no float arithmetic until the single
+    * error-ratio division), and GATED in-plan against the exact recompute
+    * (`assert_true`, the [[approxDistinctUsersChecked]] pattern). The
+    * sample membership is an md5 draw on the row key (seed 13 — disjoint
+    * from the split/sample/temperature streams), so it is identical in the
+    * DuckDB oracle and stable under corpus growth.
+    *
+    * At 100 TB the exact leg disappears and the estimate stands alone
+    * (that is the point of AQP — a 1% scan answers the dashboard); the
+    * checked face exists to MEASURE that the estimator is wired right,
+    * exactly as the sketch stores do.
+    */
+  def approxAggChecked(s: SparkSession, d: String, sampleDenom: Int = 20,
+      bound: Double = 0.5): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_orderkey"), col("l_linenumber"))
+    val u = Dedup.md5Hash60(
+      concat(col("l_orderkey").cast("string"), lit("~"),
+        col("l_linenumber").cast("string")), lit(13)).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val est = li.filter(u < lit(1.0) / sampleDenom)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(dec(col("l_quantity"))) * sampleDenom).cast("double")
+          .as("est_sum_qty"),
+        (count(lit(1)) * sampleDenom).as("est_n"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+    val relErr = abs(col("est_sum_qty") - col("sum_qty")) / col("sum_qty")
+    exact.join(est, Seq("l_returnflag"))
+      .filter(assert_true(relErr <= bound,
+        concat(lit(s"AQP estimate beyond $bound for "), col("l_returnflag"))).isNull)
+      .select(col("l_returnflag"), col("sum_qty"), col("n"),
+        col("est_sum_qty"), col("est_n"), (relErr <= bound).as("within_bound"))
+  }
+
   /** Key-skew diagnostic over a fact table's join key: per-key counts
     * summarized to the numbers an engineer sizes shuffles with — key count,
     * heaviest key, exact count quantiles, and the share of rows owned by the

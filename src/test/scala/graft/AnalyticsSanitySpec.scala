@@ -158,6 +158,19 @@ class AnalyticsSanitySpec extends SparkSpecBase {
       s"missing exact-dup pairs: ${expected -- found}")
   }
 
+  test("approxAggChecked: in-plan gate live, integer Horvitz-Thompson scaling") {
+    val rows = Analytics.approxAggChecked(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"gate flag must be literally true: $r")
+      assert(r.getLong(4) % 20 == 0, s"est_n must be a 20-multiple: $r")
+    }
+    // the gate is live: a negative bound is unsatisfiable (relErr >= 0)
+    intercept[Exception] {
+      Analytics.approxAggChecked(spark, Sf, bound = -1.0).collect()
+    }
+  }
+
   test("skyline equals brute-force dominance at sf0.001") {
     val got = Analytics.skyline(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
