@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * suite — the oracles replicate the approximation, so only an explicit
   * exact-baseline comparison can see quality.
   *
-  * Measured at sf0.01 (2000 vectors, 10 queries): ivf ≈ 0.92,
-  * ivf_trained ≈ 0.88, lsh_multiprobe ≈ 0.54, single-bucket lsh ≈ 0.04.
-  * The floors assert with margin below those. The honest headline: on this
-  * near-isotropic synthetic corpus (exact top-5 cosine ≈ 0.33 avg), IVF
-  * dominates sign-LSH at the same 25% candidate fraction — which is exactly
-  * the steer a user needs and exactly what an unmeasured index hides.
+  * Measured at sf0.01 (10 probe queries): ivf ≈ 0.92, ivf_trained ≈ 0.88,
+  * pq_rerank ≈ 0.76, lsh_multiprobe ≈ 0.54, pq (pure ADC) ≈ 0.26,
+  * single-bucket lsh ≈ 0.04. The floors assert with margin below those.
+  * The honest headline: on this near-isotropic synthetic corpus (exact
+  * top-5 cosine ≈ 0.33 avg), IVF dominates sign-LSH at the same 25%
+  * candidate fraction, and pure-ADC PQ sits at its quantization noise
+  * floor until the exact rerank — exactly the steers a user needs and
+  * exactly what an unmeasured index hides.
   */
 class AnnRecallSpec extends SparkSpecBase {
 
