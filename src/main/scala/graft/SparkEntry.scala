@@ -465,6 +465,11 @@ object SparkEntry {
     // shortlist×queries raw vectors
     "q_ann_pq_rerank" -> ((s, d) =>
       Similarity.pqRerankTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
+    // IVF-PQ composition (the FAISS default at scale): trained cells bound
+    // candidates, ADC over 4-byte codes scores them, exact rerank on the
+    // shortlist only
+    "q_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(s, d).withColumn("rnk", col("rnk").cast("long"))),
     // measured recall@5 of each approximate face vs the exact brute force —
     // the quality gate that makes the ANN faces shippable (r8 verdict task
     // 1). Oracle is generated (it composes the lsh + trained-ivf oracles).
@@ -2731,7 +2736,7 @@ object SparkEntry {
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
       (Seq("q_ann_ivf_trained", "q_semantic_dedup"), () => centroidOracles(s, d)),
-      (Seq("q_ann_pq", "q_ann_pq_rerank"), () => pqOracles(s, d)),
+      (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
       case ((ok, errs), (names, gen)) =>
@@ -2767,8 +2772,12 @@ object SparkEntry {
     val cbLit = books.map(_.map(_.map(v =>
         String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val core =
-      s"""WITH cb AS (
+    // pqIndex: the compressed-index CTEs (codebook, codes, reconstruction)
+    // shared by all three PQ statements; `pairs` (the full-corpus ADC scan)
+    // belongs only to the standalone PQ faces — IVF-PQ replaces it with the
+    // cell-bounded candidate set.
+    val pqIndex =
+      s"""cb AS (
          |  SELECT CAST(rm.i - 1 AS INTEGER) AS m, CAST(rk.i - 1 AS INTEGER) AS code,
          |    t.cbs[rm.i][rk.i] AS csub
          |  FROM (SELECT $cbLit AS cbs) t, range(1, ${mN + 1}) rm(i), range(1, ${kN + 1}) rk(i)),
@@ -2795,11 +2804,39 @@ object SparkEntry {
          |  SELECT vec_id, rv,
          |    list_reduce(list_transform(range(1, ${Similarity.Dims + 1}),
          |      i -> rv[i] * rv[i]), (x, y) -> x + y) AS rnrm2
-         |  FROM recon),
+         |  FROM recon)""".stripMargin
+    val core =
+      s"""WITH $pqIndex,
          |pairs AS (
          |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          |    ${sqlDot("q.embedding", "n.rv")} / (sqrt(q.nrm2) * sqrt(n.rnrm2)) AS approx_cosine
          |  FROM e q JOIN rn2 n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)""".stripMargin
+    // the trained coarse quantizer's CTEs (mirrors centroidOracles' trained
+    // IVF assign/probe dataflow) — the cell bound IVF-PQ composes with
+    val cents = Similarity.trainedCentroids(s, d)
+    val centsLit = cents.map(_.map(v =>
+        String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val ivfCtes =
+      s"""c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+         |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+         |cn AS (SELECT centroid_id, cvec,
+         |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+         |       FROM c),
+         |crossed AS (
+         |  SELECT e.vec_id, cn.centroid_id,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+         |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+         |  FROM e CROSS JOIN cn),
+         |assign AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, centroid_id) AS rn
+         |    FROM crossed WHERE vec_id < 10) WHERE rn <= ${Similarity.IvfProbe})""".stripMargin
     Map(
       "q_ann_pq" ->
         s"""$core
@@ -2816,6 +2853,35 @@ object SparkEntry {
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY query_id
            |      ORDER BY approx_cosine DESC, neighbor_id) AS rn FROM pairs)
+           |  WHERE rn <= ${Similarity.PqShortlist}),
+           |exactp AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |  FROM short s
+           |  JOIN e q ON q.vec_id = s.query_id
+           |  JOIN e n ON n.vec_id = s.neighbor_id)
+           |SELECT query_id, neighbor_id, rnk, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM exactp)
+           |WHERE rnk <= 5""".stripMargin,
+
+      // IVF-PQ: trained-cell probes bound the candidates, ADC over codes
+      // scores them, exact rerank of the shortlist — the FAISS default
+      // composition, every stage mirrored
+      "q_ann_ivfpq" ->
+        s"""WITH $pqIndex,
+           |$ivfCtes,
+           |adc AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    ${sqlDot("q.embedding", "n.rv")} / (sqrt(q.nrm2) * sqrt(n.rnrm2)) AS approx_cosine
+           |  FROM probes p
+           |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+           |  JOIN rn2 n ON n.vec_id = a.vec_id
+           |  JOIN e q ON q.vec_id = p.query_id),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY approx_cosine DESC, neighbor_id) AS rn FROM adc)
            |  WHERE rn <= ${Similarity.PqShortlist}),
            |exactp AS (
            |  SELECT s.query_id, s.neighbor_id,
@@ -2846,6 +2912,7 @@ object SparkEntry {
     val pqAll = pqOracles(s, d)
     val pqSql = pqAll("q_ann_pq")
     val pqrSql = pqAll("q_ann_pq_rerank")
+    val ivfpqSql = pqAll("q_ann_ivfpq")
     Map("q_ann_recall" ->
       s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($exactSql)),
          |a_lsh AS (SELECT query_id, neighbor_id FROM ($lshSql)),
@@ -2854,13 +2921,15 @@ object SparkEntry {
          |a_tr AS (SELECT query_id, neighbor_id FROM ($trainedSql)),
          |a_pq AS (SELECT query_id, neighbor_id FROM ($pqSql)),
          |a_pqr AS (SELECT query_id, neighbor_id FROM ($pqrSql)),
+         |a_ivfpq AS (SELECT query_id, neighbor_id FROM ($ivfpqSql)),
          |approx AS (
          |  SELECT 'lsh' AS method, query_id, neighbor_id FROM a_lsh
          |  UNION ALL SELECT 'lsh_multiprobe', query_id, neighbor_id FROM a_mp
          |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM a_ivf
          |  UNION ALL SELECT 'ivf_trained', query_id, neighbor_id FROM a_tr
          |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM a_pq
-         |  UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM a_pqr),
+         |  UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM a_pqr
+         |  UNION ALL SELECT 'ivf_pq', query_id, neighbor_id FROM a_ivfpq),
          |hits AS (
          |  SELECT a.method, a.query_id, count(*) AS n_hits
          |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
@@ -2869,7 +2938,7 @@ object SparkEntry {
          |  SELECT m.method, q.query_id
          |  FROM (SELECT DISTINCT query_id FROM exact) q
          |  CROSS JOIN (VALUES ('lsh'), ('lsh_multiprobe'), ('ivf'),
-         |    ('ivf_trained'), ('pq'), ('pq_rerank')) m(method))
+         |    ('ivf_trained'), ('pq'), ('pq_rerank'), ('ivf_pq')) m(method))
          |SELECT spine.method, spine.query_id,
          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall

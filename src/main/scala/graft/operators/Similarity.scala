@@ -488,7 +488,8 @@ object Similarity {
       "ivf" -> ivfTopK(s, d, k),
       "ivf_trained" -> ivfTopKTrained(s, d, k),
       "pq" -> pqTopK(s, d, k),
-      "pq_rerank" -> pqRerankTopK(s, d, k))
+      "pq_rerank" -> pqRerankTopK(s, d, k),
+      "ivf_pq" -> ivfPqTopK(s, d, k))
     val approx = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
@@ -752,6 +753,77 @@ object Similarity {
   }
 
   val PqShortlist = 50
+
+  /** IVF-PQ — the production composition (FAISS's default shape at scale):
+    * the TRAINED coarse quantizer bounds the candidate set (probe
+    * [[IvfProbe]] of [[IvfCentroids]] cells), the PQ codes bound the bytes
+    * per candidate (ADC scoring over the 4-byte codes — no raw vector is
+    * touched until the final rerank), and the exact rerank of the
+    * [[PqShortlist]] ADC survivors buys back the quantization noise floor.
+    * Cost per query at 100 TB: (probed fraction of the corpus) × 4 bytes
+    * scanned + shortlist raw fetches — each factor independently tunable
+    * (nprobe for recall vs IO, shortlist for recall vs fetches).
+    *
+    * Both fitted models are the SAME memoized instances the standalone
+    * faces and the generated oracle use; every stage keeps the repo's
+    * determinism contract (argmax ties to lowest id, m-ordered folds,
+    * neighbor-id rank tiebreaks), so the composed face is hash-exact too.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5,
+      shortlist: Int = PqShortlist): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
+    val books = trainedPqCodebooks(s, d)
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val centsLit = array(trained.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val crossed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(centsLit))
+      .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
+      .withColumn("ccos",
+        dot(col("embedding"), col("cvec")) / (col("nrm") * norm(col("cvec"))))
+      .drop("cvec")
+    val assign = crossed.groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    val probes = crossed.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    // the compressed index: PQ codes + reconstruction per corpus vector
+    val cbFrame = s.range(1)
+      .select(posexplode(pqBooksLit(books))).withColumnRenamed("pos", "m")
+      .select(col("m"), posexplode(col("col")))
+      .withColumnRenamed("pos", "code").withColumnRenamed("col", "csub")
+    val sub = emb.select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m => subvecD(col("embedding"), lit(m))): _*)))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "sv")
+    val recon = pqAssign(sub, books).join(broadcast(cbFrame), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("csub")))),
+        x => x.getField("csub"))).as("rv"))
+      .withColumn("rn", sqrt(dot(col("rv"), col("rv"))))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qn"))
+    // cell-bounded candidates, ADC-scored from codes alone
+    val adc = probes.join(assign, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(recon, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", dot(col("qvec"), col("rv")) / (col("qn") * col("rn")))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val short = topKPerQuery(adc, shortlist).select(col("query_id"), col("neighbor_id"))
+    // exact rerank touches raw vectors for the shortlist only
+    val scored = short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec"),
+        col("nrm").as("nn")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    topKPerQuery(scored, k)
+  }
 
   /** The production PQ recipe: ADC over codes produces a SHORTLIST
     * ([[PqShortlist]] = 10k candidates), then exact cosine reranks only the

@@ -29,7 +29,7 @@ class AnnRecallSpec extends SparkSpecBase {
 
   test("recall report covers every face × every query") {
     val rows = Similarity.annRecall(spark, Sf01).collect()
-    assert(rows.length == 6 * 10) // 6 methods × 10 probe queries
+    assert(rows.length == 7 * 10) // 7 methods × 10 probe queries
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
@@ -59,6 +59,13 @@ class AnnRecallSpec extends SparkSpecBase {
       s"pq_rerank recall ${meanRecall("pq_rerank")}")
     assert(meanRecall("pq_rerank") > meanRecall("pq"),
       s"rerank ${meanRecall("pq_rerank")} did not lift ADC ${meanRecall("pq")}")
+    // the composed IVF-PQ scans only the probed cells' codes (25% of the
+    // corpus at this nprobe) yet holds near the full-scan rerank: measured
+    // 0.72 vs 0.76 at sf0.01
+    assert(meanRecall("ivf_pq") >= 0.6,
+      s"ivf_pq recall ${meanRecall("ivf_pq")}")
+    assert(meanRecall("ivf_pq") > meanRecall("pq"),
+      s"cell-bounded rerank must lift pure ADC: ${meanRecall("ivf_pq")}")
   }
 
   test("multiprobe recall >= single-bucket recall per query (superset property)") {
