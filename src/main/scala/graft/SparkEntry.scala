@@ -674,6 +674,9 @@ object SparkEntry {
 
     // -- data-quality gate (the validation stage the reference's DAGs lack)
     "q_quality_report" -> ((s, d) => Profiling.qualityReport(s, d)),
+    // CSV + ORC roundtrips: staged writes read back through each format's
+    // own reader; oracle recomputes from the source parquet (losslessness)
+    "q_format_roundtrip" -> ((s, d) => graft.sources.Formats.roundTripReport(s, d)),
     // schema-wide FK sweep: orphan rows + distinct missing keys per
     // relation of the star schema (the single-rule FK check generalized)
     "q_ref_integrity" -> ((s, d) => Profiling.refIntegrity(s, d)),
@@ -2636,6 +2639,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lineitem', 'fk l_orderkey -> orders', count(*)
         |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+
+    "q_format_roundtrip" ->
+      """SELECT 'csv:nation' AS fmt, count(*) AS n_rows,
+        |  count(DISTINCT n_nationkey) AS n_distinct,
+        |  CAST(sum(n_regionkey) AS DOUBLE) AS sum_val
+        |FROM nation
+        |UNION ALL
+        |SELECT 'orc:events_day', count(*), count(DISTINCT user_id),
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin,
 
     "q_ref_integrity" -> {
       def rel(name: String, child: String, ckey: String,

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interchange-format coverage beyond parquet: CSV (the universal
+  * flat-file drop format) and ORC (the other columnar lake format). Each
+  * face stages a write ONCE per (session, dataset), reads it back through
+  * the format's own reader, and reports aggregates the oracle recomputes
+  * from the ORIGINAL parquet — the roundtrip must be value-lossless or the
+  * hash comparison fails. (The reference's only interchange surface is
+  * JSON-over-REST, covered by [[JsonLanding]]; these are the formats a
+  * warehouse actually receives drops in.)
+  *
+  * Format discipline encoded here:
+  *  - CSV carries no schema — the read applies the writer's schema
+  *    explicitly (header-only inference would demote every int to string);
+  *    the staged slice is ints + comma-free strings, because floats and
+  *    timestamps in CSV round-trip through DECIMAL-STRING formatting, a
+  *    lossy path a pipeline should never put them on.
+  *  - ORC is typed end-to-end (timestamps, doubles survive bit-exact);
+  *    the staged slice keeps value doubles and aggregates them through
+  *    the repo's decimal-sum convention.
+  */
+object Formats {
+
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  private def stagedDirs(s: SparkSession, d: String): (String, String) =
+    staged.getOrElseUpdate((s, d), {
+      val csvDir = java.nio.file.Files.createTempDirectory("graft_csv_nation")
+      val orcDir = java.nio.file.Files.createTempDirectory("graft_orc_events")
+      Tables.nation(s, d)
+        .write.option("header", "true").mode("overwrite").csv(csvDir.toString)
+      Tables.events(s, d)
+        .filter(to_date(col("ts")) === lit("2024-01-05").cast("date"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(orcDir.toString)
+      Seq(csvDir, orcDir).foreach(_.toFile.deleteOnExit())
+      (csvDir.toString, orcDir.toString)
+    })
+
+  /** Driver face: one row per staged format with (row count, distinct key
+    * count, value sum) — layout- and format-independent numbers the oracle
+    * recomputes from the source parquet.
+    */
+  def roundTripReport(s: SparkSession, d: String): DataFrame = {
+    val (csvDir, orcDir) = stagedDirs(s, d)
+    val nation = s.read.option("header", "true")
+      .schema(Tables.nation(s, d).schema).csv(csvDir)
+    val events = s.read.orc(orcDir)
+    val csvLeg = nation.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("n_nationkey")).as("n_distinct"),
+        sum(col("n_regionkey")).cast("double").as("sum_val"))
+      .select(lit("csv:nation").as("fmt"), col("n_rows"), col("n_distinct"),
+        col("sum_val"))
+    val orcLeg = events.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_distinct"),
+        sum(dec(col("value"))).cast("double").as("sum_val"))
+      .select(lit("orc:events_day").as("fmt"), col("n_rows"), col("n_distinct"),
+        col("sum_val"))
+    csvLeg.unionByName(orcLeg)
+  }
+}
