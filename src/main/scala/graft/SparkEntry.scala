@@ -226,6 +226,9 @@ object SparkEntry {
     "q_json_extract_agg" -> (EventWindows.jsonExtractAgg _),
     "q_gap_fill" -> (EventWindows.gapFillHourly _),
     "q_rolling_1h" -> (EventWindows.rollingHour _),
+    // rolling z-score anomalies: integer-exact flag comparison, fixed
+    // double chain for the emitted score (the q_time_weighted discipline)
+    "q_rolling_anomaly" -> ((s, d) => EventWindows.rollingAnomalies(s, d)),
     "q_funnel" -> (EventWindows.funnel _),
     "q_time_weighted" -> (EventWindows.timeWeightedValue _),
     "q_transitions" -> (Analytics.eventTransitions _),
@@ -429,6 +432,10 @@ object SparkEntry {
     "q_simhash" -> (Dedup.simhash _),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(s, d).withColumn("hamming", col("hamming").cast("long"))),
+    // measured SimHash banding quality: recall per exact hamming distance
+    // against ALL distinct-fingerprint pairs (1.0 for hamming<=3 by
+    // pigeonhole; 4-6 is where the quarter-banding can miss)
+    "q_simhash_recall" -> (Dedup.simhashRecall _),
 
     // -- similarity search over embeddings
     "q_ann_cosine" -> ((s, d) =>
@@ -1588,6 +1595,31 @@ object SparkEntry {
         |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // rolling z-score anomalies: the flag decision is pure BIGINT algebra
+    // ((n-1)(cn-S)^2 > z^2 n (nQ-S^2)); the score is one fixed double chain
+    "q_rolling_anomaly" ->
+      s"""WITH x AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |f AS (
+         |  SELECT event_id, user_id, ts, value, c,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(c) OVER w AS BIGINT) AS sc,
+         |    CAST(sum(c*c) OVER w AS BIGINT) AS qc
+         |  FROM x
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN ${EventWindows.AnomalyFrame} PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, ts, value,
+         |  CAST(c*n - sc AS DOUBLE) /
+         |    sqrt(CAST(n*qc - sc*sc AS DOUBLE) * CAST(n AS DOUBLE) /
+         |      CAST(n - 1 AS DOUBLE)) AS zscore
+         |FROM f
+         |WHERE n >= ${EventWindows.AnomalyMinN}
+         |  AND n*qc - sc*sc > 0
+         |  AND (n-1)*(c*n - sc)*(c*n - sc) > 9 * n * (n*qc - sc*sc)""".stripMargin,
+
     // per-user TWAP: exact cents×micros integer accumulation, one fixed
     // double division chain at the end
     "q_time_weighted" ->
@@ -1774,6 +1806,27 @@ object SparkEntry {
          |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
          |  FROM cand)
          |WHERE hamming <= 6""".stripMargin,
+
+    // SimHash banding recall: truth = all DISTINCT-fingerprint pairs with
+    // exact hamming in 1..6; found = the quarter-band candidate condition
+    // (any of the 4 15-bit substrings equal — semantically identical to the
+    // banded join the Spark side actually runs)
+    "q_simhash_recall" ->
+      s"""WITH sh AS (SELECT DISTINCT simhash FROM ($sqlSimhashDocs)),
+         |pairs AS (
+         |  SELECT a.simhash AS sim_a, b.simhash AS sim_b,
+         |    CAST(len(list_filter(range(1, 61),
+         |      i -> substring(a.simhash, i, 1) <> substring(b.simhash, i, 1))) AS BIGINT) AS hamming,
+         |    CASE WHEN substring(a.simhash, 1, 15) = substring(b.simhash, 1, 15)
+         |           OR substring(a.simhash, 16, 15) = substring(b.simhash, 16, 15)
+         |           OR substring(a.simhash, 31, 15) = substring(b.simhash, 31, 15)
+         |           OR substring(a.simhash, 46, 15) = substring(b.simhash, 46, 15)
+         |         THEN 1 END AS hit
+         |  FROM sh a JOIN sh b ON a.simhash < b.simhash)
+         |SELECT hamming, count(*) AS n_true, count(hit) AS n_found,
+         |  CAST(count(hit) AS DOUBLE) / count(*) AS recall
+         |FROM pairs WHERE hamming BETWEEN 1 AND 6
+         |GROUP BY hamming""".stripMargin,
 
     // decoded-content perceptual hash: the stub decode round-trips the
     // synthetic payload back to the document text, so the fingerprint is

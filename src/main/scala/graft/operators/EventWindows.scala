@@ -101,6 +101,61 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
   }
 
+  /** Trailing-window frame length (events) for [[rollingAnomalies]]. */
+  val AnomalyFrame = 20
+  /** Minimum trailing events before an anomaly verdict is meaningful. */
+  val AnomalyMinN = 10
+
+  /** Rolling z-score anomaly detection per user — the monitoring face every
+    * event pipeline grows: flag events whose value deviates > zThresh
+    * sample-standard-deviations from that user's TRAILING
+    * [[AnomalyFrame]]-event baseline (frame excludes the current event so a
+    * spike can't mask itself; frames under [[AnomalyMinN]] events abstain).
+    *
+    * Cross-engine exactness is the whole design: the flag comparison runs in
+    * INTEGER arithmetic only. With c = cents(value), n/S/Q = count/Σc/Σc²
+    * over the frame, "|c − S/n| > z·σ" with σ² = (nQ−S²)/(n(n−1)) is
+    * algebraically ⇔ (n−1)·(cn−S)² > z²·n·(nQ−S²) — exact longs in both
+    * engines (max magnitude ~10¹⁵ at 20-event frames, far under 2⁶³); the
+    * emitted zscore is then one fixed double chain off those same exact
+    * sums, the [[timeWeightedValue]] discipline. Zero-variance frames
+    * (nQ = S²) abstain: a constant baseline gives no scale to judge
+    * against. Frame order is total — (ts, event_id) — so row-frame
+    * contents are engine-independent.
+    *
+    * Scale shape: one window pass partitioned by user (the same
+    * sort-per-user every per-user face pays, amortized by AQE across the
+    * event family); output ∝ anomalies. Hot users are the documented
+    * salted-window case ([[Analytics]] salting pattern).
+    */
+  def rollingAnomalies(s: SparkSession, d: String, zThresh: Int = 3): DataFrame =
+    rollingAnomaliesFrame(Tables.events(s, d), zThresh)
+
+  /** Core of [[rollingAnomalies]] over an explicit events frame
+    * (EventWindowsSpec drives it on handcrafted series). */
+  private[graft] def rollingAnomaliesFrame(events: DataFrame, zThresh: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-AnomalyFrame, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        (dec(col("value")) * 100).cast("long").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sc", sum(col("c")).over(w))
+      .withColumn("qc", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= AnomalyMinN)
+      .withColumn("dev", col("c") * col("n") - col("sc"))
+      .withColumn("varn", col("n") * col("qc") - col("sc") * col("sc"))
+      .filter(col("varn") > 0 &&
+        (col("n") - 1) * col("dev") * col("dev") >
+          lit(zThresh.toLong * zThresh) * col("n") * col("varn"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("dev").cast("double") /
+          sqrt(col("varn").cast("double") * col("n").cast("double") /
+            (col("n") - 1).cast("double"))).as("zscore"))
+  }
+
   /** Per-user time-weighted value average: each event's value holds until
     * the user's next event; twa = Σ value·duration / Σ duration (the last
     * event per user has no holding period and drops — standard TWAP

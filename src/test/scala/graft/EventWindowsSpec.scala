@@ -57,6 +57,29 @@ class EventWindowsSpec extends SparkSpecBase {
       (4L, "purchase", 1L, 30L))) // u1 160-130=30
   }
 
+  test("rollingAnomalies flags only spikes against a settled trailing baseline") {
+    import spark.implicits._
+    // user 1: 24 alternating 10/12 events (σ≈1.03 trailing), then a 500
+    //   spike (z≈476 → flagged), then an 11 whose frame CONTAINS the spike
+    //   (σ huge → not flagged)
+    // user 2: a wild spike after only 5 events → abstains (n < AnomalyMinN)
+    // user 3: constant baseline then a spike → abstains (zero variance)
+    val rows =
+      (0 until 24).map(i => (100L + i, 1L, i.toLong * 60000000L,
+        if (i % 2 == 0) 10.0 else 12.0)) ++
+      Seq((124L, 1L, 24L * 60000000L, 500.0), (125L, 1L, 25L * 60000000L, 11.0)) ++
+      (0 until 5).map(i => (200L + i, 2L, i.toLong * 60000000L, 10.0 + (i % 2))) ++
+      Seq((205L, 2L, 5L * 60000000L, 999.0)) ++
+      (0 until 15).map(i => (300L + i, 3L, i.toLong * 60000000L, 7.0)) ++
+      Seq((315L, 3L, 15L * 60000000L, 100.0))
+    val ev = rows.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventWindows.rollingAnomaliesFrame(ev, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == Set(124L), s"flagged: $got")
+    assert(got(124L) > 3.0)
+  }
+
   test("rollingHour matches a driver-side trailing-window reimplementation") {
     val got = EventWindows.rollingHour(spark, Sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
