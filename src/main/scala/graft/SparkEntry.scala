@@ -684,6 +684,14 @@ object SparkEntry {
     // CSV + ORC roundtrips: staged writes read back through each format's
     // own reader; oracle recomputes from the source parquet (losslessness)
     "q_format_roundtrip" -> ((s, d) => graft.sources.Formats.roundTripReport(s, d)),
+    // parquet schema evolution: mergeSchema read over a pre-/post-column
+    // generation pair; pre-evolution rows surface as an explicit bucket
+    "q_schema_evolution" -> ((s, d) =>
+      graft.sources.Formats.schemaEvolutionReport(s, d)),
+    // PERMISSIVE corrupt-record quarantine over a deterministically
+    // mangled JSONL landing (doc_id % 7 == 3 -> malformed line)
+    "q_json_quarantine" -> ((s, d) =>
+      graft.sources.JsonLanding.quarantineReport(s, d)),
     // schema-wide FK sweep: orphan rows + distinct missing keys per
     // relation of the star schema (the single-rule FK check generalized)
     "q_ref_integrity" -> ((s, d) => Profiling.refIntegrity(s, d)),
@@ -2702,6 +2710,25 @@ object SparkEntry {
         |SELECT 'orc:events_day', count(*), count(DISTINCT user_id),
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'""".stripMargin,
+
+    // mergeSchema generation pair: gen1 = even orderkeys (no priority
+    // column -> NULL -> the explicit pre-evolution bucket), gen2 = odd
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |    ELSE '<pre-evolution>' END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // corruption rule is key-deterministic (doc_id % 7 = 3), so the oracle
+    // needs no JSON parsing: quarantined rows parse nothing (0 ids, NULL sum)
+    "q_json_quarantine" ->
+      """SELECT 'parsed' AS disposition, count(*) AS n_rows,
+        |  count(*) AS n_ids, sum(n_chars) AS sum_chars
+        |FROM documents WHERE doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT 'quarantined', count(*), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 3""".stripMargin,
 
     "q_ref_integrity" -> {
       def rel(name: String, child: String, ckey: String,

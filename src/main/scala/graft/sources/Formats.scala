@@ -67,4 +67,54 @@ object Formats {
         col("sum_val"))
     csvLeg.unionByName(orcLeg)
   }
+
+  private val stagedEvolution =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Stage two parquet "generations" of an orders extract under one root:
+    * gen=1 (even orderkeys) with the original 3-column schema, gen=2 (odd
+    * orderkeys) after a column was added (`o_orderpriority`). The split rule
+    * is key-deterministic so the oracle reconstructs which rows predate the
+    * evolution without reading the staged files.
+    */
+  private def stagedEvolutionDir(s: SparkSession, d: String): String =
+    stagedEvolution.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_schema_evolution")
+      dir.toFile.deleteOnExit()
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      dir.toString
+    })
+
+  /** Parquet schema evolution — the read-side contract a long-lived lake
+    * table lives on: files written before a column existed must read as
+    * NULL for it, files after carry values, one unified scan over both.
+    * `mergeSchema=true` makes the footer union explicit (without it the
+    * scan schema is whichever footer Spark samples — on a pre-evolution
+    * file that silently DROPS the new column); the `gen=` directory layout
+    * doubles as partition discovery, so generation is queryable. The
+    * aggregate rolls up by priority with pre-evolution rows in their own
+    * bucket — value-recomputable by the oracle from the source table via
+    * the key-split rule.
+    *
+    * At 100 TB: schema merge reads only footers (one small RPC per file,
+    * driver-side listing is the cost — the documented fix is a transaction
+    * log / manifest holding the committed schema, at which point
+    * mergeSchema is a no-op); the data scan itself is unchanged.
+    */
+  def schemaEvolutionReport(s: SparkSession, d: String): DataFrame = {
+    val merged = s.read.option("mergeSchema", "true")
+      .parquet(stagedEvolutionDir(s, d))
+    merged
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+  }
 }

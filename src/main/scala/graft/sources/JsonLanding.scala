@@ -1,9 +1,10 @@
 package graft.sources
 
+import graft.Tables
 import graft.operators.IngestTransforms
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** The reference's JSON landing-file ingestion path, as one lazy Spark plan.
   *
@@ -53,4 +54,69 @@ object JsonLanding {
         IngestTransforms.wordCount(col("content")).cast("int"))
       .select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
   }
+
+  /** Read schema for the quarantine face — the landed fields plus the
+    * PERMISSIVE-mode corrupt-record column. Explicit, never inferred
+    * (inference would silently reshape on a bad batch — the exact failure
+    * this face exists to catch instead).
+    */
+  private val quarantineSchema = new StructType()
+    .add("doc_id", LongType).add("lang", StringType).add("n_chars", LongType)
+    .add("_corrupt_record", StringType)
+
+  private val stagedCorrupt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Stage a JSONL landing derived from `documents` where every doc with
+    * `doc_id % 7 == 3` is deterministically mangled (closing brace replaced
+    * by '!'). Content-independent rule, so the oracle knows exactly which
+    * records are bad without parsing anything.
+    */
+  private def stagedCorruptDir(s: SparkSession, d: String): String =
+    stagedCorrupt.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_json_quarantine")
+      dir.toFile.deleteOnExit()
+      val j = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      Tables.documents(s, d)
+        .select(when(col("doc_id") % 7 === 3,
+            concat(j.substr(lit(1), length(j) - 1), lit("!")))
+          .otherwise(j).as("line"))
+        .write.mode("overwrite").text(dir.toString)
+      dir.toString
+    })
+
+  /** Corrupt-record quarantine — the malformed-batch discipline every JSON
+    * ingestion needs: a PERMISSIVE read lands unparseable records in
+    * `_corrupt_record` (whole-record null otherwise) instead of failing the
+    * batch or silently dropping rows. The report splits the batch by
+    * disposition with exact counts/sums, so "how much of last night's batch
+    * was garbage" is a first-class query; the raw mangled lines stay
+    * recoverable from the corrupt column (JsonLandingSpec asserts
+    * round-trip). At 100 TB this is per-file parallel — corrupt handling is
+    * row-local in the scan, no extra pass.
+    */
+  def quarantineReport(s: SparkSession, d: String): DataFrame = {
+    val parsed = s.read.schema(quarantineSchema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stagedCorruptDir(s, d))
+    parsed
+      .groupBy(when(col("_corrupt_record").isNull, lit("parsed"))
+        .otherwise(lit("quarantined")).as("disposition"))
+      .agg(count(lit(1)).as("n_rows"), count(col("doc_id")).as("n_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** The quarantined raw lines themselves (the sink side of
+    * [[quarantineReport]] — what re-processing consumes after a fix).
+    * `parsed_id` rides along (always NULL — corrupt records parse no
+    * fields): Spark disallows scans whose only referenced column is the
+    * corrupt column, and keeping a parsed field in the output both
+    * satisfies that and documents the whole-record-null contract.
+    */
+  def quarantinedRaw(s: SparkSession, d: String): DataFrame =
+    s.read.schema(quarantineSchema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stagedCorruptDir(s, d))
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"), col("doc_id").as("parsed_id"))
 }

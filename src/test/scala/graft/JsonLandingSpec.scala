@@ -76,4 +76,28 @@ class JsonLandingSpec extends SparkSpecBase {
     val out = IngestTransforms.insertIgnore(posts, posts, "id")
     assert(out.count() == 0)
   }
+
+  test("quarantine: dispositions partition the batch by the corruption rule") {
+    val docs = Tables.documents(spark, Sf)
+    val nBad = docs.filter($"doc_id" % 7 === 3).count()
+    val nGood = docs.count() - nBad
+    val got = JsonLanding.quarantineReport(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("parsed") == ((nGood, nGood)), s"parsed: ${got("parsed")}")
+    // quarantined rows parse NO fields — whole-record null, raw preserved
+    assert(got("quarantined") == ((nBad, 0L)), s"quarantined: ${got("quarantined")}")
+  }
+
+  test("quarantine: raw lines are the exact mangled inputs, recoverable") {
+    val rows = JsonLanding.quarantinedRaw(spark, Sf).collect()
+    // corrupt records parse NO fields — parsed_id is null on every row
+    assert(rows.forall(_.isNullAt(1)))
+    val raws = rows.map(_.getString(0))
+    assert(raws.nonEmpty)
+    // every quarantined line is the mangled form: '!' tail, not valid JSON
+    assert(raws.forall(r => r.endsWith("!") && r.startsWith("{\"doc_id\":")))
+    // and each carries a doc_id satisfying the corruption rule
+    val ids = raws.map(r => r.stripPrefix("{\"doc_id\":").takeWhile(_.isDigit).toLong)
+    assert(ids.forall(_ % 7 == 3))
+  }
 }
