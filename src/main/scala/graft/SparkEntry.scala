@@ -762,6 +762,9 @@ object SparkEntry {
     //    sketch store (aggregate once, query many)
     "q_bucketed_join" -> ((s, d) => Layouts.bucketedJoinRevenue(s, d)),
     "q_partition_pruned" -> ((s, d) => Layouts.partitionPrunedDaily(s, d)),
+    // small-file compaction: 64-file micro-batch spray rewritten to a
+    // byte-targeted layout; the hash vs the source parquet proves lossless
+    "q_compaction" -> ((s, d) => Layouts.compactedEventsReport(s, d)),
     "q_sketch_store" -> ((s, d) => Layouts.sketchStoreChecked(s, d)),
     // z-order layout + per-file min/max skipping index: the box result is
     // layout-independent (oracle recomputes from the flat parquet); the
@@ -2618,6 +2621,14 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
         |GROUP BY 1, 2""".stripMargin,
+
+    // compaction losslessness: the oracle reads the SOURCE parquet; the
+    // query reads the fragmented-then-compacted rewrite
+    "q_compaction" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // layout-independence proof for the z-order skipping scan: the same
     // grid box recomputed from the flat unordered parquet

@@ -111,6 +111,64 @@ object Layouts {
       .select(col("event_date").cast("timestamp_ntz").as("event_date"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  // ----------------------------------------------------------- compaction
+
+  /** Target output file size for [[compactedEventsReport]] — the standard
+    * lake-table compaction goal (row-group-friendly, listing-cheap). */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  private val stagedCompaction =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private[graft] def parquetBytes(dir: String): Long =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+
+  private[graft] def parquetFileCount(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Stage the small-files problem and its fix, once per (session, dataset):
+    * `small` = events sprayed across 64 tiny files (what a micro-batch
+    * ingest produces after a week), `compacted` = the same rows rewritten
+    * into ceil(actual-bytes / [[CompactTargetBytes]]) files. The file count
+    * comes from MEASURED layout bytes, not a guess — the same arithmetic a
+    * production compactor runs per partition directory.
+    */
+  private[graft] def compactionDirs(s: SparkSession, d: String): (String, String) =
+    stagedCompaction.getOrElseUpdate((s, d), {
+      val small = java.nio.file.Files.createTempDirectory("graft_small_files")
+      val compacted = java.nio.file.Files.createTempDirectory("graft_compacted")
+      Seq(small, compacted).foreach(_.toFile.deleteOnExit())
+      Tables.events(s, d).repartition(64)
+        .write.mode("overwrite").parquet(small.toString)
+      val nOut = math.max(1L,
+        (parquetBytes(small.toString) + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      s.read.parquet(small.toString).repartition(nOut)
+        .write.mode("overwrite").parquet(compacted.toString)
+      (small.toString, compacted.toString)
+    })
+
+  /** Small-file compaction — the maintenance job every streaming/micro-batch
+    * lake table needs: N tiny files → size-targeted few files, losslessly.
+    * The driver face aggregates from the COMPACTED layout and the oracle
+    * recomputes from the source parquet, so the hash check IS the
+    * losslessness proof; LayoutsSpec asserts the structural half (64 files
+    * in, byte-targeted count out). At 100 TB compaction runs per partition
+    * directory (bounded work units, independently schedulable) with exactly
+    * this bytes/target arithmetic; the read itself needs no shuffle — the
+    * rewrite's `repartition` is the only exchange and exists to control
+    * output file count.
+    */
+  def compactedEventsReport(s: SparkSession, d: String): DataFrame = {
+    val (_, compacted) = compactionDirs(s, d)
+    s.read.parquet(compacted)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
   // ---------------------------------------------------------- sketch store
 
   /** Per-(day, event_type) HLL sketches of the user set, materialized once

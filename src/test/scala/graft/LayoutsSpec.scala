@@ -160,4 +160,18 @@ class LayoutsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("compaction: 64-file spray collapses to the byte-targeted count, rows intact") {
+    val (small, compacted) = Layouts.compactionDirs(spark, Sf)
+    assert(Layouts.parquetFileCount(small) == 64,
+      s"staged small layout has ${Layouts.parquetFileCount(small)} files")
+    val expected = math.max(1L,
+      (Layouts.parquetBytes(small) + Layouts.CompactTargetBytes - 1) /
+        Layouts.CompactTargetBytes).toInt
+    assert(Layouts.parquetFileCount(compacted) == expected,
+      s"compacted count ${Layouts.parquetFileCount(compacted)} != target $expected")
+    // lossless: row count and key set survive the rewrite
+    assert(spark.read.parquet(compacted).count() ==
+      Tables.events(spark, Sf).count())
+  }
 }
