@@ -765,6 +765,9 @@ object SparkEntry {
     // small-file compaction: 64-file micro-batch spray rewritten to a
     // byte-targeted layout; the hash vs the source parquet proves lossless
     "q_compaction" -> ((s, d) => Layouts.compactedEventsReport(s, d)),
+    // dynamic-partition-overwrite backfill: one corrupted day repaired in
+    // place, 29 sibling partitions untouched; hash vs source proves both
+    "q_backfill" -> ((s, d) => Layouts.backfilledDailyReport(s, d)),
     "q_sketch_store" -> ((s, d) => Layouts.sketchStoreChecked(s, d)),
     // z-order layout + per-file min/max skipping index: the box result is
     // layout-independent (oracle recomputes from the flat parquet); the
@@ -2621,6 +2624,14 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
         |GROUP BY 1, 2""".stripMargin,
+
+    // backfill: oracle = per-day rollup from the source; a static-mode
+    // overwrite (sibling truncation) or an unrepaired day both hash-fail
+    "q_backfill" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // compaction losslessness: the oracle reads the SOURCE parquet; the
     // query reads the fragmented-then-compacted rewrite

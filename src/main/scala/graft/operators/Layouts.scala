@@ -111,6 +111,52 @@ object Layouts {
       .select(col("event_date").cast("timestamp_ntz").as("event_date"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  // ------------------------------------------------------------- backfill
+
+  /** The day whose initial load is staged corrupted and then repaired. */
+  val BackfillDay = "2024-01-10"
+
+  private val stagedBackfill =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Stage the backfill lifecycle once per (session, dataset): an initial
+    * partitioned load where [[BackfillDay]]'s batch landed corrupted (every
+    * value zeroed — a decoder bug), then the repair — recompute ONLY that
+    * day from the source and dynamic-partition-overwrite it
+    * ([[graft.sources.Sinks.overwritePartitionsDynamic]]). 29 sibling day
+    * partitions are never rewritten.
+    */
+  private[graft] def backfilledEventsPath(s: SparkSession, d: String): String =
+    stagedBackfill.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_backfill")
+      dir.toFile.deleteOnExit()
+      val ev = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
+      val badDay = lit(BackfillDay).cast("date")
+      graft.sources.Sinks.writePartitioned(
+        ev.withColumn("value",
+          when(col("event_date") === badDay, lit(0.0)).otherwise(col("value"))),
+        dir.toString, Seq("event_date"))
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        ev.filter(col("event_date") === badDay), dir.toString, Seq("event_date"))
+      dir.toString
+    })
+
+  /** Driver face of the backfill: per-day rollup over the repaired table,
+    * oracle-recomputed from the SOURCE events. The hash check proves both
+    * halves of the dynamic-overwrite contract at once — the repaired day
+    * matches the source again (the zeroed values are gone), and every
+    * sibling day survived the overwrite (static mode would have truncated
+    * them, failing the row compare). At 100 TB this is the nightly
+    * reprocess: work ∝ the repaired partition, not the table.
+    */
+  def backfilledDailyReport(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(backfilledEventsPath(s, d))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("event_date").cast("timestamp_ntz").as("event_date"),
+        col("n_events"), col("sum_value"))
+
   // ----------------------------------------------------------- compaction
 
   /** Target output file size for [[compactedEventsReport]] — the standard

@@ -33,6 +33,21 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic-partition overwrite: replace ONLY the partitions present in
+    * `df`, leaving sibling partitions untouched — the idempotent daily
+    * backfill/reprocess primitive. The option is set per-write (not
+    * session-wide): the default STATIC mode on the same call would
+    * truncate every other partition of the table, the classic
+    * reprocessing-job data-loss incident this sink exists to prevent
+    * (SinksSpec pins both halves: repaired content + untouched-sibling
+    * mtimes).
+    */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed + sorted managed table (bucketing requires saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =

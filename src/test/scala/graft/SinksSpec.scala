@@ -258,4 +258,29 @@ class SinksSpec extends SparkSpecBase {
     Sinks.writeJdbcInsertIgnore(next, url, table, "id")   // only the new key
     assert(ids == Seq(1L, 2L, 3L))
   }
+
+  test("overwritePartitionsDynamic replaces only the touched partition; siblings' files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover")
+    try {
+      val init = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 0.0), (4L, "c", 40.0))
+        .toDF("id", "p", "v")
+      Sinks.writePartitioned(init, dir.toString, Seq("p"))
+      def files(p: String) = new java.io.File(s"$dir/p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+      val aBefore = files("a")
+      val cBefore = files("c")
+      // repair partition b only
+      Sinks.overwritePartitionsDynamic(
+        Seq((3L, "b", 30.0)).toDF("id", "p", "v"), dir.toString, Seq("p"))
+      // sibling partitions: same files, same mtimes — never rewritten
+      assert(files("a") == aBefore && files("c") == cBefore,
+        "dynamic overwrite touched sibling partitions")
+      // repaired content + survivors all present
+      val got = spark.read.parquet(dir.toString)
+        .select("id", "v").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
 }
