@@ -554,21 +554,11 @@ object SparkEntry {
     //    (the warehouse generalization of the reference's ON CONFLICT load:
     //    re-arriving keys are VERSIONED, not dropped). Batch: every 7th
     //    customer changes market segment, every 11th arrives as a new key.
-    "q_scd2_customers" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val current = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        lit("1990-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
-        lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
-      val incoming = cust.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey"), col("c_name"),
-          concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"))
-        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            concat(lit("NEW_"), col("c_name")).as("c_name"), col("c_mktsegment")))
-        .withColumn("eff", lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
-      Scd.scd2Merge(current, incoming, "c_custkey",
-        Seq("c_name", "c_mktsegment"), "eff")
-    }),
+    "q_scd2_customers" -> (scd2CustomersMerged _),
+    // point-in-time ("AS OF") reconstruction over the SCD2 dimension —
+    // the query side of versioning: the interval predicate recovers the
+    // exact dimension state before and after the tracked change
+    "q_scd2_asof" -> (scd2AsOf _),
 
     // -- table profiling (ANALYZE-style stats sweep, long format)
     "q_profile_documents" -> ((s, d) => Profiling.profileDocuments(s, d)),
@@ -966,6 +956,50 @@ object SparkEntry {
     val out = s.table(name)
     s.catalog.dropTempView(name)
     out
+  }
+
+  /** The q_scd2_customers merged dimension, factored so [[scd2AsOf]] reads
+    * the same versioned table the driver face checks: every 7th customer
+    * changes market segment (expire + V2 row), every 11th arrives as a new
+    * key, effective 1996-06-01.
+    */
+  private def scd2CustomersMerged(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val current = cust.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      lit("1990-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+      lit(null).cast("timestamp_ntz").as("valid_to"), lit(true).as("is_current"))
+    val incoming = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("NEW_"), col("c_name")).as("c_name"), col("c_mktsegment")))
+      .withColumn("eff", lit("1996-06-01 00:00:00").cast("timestamp_ntz"))
+    Scd.scd2Merge(current, incoming, "c_custkey",
+      Seq("c_name", "c_mktsegment"), "eff")
+  }
+
+  /** Point-in-time reconstruction over [[scd2CustomersMerged]]: the state
+    * of the dimension AS OF a timestamp is the rows whose validity
+    * interval covers it — one interval predicate, no version sort. Probed
+    * on both sides of the tracked change; the oracle derives both states
+    * from the source table and the deterministic %7/%11 change rules, so a
+    * wrong interval boundary (e.g. `>=` on valid_to — off-by-one at the
+    * instant of change) hash-fails. At 100 TB the dimension is
+    * valid_from-partitioned and the predicate prunes to live generations.
+    */
+  private def scd2AsOf(s: SparkSession, d: String): DataFrame = {
+    val dim = scd2CustomersMerged(s, d)
+    def stateAt(t: String): DataFrame = {
+      val ts = lit(t).cast("timestamp_ntz")
+      dim.filter(col("valid_from") <= ts &&
+          (col("valid_to").isNull || col("valid_to") > ts))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("c_mktsegment").endsWith("_V2"), 1L).otherwise(0L)).as("n_v2"),
+          sum(when(col("c_name").startsWith("NEW_"), 1L).otherwise(0L)).as("n_new"))
+        .select(ts.as("as_of"), col("n_rows"), col("n_v2"), col("n_new"))
+    }
+    stateAt("1995-01-01 00:00:00").unionByName(stateAt("1997-06-01 00:00:00"))
   }
 
   // ------------------------------------------------------------- oracle SQL
@@ -2588,6 +2622,21 @@ object SparkEntry {
     // stays open (key not in the update batch) or is closed at the batch's
     // effective time with a reopened _V2 version; new keys open directly
     "q_scd2_customers" -> Scd2OracleSql,
+
+    // both as-of states derived from the source table + the %7/%11 rules:
+    // pre-change = exactly the original dimension; post-change adds the
+    // %11 new keys and flips the %7 segments to V2
+    "q_scd2_asof" ->
+      """SELECT TIMESTAMP '1995-01-01 00:00:00' AS as_of,
+        |  count(*) AS n_rows, CAST(0 AS BIGINT) AS n_v2,
+        |  CAST(0 AS BIGINT) AS n_new
+        |FROM customer
+        |UNION ALL
+        |SELECT TIMESTAMP '1997-06-01 00:00:00',
+        |  count(*) + (SELECT count(*) FROM customer WHERE c_custkey % 11 = 0),
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 7 = 0),
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 11 = 0)
+        |FROM customer""".stripMargin,
     // the streaming sink lands the identical versioned dimension — one
     // oracle, two execution paths (batch merge vs micro-batched sink)
     "q_stream_scd2" -> Scd2OracleSql,

@@ -137,6 +137,25 @@ class ScdSpec extends SparkSpecBase {
     assert(bad.isEmpty, "version chain must be gap-free")
   }
 
+  test("as-of reconstruction: boundary instant belongs to the NEW version") {
+    val dim = SparkEntry.queries("q_scd2_customers")(spark, Sf)
+    // at the exact effective instant, a changed key's live row must be the
+    // V2 version (valid_to > ts excludes the expired row; valid_from <= ts
+    // admits the successor) — the off-by-one q_scd2_asof's oracle can't see
+    val ts = lit("1996-06-01 00:00:00").cast("timestamp_ntz")
+    val live = dim.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+    val changed = live.filter(col("c_custkey") % 7 === 0 &&
+      col("c_custkey") < 1000000L)
+    assert(changed.count() > 0)
+    assert(changed.filter(!col("c_mktsegment").endsWith("_V2")).isEmpty,
+      "expired pre-change rows leaked into the as-of state at the boundary")
+    // and exactly one live row per key at any instant
+    val dup = live.groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 1)
+    assert(dup.isEmpty)
+  }
+
   test("changelogApply: latest version wins, delete removes the key, no sort") {
     val chg = Seq(
       (1L, 1L, "U", "a"), (1L, 3L, "U", "c"), (1L, 2L, "U", "b"), // upserts
