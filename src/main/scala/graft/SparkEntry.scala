@@ -223,6 +223,9 @@ object SparkEntry {
     "q_window_tumbling" -> (EventWindows.tumblingDaily _),
     "q_window_sliding" -> (EventWindows.slidingHalfDay _),
     "q_window_session" -> (EventWindows.sessionize _),
+    // peak simultaneous sessions via a partition-parallel sweep-line
+    // (no single-partition window; the globalRank two-level recipe)
+    "q_max_concurrency" -> (EventWindows.maxConcurrency _),
     "q_json_extract_agg" -> (EventWindows.jsonExtractAgg _),
     "q_gap_fill" -> (EventWindows.gapFillHourly _),
     "q_rolling_1h" -> (EventWindows.rollingHour _),
@@ -1613,6 +1616,30 @@ object SparkEntry {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid""".stripMargin,
+
+    // sweep-line over the session intervals: ends (-1) order before
+    // starts (+1) at equal instants (end-exclusive); the RANGE-frame
+    // peer-grouped running sum has the same max as the row-granular one
+    "q_max_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x),
+        |ses AS (
+        |  SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end
+        |  FROM y GROUP BY user_id, sid),
+        |pts AS (
+        |  SELECT epoch_us(CAST(session_start AS TIMESTAMP)) AS t, CAST(1 AS BIGINT) AS d FROM ses
+        |  UNION ALL
+        |  SELECT epoch_us(CAST(session_end AS TIMESTAMP)), CAST(-1 AS BIGINT) FROM ses)
+        |SELECT CAST((count(*) / 2) AS BIGINT) AS n_sessions,
+        |  max(run) AS max_concurrent
+        |FROM (SELECT sum(d) OVER (ORDER BY t, d) AS run, d FROM pts)""".stripMargin,
 
     "q_json_extract_agg" ->
       """SELECT event_type,

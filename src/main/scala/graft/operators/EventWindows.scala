@@ -101,6 +101,53 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("ts"), col("n_1h"), col("sum_1h"))
   }
 
+  /** Peak session concurrency — the capacity-planning number: the maximum
+    * count of simultaneously-open user sessions ([[sessionize]] intervals,
+    * end-exclusive) at any instant. Classic sweep-line: each session emits
+    * (+1 at start, −1 at end), the answer is max over the prefix sums of
+    * the time-ordered deltas — with ends sorted before starts at equal
+    * timestamps, so a session ending exactly when another starts never
+    * counts as overlap.
+    *
+    * The global prefix sum does NOT use a single-partition window (the
+    * [[Analytics.globalRank]] recipe): deltas range-partition by (t, d);
+    * the within-partition running sum is a window PARTITIONED BY the
+    * physical partition id (partition-parallel); per-partition delta sums —
+    * computed off the SAME range exchange — prefix-sum into a
+    * partition-count-sized broadcast of offsets. local + offset equals the
+    * full-order prefix sum for any boundary placement (addition is
+    * associative), and `max` of a row-granular prefix equals the oracle's
+    * peer-grouped RANGE-frame max (maxima occur only after +1 rows, where
+    * the last peer's row value equals the group value).
+    */
+  def maxConcurrency(s: SparkSession, d: String): DataFrame =
+    maxConcurrencyOver(
+      sessionize(s, d).select(col("session_start"), col("session_end")))
+
+  /** Core of [[maxConcurrency]] over explicit (session_start, session_end)
+    * intervals (EventWindowsSpec drives it on handcrafted geometry). */
+  private[graft] def maxConcurrencyOver(ses: DataFrame): DataFrame = {
+    val pts = ses.select(
+        unix_micros(col("session_start").cast("timestamp")).as("t"), lit(1L).as("d"))
+      .unionByName(ses.select(
+        unix_micros(col("session_end").cast("timestamp")).as("t"), lit(-1L).as("d")))
+    val parted = pts.repartitionByRange(32, col("t"), col("d"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("t"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val local = parted.withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_run", sum(col("d")).over(wIn))
+    val offsets = parted.groupBy(spark_partition_id().cast("long").as("_pid"))
+      .agg(sum(col("d")).as("_s"))
+      .withColumn("_off", coalesce(sum(col("_s")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("_run") + col("_off")).as("max_concurrent"))
+  }
+
   /** Trailing-window frame length (events) for [[rollingAnomalies]]. */
   val AnomalyFrame = 20
   /** Minimum trailing events before an anomaly verdict is meaningful. */

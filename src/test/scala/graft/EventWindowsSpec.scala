@@ -80,6 +80,24 @@ class EventWindowsSpec extends SparkSpecBase {
     assert(got(124L) > 3.0)
   }
 
+  test("maxConcurrency: sweep-line max on handcrafted intervals, end-exclusive") {
+    import spark.implicits._
+    // [0,10) [2,8) [5,15) [10,20): peak 3 on [5,8); [0,10) ending at 10
+    // must NOT overlap [10,20) starting there (end-exclusive tie order)
+    val ses = Seq((0L, 10L), (2L, 8L), (5L, 15L), (10L, 20L))
+      .toDF("s_us", "e_us")
+      .select(timestamp_micros(col("s_us") * 1000000).as("session_start"),
+        timestamp_micros(col("e_us") * 1000000).as("session_end"))
+    val got = EventWindows.maxConcurrencyOver(ses).head()
+    assert((got.getLong(0), got.getLong(1)) == ((4L, 3L)))
+    // two back-to-back intervals: concurrency never exceeds 1
+    val chain = Seq((0L, 10L), (10L, 20L)).toDF("s_us", "e_us")
+      .select(timestamp_micros(col("s_us") * 1000000).as("session_start"),
+        timestamp_micros(col("e_us") * 1000000).as("session_end"))
+    val g2 = EventWindows.maxConcurrencyOver(chain).head()
+    assert((g2.getLong(0), g2.getLong(1)) == ((2L, 1L)))
+  }
+
   test("rollingHour matches a driver-side trailing-window reimplementation") {
     val got = EventWindows.rollingHour(spark, Sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
