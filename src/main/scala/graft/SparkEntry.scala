@@ -761,6 +761,10 @@ object SparkEntry {
     // dynamic-partition-overwrite backfill: one corrupted day repaired in
     // place, 29 sibling partitions untouched; hash vs source proves both
     "q_backfill" -> ((s, d) => Layouts.backfilledDailyReport(s, d)),
+    // right-to-be-forgotten: targeted rewrite of only the partitions
+    // containing the purged user; hash vs (source minus user) proves
+    // complete + exact + sibling-safe erasure
+    "q_purge_user" -> ((s, d) => Layouts.purgedDailyReport(s, d)),
     "q_sketch_store" -> ((s, d) => Layouts.sketchStoreChecked(s, d)),
     // z-order layout + per-file min/max skipping index: the box result is
     // layout-independent (oracle recomputes from the flat parquet); the
@@ -2708,6 +2712,16 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+
+    // purge: oracle = the source minus the erased user; any surviving row,
+    // lost bystander row, or truncated sibling partition hash-fails
+    "q_purge_user" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events WHERE user_id <> ${Layouts.PurgeUser}
+         |GROUP BY 1""".stripMargin,
 
     // compaction losslessness: the oracle reads the SOURCE parquet; the
     // query reads the fragmented-then-compacted rewrite

@@ -157,6 +157,58 @@ object Layouts {
       .select(col("event_date").cast("timestamp_ntz").as("event_date"),
         col("n_events"), col("sum_value"))
 
+  // ---------------------------------------------------------------- purge
+
+  /** The user whose rows the purge face erases (every corpus has user 7 —
+    * ScaleUp keeps user ids, so the purge target exists at any replica). */
+  val PurgeUser = 7L
+
+  private val stagedPurge =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Stage the right-to-be-forgotten lifecycle once per (session, dataset):
+    * a date-partitioned events table, then erasure of [[PurgeUser]] by
+    * TARGETED rewrite — only the partitions that actually contain the
+    * user's rows (discovered with one aggregate over the user's slice,
+    * pruned at the scan) are re-written without them, via
+    * [[graft.sources.Sinks.overwritePartitionsDynamic]]. Partitions the
+    * user never touched keep their original files (LayoutsSpec asserts
+    * mtimes). At 100 TB this is the GDPR deletion job: work ∝ partitions
+    * containing the key — with a user-bucketed or key-indexed layout that
+    * is a small fraction of the table, never a full rewrite.
+    */
+  private[graft] def purgedEventsPath(s: SparkSession, d: String): String =
+    stagedPurge.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_purge")
+      dir.toFile.deleteOnExit()
+      val ev = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
+      graft.sources.Sinks.writePartitioned(ev, dir.toString, Seq("event_date"))
+      val staged = s.read.parquet(dir.toString)
+      // the affected-partition set: one pruned scan of the user's rows
+      val affected = staged.filter(col("user_id") === PurgeUser)
+        .select(col("event_date")).distinct()
+      graft.sources.Sinks.overwritePartitionsDynamic(
+        staged.join(broadcast(affected), Seq("event_date"), "left_semi")
+          .filter(col("user_id") =!= PurgeUser),
+        dir.toString, Seq("event_date"))
+      dir.toString
+    })
+
+  /** Driver face of the purge: per-day rollup over the post-erasure table.
+    * The oracle recomputes from the source MINUS the purged user, so the
+    * hash proves erasure is complete (no surviving row anywhere), exact
+    * (nobody else's rows lost), and sibling-safe (untouched days intact —
+    * a static overwrite would have dropped them).
+    */
+  def purgedDailyReport(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(purgedEventsPath(s, d))
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("event_date").cast("timestamp_ntz").as("event_date"),
+        col("n_events"), col("n_users"), col("sum_value"))
+
   // ----------------------------------------------------------- compaction
 
   /** Target output file size for [[compactedEventsReport]] — the standard

@@ -161,6 +161,32 @@ class LayoutsSpec extends SparkSpecBase {
     }
   }
 
+  test("purge: only partitions containing the user are rewritten; erasure complete") {
+    val src = Tables.events(spark, Sf)
+    val userDays = src.filter(col("user_id") === Layouts.PurgeUser)
+      .select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    val allDays = src.select(to_date(col("ts")).as("d")).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    assert(userDays.nonEmpty && (allDays -- userDays).nonEmpty,
+      "fixture must have both touched and untouched days")
+    val dir = Layouts.purgedEventsPath(spark, Sf)
+    def mtimes(day: String) = new java.io.File(s"$dir/event_date=$day")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    // the staged path runs write-then-purge inside one call, so untouched
+    // days' files must predate every affected day's rewrite
+    val untouchedMax = (allDays -- userDays).flatMap(d => mtimes(d).values).max
+    val rewrittenMin = userDays.flatMap(d => mtimes(d).values).min
+    assert(untouchedMax <= rewrittenMin,
+      "a partition without the purged user was rewritten")
+    // complete erasure, nobody else lost
+    val purged = spark.read.parquet(dir)
+    assert(purged.filter(col("user_id") === Layouts.PurgeUser).isEmpty)
+    assert(purged.count() ==
+      src.filter(col("user_id") =!= Layouts.PurgeUser).count())
+  }
+
   test("compaction: 64-file spray collapses to the byte-targeted count, rows intact") {
     val (small, compacted) = Layouts.compactionDirs(spark, Sf)
     assert(Layouts.parquetFileCount(small) == 64,
