@@ -348,6 +348,20 @@ class PlanQualitySpec extends SparkSpecBase {
       s"skyline planned a dominance cross join:\n$p")
   }
 
+  test("max concurrency: range-partitioned sweep, no unpartitioned data window") {
+    val p = plan(q("q_max_concurrency"))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"sweep deltas not range-partitioned:\n$p")
+    // allowed windows: the _pid-PARTITIONED local running sum
+    // (windowspecdefinition(_pid, t ASC...)) and the partition-count-sized
+    // offset prefix (windowspecdefinition(_pid ASC...)). A global
+    // time-ordered window over the data would print
+    // windowspecdefinition(t ...) — the single-partition funnel.
+    assert(!p.contains("windowspecdefinition(t#") &&
+      !p.contains("windowspecdefinition(t "),
+      s"sweep fell back to a global time-ordered window:\n$p")
+  }
+
   test("selective fact join gets a runtime bloom filter pushed into the fact side") {
     import org.apache.spark.sql.internal.SQLConf
     // thresholds tuned so the injection admits test-scale inputs; broadcast
