@@ -143,8 +143,10 @@ object EventWindows {
       .agg(sum(col("d")).as("_s"))
       .withColumn("_off", coalesce(sum(col("_s")).over(wOff), lit(0L)))
       .select(col("_pid"), col("_off"))
+    // count(when), not sum(when): an empty interval set must answer
+    // n_sessions = 0, and sum over zero rows is NULL (EdgeCaseSpec)
     local.join(broadcast(offsets), Seq("_pid"))
-      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+      .agg(count(when(col("d") === 1L, 1)).as("n_sessions"),
         max(col("_run") + col("_off")).as("max_concurrent"))
   }
 
