@@ -672,6 +672,27 @@ object SparkEntry {
       Dedup.incrementalNearDupProbeIndex(s, d, s"$root/store")
     }),
 
+    //    streaming-maintained daily rollup MV: batches land in an
+    //    insert-ignore landing (the 1-hour overlap replays re-offer rows —
+    //    the anti-join must drop them), then only the touched days are
+    //    recomputed from the landing and dynamic-partition-overwritten.
+    //    The settled rollup must equal the batch rollup over the source.
+    "q_stream_daily_mv" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val root = stagedLanding("dailymv_mb", d) { dir =>
+        java.nio.file.Files.createDirectory(dir.resolve("landing"))
+        stageEventSlices(s, d, dir.resolve("landing"), StreamSlices,
+          overlapDupHours = 1.0)
+      }
+      graft.sources.Sinks.streamDailyRollup(
+        EventStreamJob.readEventStream(s, s"$root/landing",
+          maxFilesPerTrigger = Some(1)),
+        s"$root/mv_landing", s"$root/rollup", s"$root/ckpt").awaitTermination()
+      s.read.parquet(s"$root/rollup")
+        .select(col("event_date").cast("timestamp_ntz").as("event_date"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
     // -- data-quality gate (the validation stage the reference's DAGs lack)
     "q_quality_report" -> ((s, d) => Profiling.qualityReport(s, d)),
     // CSV + ORC roundtrips: staged writes read back through each format's
@@ -2778,6 +2799,15 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
         |GROUP BY 1""".stripMargin,
+
+    // the settled streaming rollup must equal the batch rollup over the
+    // source (overlap-replayed rows deduped by the landing's anti-join;
+    // every partition refresh recomputed from the settled landing)
+    "q_stream_daily_mv" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_date,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // independent rule evaluation, one leg per rule; NULL comparison
     // semantics (NOT IN / NOT BETWEEN over NULL → no violation) match the

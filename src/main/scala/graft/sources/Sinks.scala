@@ -248,6 +248,56 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** Streaming-maintained DAILY ROLLUP materialized view — the
+    * serve-from-aggregates pattern every event pipeline converges on:
+    * each micro-batch (1) lands in an insert-ignore landing keyed on
+    * event_id, then (2) re-aggregates ONLY the days the batch touched
+    * FROM THE SETTLED LANDING and dynamic-partition-overwrites those
+    * day partitions of the rollup table.
+    *
+    * Replay safety composes two idempotent steps — no transaction log:
+    * the landing append replays to nothing ([[appendInsertIgnore]]'s
+    * anti-join), and the refresh is recompute-from-log — rewriting a
+    * partition with content derived from the landing state, so running
+    * it twice writes the same bytes. The tempting shortcut (add the
+    * batch's partial aggregates into the rollup in place) double-counts
+    * on any replay and is exactly what this shape exists to avoid; the
+    * same argument as [[streamSketchStore]]'s counters note, solved by
+    * recomputation instead of by an idempotent algebra. A torn batch
+    * (landing committed, refresh crashed before the checkpoint commit)
+    * self-heals: the replay's append is a no-op and its refresh
+    * completes the interrupted one (SinksSpec).
+    *
+    * Scale shape: refresh work ∝ the landing rows of AFFECTED days only
+    * (partition-pruned scan — a day-partitioned landing makes that
+    * layout-enforced), never the table; the overwrite touches only
+    * those day directories.
+    */
+  def streamDailyRollup(stream: DataFrame, landingPath: String,
+      rollupPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = batch.sparkSession
+        appendInsertIgnore(batch, landingPath, "event_id")
+        val affected = batch.select(to_date(col("ts")).as("event_date")).distinct()
+        val refreshed = spark.read.parquet(landingPath)
+          .withColumn("event_date", to_date(col("ts")))
+          .join(broadcast(affected), Seq("event_date"), "left_semi")
+          .groupBy(col("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .localCheckpoint() // sever lineage from the files being replaced
+        overwritePartitionsDynamic(refreshed, rollupPath, Seq("event_date"))
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming maintenance of the MinHash-LSH band index
     * ([[graft.operators.Dedup]]): each micro-batch of (doc_id, text) docs
     * lands its per-doc (doc_id, skey, band, band_key) rows append-only —

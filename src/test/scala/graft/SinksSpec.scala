@@ -191,6 +191,60 @@ class SinksSpec extends SparkSpecBase {
     }
   }
 
+  test("streamDailyRollup: torn batch self-heals; duplicate delivery never double-counts") {
+    // replay safety = idempotent landing append × recompute-from-landing
+    // refresh. Crash AFTER batch 1's refresh landed but BEFORE its commit;
+    // the restart must replay into the identical rollup. File B re-offers
+    // id 2 (duplicate delivery) — the landing anti-join must drop it.
+    val landing = Files.createTempDirectory("graft_mvsrc")
+    val base = System.currentTimeMillis()
+    def slice(rows: Seq[(Long, String, String, Double)], name: String, mtime: Long): Unit = {
+      val p = s"$landing/_stage_$name"
+      rows.toDF("event_id", "ts_s", "event_type", "value")
+        .select(col("event_id"), col("ts_s").cast("timestamp_ntz").as("ts"),
+          col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$landing/$name")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    }
+    slice(Seq((1L, "2024-01-01 10:00:00", "view", 10.0),
+      (2L, "2024-01-01 11:00:00", "buy", 20.0)), "a.parquet", base)
+    slice(Seq((2L, "2024-01-01 11:00:00", "buy", 20.0), // duplicate delivery
+      (3L, "2024-01-02 10:00:00", "view", 5.0)), "b.parquet", base + 2000L)
+    val mvLanding = Files.createTempDirectory("graft_mvland").toString + "/l"
+    val rollup = Files.createTempDirectory("graft_mvtgt").toString + "/r"
+    val ckpt = Files.createTempDirectory("graft_mvck").toString
+    def start() = Sinks.streamDailyRollup(
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+      mvLanding, rollup, ckpt)
+    def state = spark.read.parquet(rollup)
+      .select(col("event_date").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    try {
+      Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn rollup batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    val torn = state // batch 1's refresh landed, batch is UNcommitted
+    start().awaitTermination() // restart: batch 1 replays, stream finishes
+    val settled = state
+    assert(settled == Map(
+      ("2024-01-01", "view") -> ((1L, 10.0)),
+      ("2024-01-01", "buy") -> ((1L, 20.0)),
+      ("2024-01-02", "view") -> ((1L, 5.0))), s"wrong rollup: $settled")
+    assert(torn == settled, s"replay changed the rollup: $torn -> $settled")
+  }
+
   test("streamBandIndex: torn batch replays to an identical index; probe equals batch face") {
     import graft.operators.Dedup
     val landing = Files.createTempDirectory("graft_bisrc")
