@@ -2656,7 +2656,8 @@ object SparkEntry {
         |  FROM lineitem),
         |w AS (
         |  SELECT *, row_number() OVER (PARTITION BY order_key
-        |                               ORDER BY ver DESC) AS rn
+        |      ORDER BY ver DESC, op DESC, quantity DESC, price DESC,
+        |               returnflag DESC) AS rn
         |  FROM chg)
         |SELECT order_key, ver AS last_version, quantity, price, returnflag
         |FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,

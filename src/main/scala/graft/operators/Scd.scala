@@ -82,14 +82,22 @@ object Scd {
     * exchange and nothing ever sorts. The window `row_number() ... DESC = 1`
     * formulation (the DuckDB oracle's, kept deliberately different) shuffles
     * every changelog row and sorts each key group; at 100 TB of changelog
-    * the aggregation form moves only distinct-key rows. Requires
-    * (key, version) unique — the changelog's own ordering contract.
+    * the aggregation form moves only distinct-key rows.
+    *
+    * (key, version) SHOULD be unique — the changelog's own ordering
+    * contract — but a feed that violates it must not produce
+    * engine-dependent answers: the argmax orders by the FULL packed struct
+    * (version first, then op and payload lexicographically), so a version
+    * collision resolves deterministically instead of by shuffle arrival.
+    * Found live at sf0.001, where the synthetic version key collides on a
+    * duplicated (orderkey, linenumber) pair and plain `max_by(_, ver)`
+    * flipped winners between engines.
     */
   def changelogApply(changelog: DataFrame, key: String, verCol: String,
       opCol: String, deleteOp: String, payload: Seq[String]): DataFrame = {
     val packed = struct((verCol +: opCol +: payload).map(col): _*)
     changelog.groupBy(col(key))
-      .agg(max_by(packed, col(verCol)).as("_w"))
+      .agg(max_by(packed, packed).as("_w"))
       .filter(col(s"_w.$opCol") =!= deleteOp)
       .select(col(key) +: col(s"_w.$verCol").as("last_version") +:
         payload.map(c => col(s"_w.$c").as(c)): _*)

@@ -183,6 +183,25 @@ class ScdSpec extends SparkSpecBase {
       s"expected a partial-aggregating argmax:\n$plan")
   }
 
+  test("changelogApply: a version collision resolves deterministically, not by arrival") {
+    // two records share (key, version) — a malformed feed; the winner must
+    // be the lexicographic max of (ver, op, payload), same under any
+    // partitioning or merge order (found live: sf0.001 has a duplicated
+    // (orderkey, linenumber) pair colliding the synthetic version key)
+    val chg = Seq(
+      (1L, 10L, "U", "b"), (1L, 10L, "U", "a"), // tie on ver: 'b' wins
+      (2L, 10L, "U", "x"), (2L, 10L, "D", "y")) // tie on ver: op 'U' > 'D'
+      .toDF("k", "ver", "op", "v")
+    val got = Scd.changelogApply(chg, "k", "ver", "op", "D", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "b", 2L -> "x"), s"tiebreak wrong: $got")
+    // and the same input reversed gives the identical answer
+    val rev = Scd.changelogApply(
+      chg.orderBy(col("v").desc), "k", "ver", "op", "D", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rev == got)
+  }
+
   test("changelogApply: replaying the changelog is a no-op (idempotent)") {
     val chg = Seq((1L, 1L, "U", "a"), (1L, 2L, "U", "b"), (2L, 1L, "D", "x"))
       .toDF("k", "ver", "op", "v")
