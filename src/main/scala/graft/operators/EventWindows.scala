@@ -127,10 +127,15 @@ object EventWindows {
   /** Core of [[maxConcurrency]] over explicit (session_start, session_end)
     * intervals (EventWindowsSpec drives it on handcrafted geometry). */
   private[graft] def maxConcurrencyOver(ses: DataFrame): DataFrame = {
-    val pts = ses.select(
-        unix_micros(col("session_start").cast("timestamp")).as("t"), lit(1L).as("d"))
-      .unionByName(ses.select(
-        unix_micros(col("session_end").cast("timestamp")).as("t"), lit(-1L).as("d")))
+    // both deltas explode from ONE pass over the intervals — a two-leg
+    // union would re-run the whole upstream aggregation per leg (only its
+    // exchange is reused, not the aggregate)
+    val pts = ses.select(explode(array(
+        struct(unix_micros(col("session_start").cast("timestamp")).as("t"),
+          lit(1L).as("d")),
+        struct(unix_micros(col("session_end").cast("timestamp")).as("t"),
+          lit(-1L).as("d")))).as("p"))
+      .select(col("p.t").as("t"), col("p.d").as("d"))
     val parted = pts.repartitionByRange(32, col("t"), col("d"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("t"), col("d"))

@@ -183,16 +183,46 @@ object Layouts {
       dir.toFile.deleteOnExit()
       val ev = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
       graft.sources.Sinks.writePartitioned(ev, dir.toString, Seq("event_date"))
-      val staged = s.read.parquet(dir.toString)
-      // the affected-partition set: one pruned scan of the user's rows
-      val affected = staged.filter(col("user_id") === PurgeUser)
-        .select(col("event_date")).distinct()
-      graft.sources.Sinks.overwritePartitionsDynamic(
-        staged.join(broadcast(affected), Seq("event_date"), "left_semi")
-          .filter(col("user_id") =!= PurgeUser),
-        dir.toString, Seq("event_date"))
+      purgeUserInPlace(s, dir.toString, PurgeUser)
       dir.toString
     })
+
+  /** Erase `user` from the day-partitioned events table at `dir` in place.
+    *
+    * Two erasure paths, both needed: partitions with SURVIVORS are
+    * rewritten without the user's rows (dynamic-partition overwrite), and
+    * partitions the user was the ONLY writer of are DELETED explicitly — a
+    * dynamic overwrite cannot express an empty partition (a write carrying
+    * zero rows for it never touches it), so without the explicit delete
+    * the user's rows would silently survive exactly where they are most
+    * concentrated (LayoutsSpec pins this on a sole-writer day). The
+    * survivor set is localCheckpointed before the write: its lineage reads
+    * the same files the overwrite replaces. The emptied-partition list is
+    * bounded driver state (≤ affected days); the directory delete is the
+    * delete-file action a lake engine records in its transaction log.
+    */
+  private[graft] def purgeUserInPlace(s: SparkSession, dir: String, user: Long): Unit = {
+    val staged = s.read.parquet(dir)
+    // the affected-partition set, COLLECTED before any file is replaced:
+    // everything after the overwrite must run off driver literals or the
+    // checkpointed survivors — any plan still reading `dir` would list the
+    // pre-purge files (bounded: ≤ one date per partition directory)
+    val affectedDays = staged.filter(col("user_id") === user)
+      .select(col("event_date")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    val survivors = staged
+      .filter(col("event_date").isInCollection(affectedDays) &&
+        col("user_id") =!= user)
+      .localCheckpoint()
+    graft.sources.Sinks.overwritePartitionsDynamic(
+      survivors, dir, Seq("event_date"))
+    val survivorDays = survivors.select(col("event_date")).distinct()
+      .collect().map(_.getDate(0).toString).toSet
+    affectedDays.map(_.toString).filterNot(survivorDays).foreach { day =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/event_date=$day"))
+    }
+  }
 
   /** Driver face of the purge: per-day rollup over the post-erasure table.
     * The oracle recomputes from the source MINUS the purged user, so the

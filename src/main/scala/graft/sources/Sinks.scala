@@ -289,26 +289,34 @@ object Sinks {
         // the 100× replica vs an unpartitioned landing; the remaining cost
         // is the partitioned append itself)
         val withDate = batch.withColumn("event_date", to_date(col("ts")))
+        // the affected-day set is bounded (days per batch), so a driver
+        // literal IN-list buys STATIC partition pruning — the trained-
+        // centroids precedent for tiny, bounded driver-side model state
+        val days = batch.select(to_date(col("ts")).as("event_date")).distinct()
+          .collect().map(_.getDate(0)).toSeq
+        // the dedup anti-join also reads only the affected days: replays
+        // re-offer IDENTICAL rows (same ts ⇒ same day partition), so keys
+        // outside the batch's days cannot collide — without the prune this
+        // read grows O(total landing) per batch, defeating the layout
         val novel =
           try {
-            val existing = spark.read.parquet(landingPath).select("event_id")
+            val existing = spark.read.parquet(landingPath)
+              .filter(col("event_date").isInCollection(days))
+              .select("event_id")
             graft.operators.IngestTransforms.insertIgnore(withDate, existing, "event_id")
           } catch { case _: org.apache.spark.sql.AnalysisException => // first load
             withDate.dropDuplicates("event_id")
           }
         novel.write.mode(SaveMode.Append)
           .partitionBy("event_date").parquet(landingPath)
-        // the affected-day set is bounded (days per batch), so a driver
-        // literal IN-list buys STATIC partition pruning — the trained-
-        // centroids precedent for tiny, bounded driver-side model state
-        val days = batch.select(to_date(col("ts")).as("event_date")).distinct()
-          .collect().map(_.getDate(0))
+        // refresh reads the landing and writes the ROLLUP — disjoint paths,
+        // so no lineage-severing checkpoint is needed here (unlike the
+        // self-overwriting streamScd2/streamSketchStore round-trips)
         val refreshed = spark.read.parquet(landingPath)
-          .filter(col("event_date").isInCollection(days.toSeq))
+          .filter(col("event_date").isInCollection(days))
           .groupBy(col("event_date"), col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-          .localCheckpoint() // sever lineage from the files being replaced
         overwritePartitionsDynamic(refreshed, rollupPath, Seq("event_date"))
         postAppendHook(batchId)
       }

@@ -187,6 +187,35 @@ class LayoutsSpec extends SparkSpecBase {
       src.filter(col("user_id") =!= Layouts.PurgeUser).count())
   }
 
+  test("purge: a sole-writer partition is deleted, not silently left behind") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_purge_sole")
+    try {
+      // day1: users 7+8 (rewrite), day2: ONLY user 7 (must be deleted —
+      // a dynamic overwrite cannot express an empty partition), day3:
+      // user 9 (untouched)
+      val ev = Seq(
+        (1L, "2024-01-01", 7L, 1.0), (2L, "2024-01-01", 8L, 2.0),
+        (3L, "2024-01-02", 7L, 3.0), (4L, "2024-01-02", 7L, 4.0),
+        (5L, "2024-01-03", 9L, 5.0))
+        .toDF("event_id", "day", "user_id", "value")
+        .select(col("event_id"), col("day").cast("date").as("event_date"),
+          col("user_id"), col("value"))
+      graft.sources.Sinks.writePartitioned(ev, dir.toString, Seq("event_date"))
+      val d3Before = new java.io.File(s"$dir/event_date=2024-01-03")
+        .listFiles().map(f => f.getName -> f.lastModified).toMap
+      Layouts.purgeUserInPlace(spark, dir.toString, 7L)
+      assert(!new java.io.File(s"$dir/event_date=2024-01-02").exists(),
+        "sole-writer partition survived the purge")
+      val got = spark.read.parquet(dir.toString)
+        .select("event_id", "user_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((2L, 8L), (5L, 9L)), s"wrong survivors: $got")
+      assert(new java.io.File(s"$dir/event_date=2024-01-03")
+        .listFiles().map(f => f.getName -> f.lastModified).toMap == d3Before,
+        "untouched partition was rewritten")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("compaction: 64-file spray collapses to the byte-targeted count, rows intact") {
     val (small, compacted) = Layouts.compactionDirs(spark, Sf)
     assert(Layouts.parquetFileCount(small) == 64,
