@@ -116,9 +116,6 @@ object Layouts {
   /** The day whose initial load is staged corrupted and then repaired. */
   val BackfillDay = "2024-01-10"
 
-  private val stagedBackfill =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
   /** Stage the backfill lifecycle once per (session, dataset): an initial
     * partitioned load where [[BackfillDay]]'s batch landed corrupted (every
     * value zeroed — a decoder bug), then the repair — recompute ONLY that
@@ -127,19 +124,16 @@ object Layouts {
     * partitions are never rewritten.
     */
   private[graft] def backfilledEventsPath(s: SparkSession, d: String): String =
-    stagedBackfill.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_backfill")
-      dir.toFile.deleteOnExit()
+    graft.sources.StagedDirs.once(s, d, "backfill") { dir =>
       val ev = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
       val badDay = lit(BackfillDay).cast("date")
       graft.sources.Sinks.writePartitioned(
         ev.withColumn("value",
           when(col("event_date") === badDay, lit(0.0)).otherwise(col("value"))),
-        dir.toString, Seq("event_date"))
+        dir, Seq("event_date"))
       graft.sources.Sinks.overwritePartitionsDynamic(
-        ev.filter(col("event_date") === badDay), dir.toString, Seq("event_date"))
-      dir.toString
-    })
+        ev.filter(col("event_date") === badDay), dir, Seq("event_date"))
+    }
 
   /** Driver face of the backfill: per-day rollup over the repaired table,
     * oracle-recomputed from the SOURCE events. The hash check proves both
@@ -163,9 +157,6 @@ object Layouts {
     * ScaleUp keeps user ids, so the purge target exists at any replica). */
   val PurgeUser = 7L
 
-  private val stagedPurge =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
   /** Stage the right-to-be-forgotten lifecycle once per (session, dataset):
     * a date-partitioned events table, then erasure of [[PurgeUser]] by
     * TARGETED rewrite — only the partitions that actually contain the
@@ -178,14 +169,11 @@ object Layouts {
     * is a small fraction of the table, never a full rewrite.
     */
   private[graft] def purgedEventsPath(s: SparkSession, d: String): String =
-    stagedPurge.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_purge")
-      dir.toFile.deleteOnExit()
+    graft.sources.StagedDirs.once(s, d, "purge") { dir =>
       val ev = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
-      graft.sources.Sinks.writePartitioned(ev, dir.toString, Seq("event_date"))
-      purgeUserInPlace(s, dir.toString, PurgeUser)
-      dir.toString
-    })
+      graft.sources.Sinks.writePartitioned(ev, dir, Seq("event_date"))
+      purgeUserInPlace(s, dir, PurgeUser)
+    }
 
   /** Erase `user` from the day-partitioned events table at `dir` in place.
     *
@@ -245,9 +233,6 @@ object Layouts {
     * lake-table compaction goal (row-group-friendly, listing-cheap). */
   val CompactTargetBytes: Long = 128L * 1024 * 1024
 
-  private val stagedCompaction =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
-
   private[graft] def parquetBytes(dir: String): Long =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
@@ -263,19 +248,18 @@ object Layouts {
     * comes from MEASURED layout bytes, not a guess — the same arithmetic a
     * production compactor runs per partition directory.
     */
-  private[graft] def compactionDirs(s: SparkSession, d: String): (String, String) =
-    stagedCompaction.getOrElseUpdate((s, d), {
-      val small = java.nio.file.Files.createTempDirectory("graft_small_files")
-      val compacted = java.nio.file.Files.createTempDirectory("graft_compacted")
-      Seq(small, compacted).foreach(_.toFile.deleteOnExit())
+  private[graft] def compactionDirs(s: SparkSession, d: String): (String, String) = {
+    val root = graft.sources.StagedDirs.once(s, d, "compaction") { dir =>
+      val small = s"$dir/small"
       Tables.events(s, d).repartition(64)
-        .write.mode("overwrite").parquet(small.toString)
+        .write.mode("overwrite").parquet(small)
       val nOut = math.max(1L,
-        (parquetBytes(small.toString) + CompactTargetBytes - 1) / CompactTargetBytes).toInt
-      s.read.parquet(small.toString).repartition(nOut)
-        .write.mode("overwrite").parquet(compacted.toString)
-      (small.toString, compacted.toString)
-    })
+        (parquetBytes(small) + CompactTargetBytes - 1) / CompactTargetBytes).toInt
+      s.read.parquet(small).repartition(nOut)
+        .write.mode("overwrite").parquet(s"$dir/compacted")
+    }
+    (s"$root/small", s"$root/compacted")
+  }
 
   /** Small-file compaction — the maintenance job every streaming/micro-batch
     * lake table needs: N tiny files → size-targeted few files, losslessly.

@@ -25,24 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Formats {
 
-  private val staged =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
-
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
-  private def stagedDirs(s: SparkSession, d: String): (String, String) =
-    staged.getOrElseUpdate((s, d), {
-      val csvDir = java.nio.file.Files.createTempDirectory("graft_csv_nation")
-      val orcDir = java.nio.file.Files.createTempDirectory("graft_orc_events")
+  private def stagedDirs(s: SparkSession, d: String): (String, String) = {
+    val root = StagedDirs.once(s, d, "csv_orc") { dir =>
       Tables.nation(s, d)
-        .write.option("header", "true").mode("overwrite").csv(csvDir.toString)
+        .write.option("header", "true").mode("overwrite").csv(s"$dir/csv_nation")
       Tables.events(s, d)
         .filter(to_date(col("ts")) === lit("2024-01-05").cast("date"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").orc(orcDir.toString)
-      Seq(csvDir, orcDir).foreach(_.toFile.deleteOnExit())
-      (csvDir.toString, orcDir.toString)
-    })
+        .write.mode("overwrite").orc(s"$dir/orc_events")
+    }
+    (s"$root/csv_nation", s"$root/orc_events")
+  }
 
   /** Driver face: one row per staged format with (row count, distinct key
     * count, value sum) — layout- and format-independent numbers the oracle
@@ -68,9 +63,6 @@ object Formats {
     csvLeg.unionByName(orcLeg)
   }
 
-  private val stagedEvolution =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
   /** Stage two parquet "generations" of an orders extract under one root:
     * gen=1 (even orderkeys) with the original 3-column schema, gen=2 (odd
     * orderkeys) after a column was added (`o_orderpriority`). The split rule
@@ -78,9 +70,7 @@ object Formats {
     * evolution without reading the staged files.
     */
   private def stagedEvolutionDir(s: SparkSession, d: String): String =
-    stagedEvolution.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_schema_evolution")
-      dir.toFile.deleteOnExit()
+    StagedDirs.once(s, d, "schema_evolution") { dir =>
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -89,8 +79,7 @@ object Formats {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
         .write.mode("overwrite").parquet(s"$dir/gen=2")
-      dir.toString
-    })
+    }
 
   /** Parquet schema evolution — the read-side contract a long-lived lake
     * table lives on: files written before a column existed must read as

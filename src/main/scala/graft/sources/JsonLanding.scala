@@ -64,26 +64,20 @@ object JsonLanding {
     .add("doc_id", LongType).add("lang", StringType).add("n_chars", LongType)
     .add("_corrupt_record", StringType)
 
-  private val stagedCorrupt =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
   /** Stage a JSONL landing derived from `documents` where every doc with
     * `doc_id % 7 == 3` is deterministically mangled (closing brace replaced
     * by '!'). Content-independent rule, so the oracle knows exactly which
     * records are bad without parsing anything.
     */
   private def stagedCorruptDir(s: SparkSession, d: String): String =
-    stagedCorrupt.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_json_quarantine")
-      dir.toFile.deleteOnExit()
+    StagedDirs.once(s, d, "json_quarantine") { dir =>
       val j = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
       Tables.documents(s, d)
         .select(when(col("doc_id") % 7 === 3,
             concat(j.substr(lit(1), length(j) - 1), lit("!")))
           .otherwise(j).as("line"))
-        .write.mode("overwrite").text(dir.toString)
-      dir.toString
-    })
+        .write.mode("overwrite").text(dir)
+    }
 
   /** Corrupt-record quarantine — the malformed-batch discipline every JSON
     * ingestion needs: a PERMISSIVE read lands unparseable records in
