@@ -27,12 +27,6 @@ object Layouts {
     */
   private val stagedBucketed =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
-  private val stagedPartitioned =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private val stagedSketches =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private val stagedZOrder =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private val tableSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
@@ -84,14 +78,11 @@ object Layouts {
     * ([[graft.sources.Sinks.writeCompacted]]'s min/max clustering).
     */
   private def partitionedEventsPath(s: SparkSession, d: String): String =
-    stagedPartitioned.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_events_bydate")
+    graft.sources.StagedDirs.once(s, d, "events_bydate") { dir =>
       graft.sources.Sinks.writePartitioned(
         Tables.events(s, d).withColumn("event_date", to_date(col("ts"))),
-        dir.toString, Seq("event_date"))
-      dir.toFile.deleteOnExit()
-      dir.toString
-    })
+        dir, Seq("event_date"))
+    }
 
   /** Driver face: one week of a 30-day table — 23 of 30 day-directories are
     * never opened (plan-asserted: the scan's partition count equals the
@@ -292,16 +283,13 @@ object Layouts {
     * guarantee (unlike pre-counted distincts, which cannot merge).
     */
   private[graft] def sketchStorePath(s: SparkSession, d: String): String =
-    stagedSketches.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_sketch_store")
+    graft.sources.StagedDirs.once(s, d, "sketch_store") { dir =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id"), 14).as("user_sketch"),
           count(lit(1)).as("n_events"))
-        .write.mode("overwrite").parquet(dir.toString)
-      dir.toFile.deleteOnExit()
-      dir.toString
-    })
+        .write.mode("overwrite").parquet(dir)
+    }
 
   /** The VERIFIABLE face of the sketch store (the
     * [[Analytics.approxDistinctUsersChecked]] pattern): merge two weeks of
@@ -399,20 +387,17 @@ object Layouts {
     * would each defeat a single-column sort.
     */
   private def zOrderedPath(s: SparkSession, d: String): String =
-    stagedZOrder.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_li_zorder")
+    graft.sources.StagedDirs.once(s, d, "li_zorder") { dir =>
       val df = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_extendedprice"))
         .withColumn("zx", zx).withColumn("zy", zy)
         .withColumn("zv", zValue(col("zx"), col("zy")))
       val total = df.count()
-      graft.sources.Sinks.writeCompacted(df, dir.toString, "zv",
+      graft.sources.Sinks.writeCompacted(df, dir, "zv",
         rowsPerFile = math.max(1L, (total + zFilesFor(total) - 1) / zFilesFor(total)),
         total)
-      dir.toFile.deleteOnExit()
-      dir.toString
-    })
+    }
 
   /** Per-file (min, max) of both grid coordinates — the data-skipping
     * stats a Delta/Iceberg transaction log keeps per file. Built by one
