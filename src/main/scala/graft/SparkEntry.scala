@@ -706,6 +706,11 @@ object SparkEntry {
     // mangled JSONL landing (doc_id % 7 == 3 -> malformed line)
     "q_json_quarantine" -> ((s, d) =>
       graft.sources.JsonLanding.quarantineReport(s, d)),
+    // the same landing consumed as a LIVE stream: parsed -> target,
+    // unparseable -> dead-letter queue, both insert-ignore replay-safe;
+    // settled stores answer the batch face's oracle
+    "q_stream_quarantine" -> ((s, d) =>
+      graft.sources.JsonLanding.streamQuarantineReport(s, d)),
     // schema-wide FK sweep: orphan rows + distinct missing keys per
     // relation of the star schema (the single-rule FK check generalized)
     "q_ref_integrity" -> ((s, d) => Profiling.refIntegrity(s, d)),
@@ -2866,6 +2871,16 @@ object SparkEntry {
     // corruption rule is key-deterministic (doc_id % 7 = 3), so the oracle
     // needs no JSON parsing: quarantined rows parse nothing (0 ids, NULL sum)
     "q_json_quarantine" ->
+      """SELECT 'parsed' AS disposition, count(*) AS n_rows,
+        |  count(*) AS n_ids, sum(n_chars) AS sum_chars
+        |FROM documents WHERE doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT 'quarantined', count(*), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 3""".stripMargin,
+
+    // one oracle, two execution modes: the settled stream stores must
+    // answer exactly the batch quarantine report
+    "q_stream_quarantine" ->
       """SELECT 'parsed' AS disposition, count(*) AS n_rows,
         |  count(*) AS n_ids, sum(n_chars) AS sum_chars
         |FROM documents WHERE doc_id % 7 <> 3

@@ -100,6 +100,35 @@ object JsonLanding {
         sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Streaming face of [[quarantineReport]]: the same mangled landing
+    * consumed as a LIVE stream through
+    * [[graft.sources.Sinks.streamQuarantine]] — parsed records land in the
+    * target keyed on doc_id, unparseable lines in the dead-letter queue
+    * keyed on a content hash, both replay-safe. The settled stores must
+    * answer the identical disposition report the batch face computes in
+    * one plan (one oracle, two execution modes — the repo-wide streaming
+    * contract).
+    */
+  def streamQuarantineReport(s: SparkSession, d: String): DataFrame = {
+    val src = stagedCorruptDir(s, d)
+    val root = StagedDirs.once(s, d, "stream_quarantine") { dir =>
+      graft.sources.Sinks.streamQuarantine(
+        s.readStream.option("maxFilesPerTrigger", "1").text(src),
+        "doc_id LONG, lang STRING, n_chars LONG", "doc_id",
+        s"$dir/target", s"$dir/dlq", s"$dir/ckpt").awaitTermination()
+    }
+    val good = s.read.parquet(s"$root/target")
+      .agg(count(lit(1)).as("n_rows"), count(col("doc_id")).as("n_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(lit("parsed").as("disposition"), col("n_rows"), col("n_ids"),
+        col("sum_chars"))
+    val bad = s.read.parquet(s"$root/dlq")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("quarantined").as("disposition"), col("n_rows"),
+        lit(0L).as("n_ids"), lit(null).cast("long").as("sum_chars"))
+    good.unionByName(bad)
+  }
+
   /** The quarantined raw lines themselves (the sink side of
     * [[quarantineReport]] — what re-processing consumes after a fix).
     * `parsed_id` rides along (always NULL — corrupt records parse no

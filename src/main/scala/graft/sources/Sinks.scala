@@ -323,6 +323,43 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** Streaming dead-letter queue — the error-handling face of the
+    * streaming tier ([[graft.sources.JsonLanding.quarantineReport]]'s
+    * batch contract, live): each micro-batch of raw JSONL lines splits on
+    * parseability — parsed records append to the target keyed on their id,
+    * unparseable lines land in the DLQ keyed on a content hash (a raw
+    * line has no id; md5 of the line is the only stable key it owns).
+    * Both legs are insert-ignore appends, so replays (torn batch: one or
+    * both legs landed, checkpoint commit lost) re-offer rows whose keys
+    * exist and append nothing — the [[streamInsertIgnore]] argument,
+    * applied per leg. A malformed line is detected by `from_json` yielding
+    * a null `idCol` (every record this pipeline lands serializes its id,
+    * so a missing id ⇔ an unparseable line).
+    *
+    * Scale shape: the split is row-local in the batch; each leg pays the
+    * key anti-join against its own store only.
+    */
+  def streamQuarantine(lines: DataFrame, schemaDdl: String, idCol: String,
+      targetPath: String, dlqPath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val parsed = batch
+          .withColumn("_p", from_json(col("value"), schemaDdl, Map.empty[String, String]))
+        val good = parsed.filter(col(s"_p.$idCol").isNotNull).select(col("_p.*"))
+        val bad = parsed.filter(col(s"_p.$idCol").isNull)
+          .select(col("value").as("raw"), md5(col("value")).as("raw_key"))
+        appendInsertIgnore(good, targetPath, idCol)
+        appendInsertIgnore(bad, dlqPath, "raw_key")
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming maintenance of the MinHash-LSH band index
     * ([[graft.operators.Dedup]]): each micro-batch of (doc_id, text) docs
     * lands its per-doc (doc_id, skey, band, band_key) rows append-only —

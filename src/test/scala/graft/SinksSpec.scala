@@ -245,6 +245,46 @@ class SinksSpec extends SparkSpecBase {
     assert(torn == settled, s"replay changed the rollup: $torn -> $settled")
   }
 
+  test("streamQuarantine: parsed/DLQ split is replay-safe under a torn batch") {
+    val landing = Files.createTempDirectory("graft_dlqsrc")
+    def lines(name: String, mtime: Long, ls: String*): Unit = {
+      val f = new java.io.File(s"$landing/$name")
+      java.nio.file.Files.write(f.toPath, ls.mkString("\n").getBytes)
+      f.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis()
+    lines("a.txt", base,
+      """{"doc_id":1,"lang":"en","n_chars":5}""",
+      """{"doc_id":2,"lang":"de","n_chars":7""", // truncated — DLQ
+      """{"doc_id":3,"lang":"fr","n_chars":9}""")
+    lines("b.txt", base + 2000L,
+      """{"doc_id":1,"lang":"en","n_chars":5}""", // duplicate id — dropped
+      """not json at all""")                      // DLQ
+    val root = Files.createTempDirectory("graft_dlqtgt")
+    val ckpt = Files.createTempDirectory("graft_dlqck").toString
+    def start() = Sinks.streamQuarantine(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(landing.toString),
+      "doc_id LONG, lang STRING, n_chars LONG", "doc_id",
+      s"$root/target", s"$root/dlq", ckpt)
+    def state = (
+      spark.read.parquet(s"$root/target").select("doc_id").as[Long].collect().sorted.toSeq,
+      spark.read.parquet(s"$root/dlq").select("raw").as[String].collect().sorted.toSeq)
+    try {
+      Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn quarantine batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    val torn = state // batch 1's appends landed, batch is UNcommitted
+    start().awaitTermination() // restart: batch 1 replays, stream finishes
+    val settled = state
+    assert(settled._1 == Seq(1L, 3L), s"wrong parsed ids: ${settled._1}")
+    assert(settled._2 == Seq("""not json at all""",
+      """{"doc_id":2,"lang":"de","n_chars":7"""), s"wrong DLQ: ${settled._2}")
+    assert(torn == settled, s"replay changed stores: $torn -> $settled")
+  }
+
   test("streamBandIndex: torn batch replays to an identical index; probe equals batch face") {
     import graft.operators.Dedup
     val landing = Files.createTempDirectory("graft_bisrc")
