@@ -545,6 +545,9 @@ object SparkEntry {
     // train members — the contamination mode the n-gram screen misses
     "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(s, d)),
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
+    // Efraimidis-Spirakis weighted sample w/o replacement: top-k of
+    // u^(1/n_chars) per lang — size-biased, md5-deterministic
+    "q_weighted_sample" -> ((s, d) => TrainingData.weightedSample(s, d)),
     "q_doc_chunks" -> ((s, d) => TrainingData.chunkDocuments(s, d)),
     "q_robust_clip" -> ((s, d) => TrainingData.robustClip(s, d)),
     "q_filter_stack" -> ((s, d) => TextAnalysis.filterStack(s, d)),
@@ -2360,6 +2363,20 @@ object SparkEntry {
          |    / 1152921504606846976.0
          |  < POWER(CAST(c.n_l AS DOUBLE) / (SELECT min(n_l) FROM counts),
          |      ${(0.3 - 1.0).toString})""".stripMargin,
+
+    // A-ES key u^(1/w): same POWER-comparison cross-engine contract as
+    // q_temperature_sample; w clamped to >= 1
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars, rk FROM (
+         |  SELECT doc_id, lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY POWER(
+         |          CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "11")} AS DOUBLE)
+         |            / 1152921504606846976.0,
+         |          1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)) DESC,
+         |        doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 10""".stripMargin,
 
     // integer-only window arithmetic; DuckDB list[a:b] is 1-based
     // inclusive-end with overflow clamping ≡ Spark slice(t, a, len)

@@ -228,6 +228,40 @@ object TrainingData {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Weighted sampling WITHOUT replacement, k per language
+    * (Efraimidis–Spirakis A-ES): each doc draws a deterministic md5
+    * uniform u and competes on key u^(1/w) — the top-k keys per group are
+    * a weighted sample without replacement with inclusion probability
+    * exactly proportional to w in sequential-draw semantics. The
+    * weight here is document length (chars), the standard size-biased
+    * draw for corpus inspection ("show me a length-representative
+    * sample"), complementing [[temperatureSample]] (per-doc Bernoulli —
+    * WITH-replacement semantics, no fixed k) and [[sampleTopKPerGroup]]
+    * (unweighted). Deterministic: u is md5-derived (seed 11), rerun- and
+    * partitioning-stable; cross-engine by the same POWER-comparison
+    * contract q_temperature_sample has relied on since round 5. Zero
+    * weights are clamped to 1 (a w=0 doc would take key u^∞ = 0, i.e.
+    * never sampled but also never an error).
+    *
+    * Scale: per-language window ranking, partition-parallel; the
+    * hash-prefix pre-prune of [[sampleTopKPerGroup]] does NOT transfer
+    * (the key is weight-skewed, not uniform) — the 100 TB form keeps a
+    * per-group running k-th-key threshold (the A-ES reservoir) via
+    * [[graft.functions.TopKAggregator]]-style partial aggregation.
+    */
+  def weightedSample(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val u = Dedup.md5Hash60(col("doc_id").cast("string"), lit(11)).cast("double") /
+      lit(1152921504606846976.0) // 2^60, exactly representable
+    val skey = pow(u, lit(1.0) / greatest(col("n_chars"), lit(1L)).cast("double"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("_skey").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("_skey", skey)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk"))
+  }
+
   /** Corpus balancing: cap every language at its `perLang` longest documents
     * (token count, doc_id tiebreak) — the standard rebalance before training
     * so high-resource languages don't drown the mixture. Per-language window

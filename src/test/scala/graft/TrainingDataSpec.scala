@@ -301,4 +301,28 @@ class TrainingDataSpec extends SparkSpecBase {
       "sf0.001 dup clusters must span the split for this test to bite")
     assert(got == expected, s"mismatch: got ${got.size}, expected ${expected.size}")
   }
+
+  test("weightedSample matches a driver-side A-ES reimplementation exactly") {
+    val got = TrainingData.weightedSample(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val docs = Tables.documents(spark, Sf).select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def h60(s: String, seed: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$s#$seed".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = docs.groupBy(_._2).flatMap { case (lang, rows) =>
+      rows.toSeq.map { case (id, _, n) =>
+        val u = h60(id.toString, 11).toDouble / 1152921504606846976.0
+        (id, math.pow(u, 1.0 / math.max(n, 1L).toDouble))
+      }.sortBy { case (id, key) => (-key, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (id, lang, (i + 1).toLong) }
+    }.toSet
+    assert(got == expected, s"selection diverged: ${got.size} vs ${expected.size}")
+    // size-biased draw is live: report the bias (not asserted — one draw)
+    val meanAll = docs.map(_._3).sum.toDouble / docs.length
+    val sampled = docs.filter(r => got.exists(g => g._1 == r._1)).map(_._3)
+    info(f"mean chars: corpus ${meanAll}%.1f vs sample ${sampled.sum.toDouble / sampled.length}%.1f")
+  }
 }
