@@ -675,6 +675,40 @@ object SparkEntry {
       Dedup.incrementalNearDupProbeIndex(s, d, s"$root/store")
     }),
 
+    //    streaming maintenance of the IVF vector index: embedding batches
+    //    (with cross-batch duplicate deliveries) are assigned against the
+    //    frozen trained model and appended replay-safe; the settled index
+    //    must equal a batch assignment of the whole corpus (generated
+    //    oracle with the centroid literals)
+    "q_stream_vector_index" -> ((s, d) => {
+      val cents = Similarity.trainedCentroids(s, d)
+      val root = stagedLanding("vecidx_mb", d) { dir =>
+        java.nio.file.Files.createDirectory(dir.resolve("landing"))
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val base = System.currentTimeMillis()
+        for (i <- 0 until StreamSlices) {
+          // slice i, plus a duplicate-delivery sliver of the neighboring
+          // slice (assignment is value-deterministic, so whichever batch
+          // lands a vec first writes the same row; the anti-join drops
+          // the re-offer)
+          val own = e.filter(pmod(col("vec_id"), lit(StreamSlices)) === i)
+          val dup = e.filter(
+            pmod(col("vec_id"), lit(StreamSlices)) === (i + StreamSlices - 1) % StreamSlices &&
+              col("vec_id") % 16 === 0)
+          writeSliceFile(own.unionByName(dup),
+            dir.resolve("landing"), f"b$i%02d.parquet", base + i * 2000L)
+        }
+      }
+      val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
+      graft.sources.Sinks.streamVectorIndex(stream, cents,
+        s"$root/store", s"$root/ckpt").awaitTermination()
+      s.read.parquet(s"$root/store")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_vec_id"),
+          min(col("vec_id")).as("min_vec_id"))
+    }),
+
     //    streaming-maintained daily rollup MV: batches land in an
     //    insert-ignore landing (the 1-hour overlap replays re-offer rows —
     //    the anti-join must drop them), then only the touched days are
@@ -3003,7 +3037,8 @@ object SparkEntry {
     val groups: Seq[(Seq[String], () => Map[String, String])] = Seq(
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
-      (Seq("q_ann_ivf_trained", "q_semantic_dedup"), () => centroidOracles(s, d)),
+      (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index"),
+        () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
@@ -3364,6 +3399,30 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
            |WHERE rnk <= 5""".stripMargin,
+
+      // the settled streaming index must equal a batch assignment of the
+      // whole corpus against the SAME frozen model: same e/c/cn/crossed/
+      // assign dataflow as the trained-IVF oracle, rolled up per cell
+      "q_stream_vector_index" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+           |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+           |cn AS (SELECT centroid_id, cvec,
+           |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+           |       FROM c),
+           |crossed AS (
+           |  SELECT e.vec_id, cn.centroid_id,
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+           |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+           |  FROM e CROSS JOIN cn),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1)
+           |SELECT centroid_id, count(*) AS n_vecs,
+           |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+           |  min(vec_id) AS min_vec_id
+           |FROM assign GROUP BY centroid_id""".stripMargin,
 
       // mirror of Similarity.semanticDedup: literal trained centroids, the
       // same ccos-desc/centroid-asc argmax cluster assignment as the trained

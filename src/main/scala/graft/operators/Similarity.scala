@@ -431,6 +431,27 @@ object Similarity {
       trainIvfCentroids(emb, nlist, iters, frac)
     })
 
+  /** Nearest-trained-cell assignment for an arbitrary (id, embedding)
+    * frame — the per-row core of [[ivfTopKTrained]]'s index side, opened
+    * up so the STREAMING index maintenance
+    * ([[graft.sources.Sinks.streamVectorIndex]]) assigns each arriving
+    * batch with the identical broadcast-literal argmax (ties to the
+    * lowest centroid id). Pure per-row work: no shuffle beyond the
+    * per-id partial-aggregating argmax.
+    */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id"): DataFrame = {
+    val centsLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    emb.select(col(idCol), col("embedding"), posexplode(centsLit))
+      .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
+      .withColumn("ccos",
+        dot(col("embedding"), col("cvec")) / (norm(col("embedding")) * norm(col("cvec"))))
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+  }
+
   def ivfTopKTrained(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)

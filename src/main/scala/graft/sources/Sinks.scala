@@ -360,6 +360,34 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** Streaming maintenance of the IVF vector index — the embeddings
+    * analogue of [[streamBandIndex]]'s daily-crawl loop: each micro-batch
+    * of (vec_id, embedding) rows is assigned to its nearest TRAINED
+    * coarse cell ([[graft.operators.Similarity.assignCells]] — the same
+    * broadcast-literal argmax the batch index uses, against the same
+    * fitted model) and lands append-only as (vec_id, centroid_id).
+    * Assignment is a pure function of the vector value and the frozen
+    * model, so batches index independently; replay safety is the
+    * [[streamInsertIgnore]] anti-join keyed on vec_id. Model refresh
+    * (retraining centroids as the corpus drifts) is a rebuild, not an
+    * append — exactly as in a production IVF index.
+    */
+  def streamVectorIndex(stream: DataFrame, centroids: Array[Array[Double]],
+      storePath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendInsertIgnore(
+          graft.operators.Similarity.assignCells(batch, centroids),
+          storePath, "vec_id")
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming maintenance of the MinHash-LSH band index
     * ([[graft.operators.Dedup]]): each micro-batch of (doc_id, text) docs
     * lands its per-doc (doc_id, skey, band, band_key) rows append-only —

@@ -285,6 +285,45 @@ class SinksSpec extends SparkSpecBase {
     assert(torn == settled, s"replay changed stores: $torn -> $settled")
   }
 
+  test("streamVectorIndex: torn batch replays to an identical index; assignment frozen-model") {
+    val landing = Files.createTempDirectory("graft_vecsrc")
+    val base = System.currentTimeMillis()
+    def slice(rows: Seq[(Long, Array[Float])], name: String, mtime: Long): Unit = {
+      val p = s"$landing/_stage_$name"
+      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(p)
+      val f = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$landing/$name")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+    }
+    // axis-aligned model: cell 0 = +x, cell 1 = +y — assignments obvious
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    slice(Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.2f, 0.8f))), "a.parquet", base)
+    slice(Seq((2L, Array(0.2f, 0.8f)), // duplicate delivery — dropped
+      (3L, Array(0.7f, 0.7f))), "b.parquet", base + 2000L) // tie -> cell 0
+    val store = Files.createTempDirectory("graft_vectgt").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_vecck").toString
+    def start() = Sinks.streamVectorIndex(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+      cents, store, ckpt)
+    def state = spark.read.parquet(store)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().sorted.toSeq
+    try {
+      Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn vector batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    val torn = state
+    start().awaitTermination()
+    val settled = state
+    assert(settled == Seq((1L, 0), (2L, 1), (3L, 0)), s"wrong index: $settled")
+    assert(torn == settled, s"replay changed the index: $torn -> $settled")
+  }
+
   test("streamBandIndex: torn batch replays to an identical index; probe equals batch face") {
     import graft.operators.Dedup
     val landing = Files.createTempDirectory("graft_bisrc")
