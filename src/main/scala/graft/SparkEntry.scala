@@ -315,6 +315,21 @@ object SparkEntry {
     //    file) close every real session; the sentinel sessions stay in state
     //    (the end-of-stream watermark of max+1d−1h never passes their
     //    timeout) and are never emitted.
+    //    streaming rolling z-score anomalies: ordered ring-buffer custom
+    //    state per user across time-ranged micro-batches; bit-parity with
+    //    the batch window face — SAME oracle as q_rolling_anomaly
+    "q_stream_anomaly" -> ((s, d) => {
+      import graft.streaming.EventStreamJob
+      val landing = stagedLanding("anomaly_mb", d) { dir =>
+        stageEventSlices(s, d, dir, StreamSlices)
+      }
+      settledStream(s,
+        EventStreamJob.anomalyStream(
+          EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1)))
+          .toDF(),
+        "q_stream_anomaly_sink", "append")
+    }),
+
     "q_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("sessions_mb", d) { dir =>
@@ -1740,6 +1755,31 @@ object SparkEntry {
     // rolling z-score anomalies: the flag decision is pure BIGINT algebra
     // ((n-1)(cn-S)^2 > z^2 n (nQ-S^2)); the score is one fixed double chain
     "q_rolling_anomaly" ->
+      s"""WITH x AS (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |f AS (
+         |  SELECT event_id, user_id, ts, value, c,
+         |    CAST(count(*) OVER w AS BIGINT) AS n,
+         |    CAST(sum(c) OVER w AS BIGINT) AS sc,
+         |    CAST(sum(c*c) OVER w AS BIGINT) AS qc
+         |  FROM x
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN ${EventWindows.AnomalyFrame} PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, ts, value,
+         |  CAST(c*n - sc AS DOUBLE) /
+         |    sqrt(CAST(n*qc - sc*sc AS DOUBLE) * CAST(n AS DOUBLE) /
+         |      CAST(n - 1 AS DOUBLE)) AS zscore
+         |FROM f
+         |WHERE n >= ${EventWindows.AnomalyMinN}
+         |  AND n*qc - sc*sc > 0
+         |  AND (n-1)*(c*n - sc)*(c*n - sc) > 9 * n * (n*qc - sc*sc)""".stripMargin,
+
+    // identical to q_rolling_anomaly: the streaming custom-state run must
+    // land exactly the batch window's anomalies (one oracle, two modes)
+    "q_stream_anomaly" ->
       s"""WITH x AS (
          |  SELECT event_id, user_id, ts, value,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,

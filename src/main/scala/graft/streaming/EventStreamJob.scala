@@ -170,6 +170,72 @@ object EventStreamJob extends Serializable {
       }
   }
 
+  case class AnomEvent(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  /** Last ≤[[graft.operators.EventWindows.AnomalyFrame]] cents per user,
+    * oldest first — the trailing baseline the batch face's window frame
+    * reads, carried across micro-batches as custom state. */
+  case class AnomState(ring: Seq[Long])
+  case class AnomOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      value: Double, zscore: Double)
+
+  /** Streaming rolling z-score anomaly detection — ORDERED ring-buffer
+    * state via `flatMapGroupsWithState`, the custom-state pattern
+    * [[sessionizeStream]]'s gap logic doesn't need: the baseline is the
+    * exact sequence of the user's previous [[graft.operators.EventWindows.AnomalyFrame]]
+    * values, so state is a bounded ring per user, consumed in event order.
+    *
+    * Bit-parity with the batch face
+    * ([[graft.operators.EventWindows.rollingAnomalies]]) by construction:
+    * same cents quantization (the [[sessionizeStream]] `valueOf` contract ≡
+    * `cast(value as decimal(18,2)) * 100`), same BIGINT flag algebra, same
+    * fixed double chain for the score — and the same event order, because
+    * the landing's slices are time-ranged (cross-batch order) and each
+    * batch's group iterator is sorted on (ts, event_id) (in-batch order).
+    * One oracle, two execution modes.
+    *
+    * Scale shape: state = ≤ frame longs per ACTIVE user; production adds
+    * an event-time timeout to evict idle users (the corpus replays a fixed
+    * window, so none here — NoTimeout keeps every baseline live to the
+    * end, which the parity contract requires).
+    */
+  def anomalyStream(events: DataFrame, zThresh: Int = 3): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val frame = graft.operators.EventWindows.AnomalyFrame
+    val minN = graft.operators.EventWindows.AnomalyMinN
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    events.selectExpr("event_id", "user_id", "ts", "value").as[AnomEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AnomOut]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val c = cents(e.value)
+            val n = ring.length.toLong
+            if (n >= minN) {
+              val s = ring.sum
+              val q = ring.map(x => x * x).sum
+              val dev = c * n - s
+              val varn = n * q - s * s
+              if (varn > 0 &&
+                  (n - 1) * dev * dev > zThresh.toLong * zThresh * n * varn)
+                out += AnomOut(e.event_id, e.user_id, e.ts, e.value,
+                  dev.toDouble /
+                    math.sqrt(varn.toDouble * n.toDouble / (n - 1).toDouble))
+            }
+            ring = (ring :+ c).takeRight(frame)
+          }
+          state.update(AnomState(ring))
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream interval join: purchases joined to the same user's views
     * from the preceding hour. Both sides carry watermarks and the join
     * condition bounds event time on both ends, so state is provably

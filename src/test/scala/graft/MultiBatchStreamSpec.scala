@@ -191,6 +191,46 @@ class MultiBatchStreamSpec extends SparkSpecBase {
     spark.catalog.dropTempView("mb_late_j")
   }
 
+  test("anomaly stream equals the batch window face; baselines span batch boundaries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_anom")
+    SparkEntry.stageEventSlices(spark, Sf, dir, SparkEntry.StreamSlices)
+    val q = EventStreamJob.runAvailableNow(
+      EventStreamJob.anomalyStream(EventStreamJob.readEventStream(
+        spark, dir.toString, maxFilesPerTrigger = Some(1))).toDF(),
+      "mb_anom", "append")
+    assert(q.recentProgress.length >= SparkEntry.StreamSlices,
+      s"expected >= ${SparkEntry.StreamSlices} batches, got ${q.recentProgress.length}")
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select(col("event_id"), col("zscore"))
+        .as[(Long, Double)].collect().toMap
+    val streamed = canon(spark.table("mb_anom"))
+    val batch = canon(graft.operators.EventWindows.rollingAnomalies(spark, Sf))
+    assert(streamed == batch,
+      s"stream/batch diverged: ${streamed.size} vs ${batch.size} anomalies")
+    assert(streamed.nonEmpty, "fixture produced no anomalies — test is vacuous")
+    // state handoff is live: at least one flagged event's 20-event trailing
+    // baseline must START in an earlier slice than the event's own
+    val ev = graft.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val byUser = ev.groupBy(_._2).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._3.getTime, r._1)).map(_._1)
+    }
+    val sliceOf = ev.map { case (id, _, ts) => id -> ts }.toMap
+    val (lo, hi) = (ev.map(_._3.getTime).min, ev.map(_._3.getTime).max)
+    def slice(id: Long) = math.min(SparkEntry.StreamSlices - 1,
+      ((sliceOf(id).getTime - lo) * SparkEntry.StreamSlices / (hi - lo + 1)).toInt)
+    val spanning = streamed.keys.exists { id =>
+      val (_, u, _) = ev.find(_._1 == id).get
+      val hist = byUser(u)
+      val i = hist.indexOf(id)
+      i > 0 && slice(hist(math.max(0, i - 1))) < slice(id)
+    }
+    assert(spanning, "no anomaly's baseline crossed a batch boundary — weak fixture")
+  }
+
   test("stream-stream join matches purchases to views held in earlier-batch state") {
     val streamed = SparkEntry.queries("q_stream_join")(spark, Sf)
     val batch = EventStreamJob.purchaseViewJoinStream(
