@@ -68,6 +68,29 @@ class EdgeCaseSpec extends SparkSpecBase {
       got.head.getLong(2) == 0L && got.head.getBoolean(3))
   }
 
+  test("asOfJoin: empty sides follow the inner as-of contract (no-match rows drop)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = emptyLike("k", "rt", "tb", "v")("bigint", "bigint", "bigint", "string")
+    // inner as-of semantics: a left row with no at-or-before match DROPS
+    assert(graft.operators.TemporalJoins
+      .asOfJoin(left, right, Seq("k"), "t", "rt", "tb", Seq("v")).isEmpty)
+    // and an empty LEFT produces nothing, regardless of right content
+    val r2 = Seq((1L, 5L, 0L, "x")).toDF("k", "rt", "tb", "v")
+    assert(graft.operators.TemporalJoins
+      .asOfJoin(emptyLike("k", "t")("bigint", "bigint"), r2,
+        Seq("k"), "t", "rt", "tb", Seq("v")).isEmpty)
+  }
+
+  test("funnelEvents: empty input and no-signup corpora reach zero at every stage") {
+    val empty = emptyLike("user_id", "event_type", "us")("bigint", "string", "bigint")
+    assert(EventWindows.funnelEvents(empty)
+      .collect().forall(_.getLong(2) == 0L))
+    val noSignup = Seq((1L, "view", 10L), (1L, "click", 20L))
+      .toDF("user_id", "event_type", "us")
+    assert(EventWindows.funnelEvents(noSignup)
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
   test("maxConcurrencyOver: empty intervals yield zero sessions, null-free max") {
     val empty = emptyLike("session_start", "session_end")("timestamp", "timestamp")
     val got = EventWindows.maxConcurrencyOver(empty).head()
