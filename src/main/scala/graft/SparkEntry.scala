@@ -233,6 +233,9 @@ object SparkEntry {
     // double chain for the emitted score (the q_time_weighted discipline)
     "q_rolling_anomaly" -> ((s, d) => EventWindows.rollingAnomalies(s, d)),
     "q_funnel" -> (EventWindows.funnel _),
+    // converted-within-the-hour funnel: each stage bounded to 1h after
+    // the previous stage's time
+    "q_funnel_windowed" -> ((s, d) => EventWindows.funnelWindowed(s, d)),
     "q_time_weighted" -> (EventWindows.timeWeightedValue _),
     "q_transitions" -> (Analytics.eventTransitions _),
 
@@ -1854,6 +1857,34 @@ object SparkEntry {
         |s4 AS (SELECT e.user_id, min(e.us) AS t, min(s3.t) AS pt
         |       FROM e JOIN s3 USING (user_id)
         |       WHERE e.event_type = 'purchase' AND e.us >= s3.t GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+        |       count(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM s1
+        |UNION ALL SELECT 2, 'view', count(*),
+        |       coalesce(CAST(sum(t - pt) AS BIGINT), 0) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*),
+        |       coalesce(CAST(sum(t - pt) AS BIGINT), 0) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*),
+        |       coalesce(CAST(sum(t - pt) AS BIGINT), 0) FROM s4""".stripMargin,
+
+    // same chain with each stage additionally bounded to 1h (3.6e9 us)
+    // after the previous stage's time
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t, min(s1.t) AS pt
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.us >= s1.t
+        |         AND e.us <= s1.t + 3600000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t, min(s2.t) AS pt
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us >= s2.t
+        |         AND e.us <= s2.t + 3600000000 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.us) AS t, min(s3.t) AS pt
+        |       FROM e JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us >= s3.t
+        |         AND e.us <= s3.t + 3600000000 GROUP BY 1)
         |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
         |       count(*) AS n_users, CAST(0 AS BIGINT) AS sum_lag_us FROM s1
         |UNION ALL SELECT 2, 'view', count(*),

@@ -256,7 +256,26 @@ object EventWindows {
   /** Core over any (user_id, event_type, us) frame — factored out so
     * `EventWindowsSpec` can pin the ordering semantics on handcrafted data.
     */
-  def funnelEvents(ev: DataFrame): DataFrame = {
+  def funnelEvents(ev: DataFrame): DataFrame = funnelChain(ev, None)
+
+  /** Time-CONSTRAINED funnel: stage k+1 counts only users whose earliest
+    * stage-(k+1) event lands within `boundUs` of their stage-k time — the
+    * "converted within the hour" product question the unconstrained chain
+    * cannot answer (a purchase three weeks after the click still counts
+    * there). Filtering the window BEFORE the min is equivalent to
+    * windowing the min (the earliest in-window event IS the earliest
+    * ≥-pt event whenever one exists), so the chain shape — and its
+    * scale story — is [[funnelEvents]]' unchanged.
+    */
+  def funnelWindowed(s: SparkSession, d: String,
+      boundUs: Long = 3600000000L): DataFrame =
+    funnelChain(Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us")), Some(boundUs))
+
+  private[graft] def funnelWindowedEvents(ev: DataFrame, boundUs: Long): DataFrame =
+    funnelChain(ev, Some(boundUs))
+
+  private def funnelChain(ev: DataFrame, boundUs: Option[Long]): DataFrame = {
     val first = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("t"))
       .withColumn("lag_us", lit(0L))
@@ -264,7 +283,8 @@ object EventWindows {
     val chain = rest.scanLeft(first) { (prev, name) =>
       ev.filter(col("event_type") === name)
         .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
-        .filter(col("us") >= col("pt"))
+        .filter(col("us") >= col("pt") &&
+          boundUs.map(b => col("us") <= col("pt") + lit(b)).getOrElse(lit(true)))
         .groupBy(col("user_id"))
         // pt is constant per user; min() re-attaches it through the agg
         .agg(min(col("us")).as("t"), min(col("pt")).as("pt"))

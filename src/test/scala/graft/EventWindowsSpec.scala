@@ -80,6 +80,26 @@ class EventWindowsSpec extends SparkSpecBase {
     assert(got(124L) > 3.0)
   }
 
+  test("funnelWindowed: a stage landing past the bound breaks the chain there") {
+    import spark.implicits._
+    val H = 3600000000L
+    // u1: all stages within bounds; u2: view 2h after signup -> chain stops
+    // at signup even though later stages exist; u3: view in time, click
+    // exactly AT the bound (inclusive), purchase 1us past it -> stops at click
+    val ev = Seq(
+      (1L, "signup", 0L), (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "signup", 0L), (2L, "view", 2 * H), (2L, "click", 2 * H + 1), (2L, "purchase", 2 * H + 2),
+      (3L, "signup", 0L), (3L, "view", 50L), (3L, "click", 50L + H), (3L, "purchase", 50L + 2 * H + 1)
+    ).toDF("user_id", "event_type", "us")
+    val got = EventWindows.funnelWindowedEvents(ev, H)
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "signup" -> ((3L, 0L)),
+      "view" -> ((2L, 150L)),            // u1 100 + u3 50
+      "click" -> ((2L, 100L + H)),       // u1 100, u3 exactly at bound
+      "purchase" -> ((1L, 100L))), s"windowed funnel wrong: $got")
+  }
+
   test("maxConcurrency: sweep-line max on handcrafted intervals, end-exclusive") {
     import spark.implicits._
     // [0,10) [2,8) [5,15) [10,20): peak 3 on [5,8); [0,10) ending at 10
