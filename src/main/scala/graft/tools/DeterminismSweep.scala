@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   * persistent-RDD sweep between runs).
   *
   * Usage: runMain graft.tools.DeterminismSweep <sfDir> [altPartitions]
+  * (env SPARK_GRAFT_ONLY=q_a,q_b restricts to a subset — e.g. probing
+  * just the argmax/ranking faces at a duplicate-dense 100× replica,
+  * where key collisions are enriched.)
   */
 object DeterminismSweep {
   def main(args: Array[String]): Unit = {
@@ -47,9 +50,12 @@ object DeterminismSweep {
       } catch { case _: Throwable => () }
     }
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var mismatches = List.empty[String]
     var errors = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         val a = canonicalHash(fn(spark, sfDir))
         isolate()
