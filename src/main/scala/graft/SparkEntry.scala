@@ -1723,7 +1723,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT epoch_us(CAST(session_end AS TIMESTAMP)), CAST(-1 AS BIGINT) FROM ses)
         |SELECT CAST((count(*) / 2) AS BIGINT) AS n_sessions,
-        |  max(run) AS max_concurrent
+        |  CAST(max(run) AS BIGINT) AS max_concurrent
         |FROM (SELECT sum(d) OVER (ORDER BY t, d) AS run, d FROM pts)""".stripMargin,
 
     "q_json_extract_agg" ->

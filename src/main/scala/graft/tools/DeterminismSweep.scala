@@ -32,8 +32,9 @@ object DeterminismSweep {
     spark.sparkContext.setLogLevel("WARN")
 
     def canonicalHash(df: DataFrame): (Long, Long) = {
-      // stringify every column so NaN/array/struct all hash stably; xor of
-      // per-row hashes is order-free, so no sort is even needed
+      // stringify every column so NaN/array/struct all hash stably; the
+      // wrapping SUM of per-row hashes is order-free (addition commutes),
+      // so no sort is even needed
       val row = hash(df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)
         .cast("long")
       val agg = df.select(row.as("h"))
