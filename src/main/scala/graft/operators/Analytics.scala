@@ -779,42 +779,40 @@ object Analytics {
     * window a naive `row_number() OVER (ORDER BY …)` plans (Spark warns and
     * funnels 100 TB through one task). The scalable recipe:
     *
-    *  1. `repartitionByRange` on the sort key — one exchange; sampled
-    *     boundaries give consecutive key ranges in ascending partition-id
-    *     order (the explicit partition count pins AQE off the exchange);
-    *  2. sort within partitions, then `monotonically_increasing_id()` —
-    *     after the sort the id is `pid·2³³ + local_idx` with local_idx
-    *     consecutive from 0, so it is order-consistent with the total order;
-    *  3. per-partition row counts (computed off the SAME exchange — no
-    *     sort needed, `ReusedExchange` makes it one scan+shuffle) cumsum'd
-    *     into offsets over a partition-count-sized frame, broadcast back;
-    *  4. `rank = offset + (id - pid·2³³) + 1`.
+    *  1. assign each row a DETERMINISTIC equi-width bucket on the leading
+    *     sort key ([[RangeBuckets]] — boundaries are driver-side literals
+    *     from one pruned min/max scan, so the assignment is a pure function
+    *     of the row and monotone in the total order);
+    *  2. `row_number()` PARTITIONED BY the bucket — bucket-parallel, never
+    *     a global window;
+    *  3. per-bucket row counts cumsum'd into offsets over a
+    *     bucket-count-sized frame, broadcast back;
+    *  4. `rank = offset + local row_number`.
     *
-    * The emitted rank is invariant to where the sampled range boundaries
-    * fall because the key (shipdate, orderkey, linenumber) is unique — the
-    * oracle's window formulation agrees bit-for-bit.
+    * Through round 9 the bucket was the physical partition id after
+    * `repartitionByRange`, which made correctness silently depend on both
+    * consumers reusing ONE sampled exchange (`ReusedExchange`) — the r9
+    * verdict's latent hazard. Value-derived buckets remove the dependency:
+    * each subplan may re-execute or re-partition freely and still assigns
+    * identical buckets, so local + offset is exact for any plan shape.
     */
   def globalRank(s: SparkSession, d: String): DataFrame = {
-    val keys = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    val parted = Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-      .repartitionByRange(32, keys: _*)
-    val sorted = parted
-      .sortWithinPartitions(keys: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftright(col("_mid"), 33))
-    // counts don't depend on the intra-partition order, so this side skips
-    // the sort and reuses the range exchange as-is
-    val counts = parted.groupBy(spark_partition_id().cast("long").as("_pid"))
-      .agg(count(lit(1)).as("_n"))
+    val b = RangeBuckets.bounds(li, unix_micros(col("l_shipdate").cast("timestamp")))
+    val withB = li.withColumn("_bkt", RangeBuckets.bucketOpt(
+      unix_micros(col("l_shipdate").cast("timestamp")), b, RangeBuckets.DefaultBuckets))
+    val wRn = Window.partitionBy(col("_bkt"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val counts = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
     val offsets = counts.withColumn("_off",
-        coalesce(sum(col("_n")).over(Window.orderBy(col("_pid"))
+        coalesce(sum(col("_n")).over(Window.orderBy(col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    sorted.join(broadcast(offsets), Seq("_pid"))
+      .select(col("_bkt"), col("_off"))
+    withB.withColumn("_rn", row_number().over(wRn))
+      .join(broadcast(offsets), Seq("_bkt"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-        (col("_off") + (col("_mid") - (col("_pid") * lit(1L << 33))) + 1L)
-          .as("global_rank"))
+        (col("_off") + col("_rn")).as("global_rank"))
   }
 
   /** Skyline (Pareto frontier) over (minimize l_extendedprice, maximize
@@ -828,34 +826,38 @@ object Analytics {
     *
     * The running max over all prices is the same global-order scan
     * [[globalRank]] solves without a single-partition window: per-price
-    * maxima (one narrow shuffle) are range-partitioned by price; the
-    * within-partition prefix max is a window PARTITIONED BY the physical
-    * partition id (partition-parallel); the cross-partition term is a
-    * partition-count-sized prefix-max broadcast computed off the SAME range
-    * exchange. `greatest` of the two equals the full-order running max for
-    * ANY boundary placement (max is associative), so the result is
-    * boundary-invariant — the oracle's single-window formulation agrees
-    * exactly (float comparisons only, no float arithmetic anywhere).
+    * maxima (one narrow shuffle) get DETERMINISTIC equi-width price buckets
+    * ([[RangeBuckets]] — driver-literal boundaries, monotone in price, a
+    * pure function of the row so no exchange-reuse dependency); the
+    * within-bucket prefix max is a window PARTITIONED BY the bucket
+    * (bucket-parallel); the cross-bucket term is a bucket-count-sized
+    * prefix-max broadcast. `greatest` of the two equals the full-order
+    * running max for ANY monotone bucket placement (max is associative), so
+    * the result is boundary-invariant — the oracle's single-window
+    * formulation agrees exactly (float comparisons only, no float
+    * arithmetic anywhere).
     */
   def skyline(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+    // bounds off the BASE column (pruned scan) — never a second run of the
+    // per-price aggregation
+    val b = RangeBuckets.bounds(Tables.lineitem(s, d), col("l_extendedprice"))
     val perPrice = pts.groupBy(col("price")).agg(max(col("qty")).as("pq"))
-    val parted = perPrice.repartitionByRange(32, col("price"))
-    val wIn = Window.partitionBy(col("_pid")).orderBy(col("price"))
+      .withColumn("_bkt",
+        RangeBuckets.bucketOpt(col("price"), b, RangeBuckets.DefaultBuckets))
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parted.withColumn("_pid", spark_partition_id().cast("long"))
-      .withColumn("_runmax", max(col("pq")).over(wIn))
-    // per-partition maxima off the SAME exchange; prefix max over the
-    // partition-count-sized frame, broadcast back
-    val pmax = parted.groupBy(spark_partition_id().cast("long").as("_pid"))
-      .agg(max(col("pq")).as("_pmax"))
+    val local = perPrice.withColumn("_runmax", max(col("pq")).over(wIn))
+    // per-bucket maxima; prefix max over the bucket-count-sized frame,
+    // broadcast back
+    val pmax = perPrice.groupBy(col("_bkt")).agg(max(col("pq")).as("_pmax"))
     val prefix = pmax.withColumn("_prefmax",
-        max(col("_pmax")).over(Window.orderBy(col("_pid"))
+        max(col("_pmax")).over(Window.orderBy(col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("_pid"), col("_prefmax"))
-    val run = local.join(broadcast(prefix), Seq("_pid"))
+      .select(col("_bkt"), col("_prefmax"))
+    val run = local.join(broadcast(prefix), Seq("_bkt"))
       .select(col("price"), col("pq"),
         greatest(coalesce(col("_runmax"), lit(-1.0)),
           coalesce(col("_prefmax"), lit(-1.0))).as("cheaper_max"))

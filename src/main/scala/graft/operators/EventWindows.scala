@@ -38,6 +38,10 @@ object EventWindows {
     * emits [min(ts), max(ts)+gap); the oracle recomputes sessions with the
     * classic gaps-and-islands (lag + cumulative flag sum) construction.
     */
+  /** Session inactivity gap (micros): sessions close 30 minutes after their
+    * last event, so every session_end ≤ max event ts + this. */
+  val SessionGapMicros: Long = 30L * 60 * 1000000
+
   def sessionize(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -110,47 +114,59 @@ object EventWindows {
     * counts as overlap.
     *
     * The global prefix sum does NOT use a single-partition window (the
-    * [[Analytics.globalRank]] recipe): deltas range-partition by (t, d);
-    * the within-partition running sum is a window PARTITIONED BY the
-    * physical partition id (partition-parallel); per-partition delta sums —
-    * computed off the SAME range exchange — prefix-sum into a
-    * partition-count-sized broadcast of offsets. local + offset equals the
-    * full-order prefix sum for any boundary placement (addition is
-    * associative), and `max` of a row-granular prefix equals the oracle's
-    * peer-grouped RANGE-frame max (maxima occur only after +1 rows, where
-    * the last peer's row value equals the group value).
+    * [[Analytics.globalRank]] recipe): deltas group into DETERMINISTIC
+    * equi-width time buckets ([[RangeBuckets]] — boundaries are driver-side
+    * literals, so the assignment is a pure function of the row, immune to
+    * exchange-reuse failures); the within-bucket running sum is a window
+    * PARTITIONED BY the bucket (bucket-parallel); per-bucket delta sums
+    * prefix-sum into a bucket-count-sized broadcast of offsets. local +
+    * offset equals the full-order prefix sum for any monotone bucket
+    * placement (addition is associative), and `max` of a row-granular
+    * prefix equals the oracle's peer-grouped RANGE-frame max (maxima occur
+    * only after +1 rows, where the last peer's row value equals the group
+    * value). Bucket bounds come from the RAW events table (min ts, max ts
+    * + gap) — one pruned column scan, never a second sessionize run.
     */
-  def maxConcurrency(s: SparkSession, d: String): DataFrame =
+  def maxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val evBounds = RangeBuckets.bounds(
+      Tables.events(s, d), unix_micros(col("ts").cast("timestamp")))
+      .map { case (lo, hi) => (lo, hi + SessionGapMicros + 1) }
     maxConcurrencyOver(
-      sessionize(s, d).select(col("session_start"), col("session_end")))
+      sessionize(s, d).select(col("session_start"), col("session_end")),
+      evBounds)
+  }
 
   /** Core of [[maxConcurrency]] over explicit (session_start, session_end)
-    * intervals (EventWindowsSpec drives it on handcrafted geometry). */
-  private[graft] def maxConcurrencyOver(ses: DataFrame): DataFrame = {
+    * intervals (EventWindowsSpec drives it on handcrafted geometry). When
+    * `bounds` (epoch-micros lo/hi covering every endpoint) is not supplied,
+    * one bounded min/max pass over the intervals derives it. */
+  private[graft] def maxConcurrencyOver(
+      ses: DataFrame, bounds: Option[(Double, Double)] = None): DataFrame = {
+    val b = bounds.orElse(RangeBuckets.bounds(ses,
+      unix_micros(col("session_end").cast("timestamp"))))
     // both deltas explode from ONE pass over the intervals — a two-leg
-    // union would re-run the whole upstream aggregation per leg (only its
-    // exchange is reused, not the aggregate)
+    // union would re-run the whole upstream aggregation per leg
     val pts = ses.select(explode(array(
         struct(unix_micros(col("session_start").cast("timestamp")).as("t"),
           lit(1L).as("d")),
         struct(unix_micros(col("session_end").cast("timestamp")).as("t"),
           lit(-1L).as("d")))).as("p"))
       .select(col("p.t").as("t"), col("p.d").as("d"))
-    val parted = pts.repartitionByRange(32, col("t"), col("d"))
+      .withColumn("_bkt",
+        RangeBuckets.bucketOpt(col("t"), b, RangeBuckets.DefaultBuckets))
     val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col("t"), col("d"))
+      .partitionBy(col("_bkt")).orderBy(col("t"), col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_bkt"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val local = parted.withColumn("_pid", spark_partition_id().cast("long"))
-      .withColumn("_run", sum(col("d")).over(wIn))
-    val offsets = parted.groupBy(spark_partition_id().cast("long").as("_pid"))
+    val local = pts.withColumn("_run", sum(col("d")).over(wIn))
+    val offsets = pts.groupBy(col("_bkt"))
       .agg(sum(col("d")).as("_s"))
       .withColumn("_off", coalesce(sum(col("_s")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_off"))
+      .select(col("_bkt"), col("_off"))
     // count(when), not sum(when): an empty interval set must answer
     // n_sessions = 0, and sum over zero rows is NULL (EdgeCaseSpec)
-    local.join(broadcast(offsets), Seq("_pid"))
+    local.join(broadcast(offsets), Seq("_bkt"))
       .agg(count(when(col("d") === 1L, 1)).as("n_sessions"),
         max(col("_run") + col("_off")).as("max_concurrent"))
   }

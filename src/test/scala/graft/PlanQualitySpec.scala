@@ -286,29 +286,26 @@ class PlanQualitySpec extends SparkSpecBase {
       s"null-aware anti join shape not visible in plan:\n$p")
   }
 
-  test("global rank range-partitions once and reuses the exchange for counts") {
+  test("global rank: deterministic buckets, no physical-partition dependence") {
     val df = q("q_global_rank")
     // drive THIS Dataset's QueryExecution (count() would build its own
-    // plan and leave df's adaptive plan unexecuted — the skew-test trap):
-    // AQE materializes exchange reuse only at runtime
+    // plan and leave df's adaptive plan unexecuted — the skew-test trap)
     assert(df.collect().nonEmpty)
     val p = (df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.toString
       case o                        => o.toString
     })
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"global rank must range-partition the sort key:\n$p")
-    // the per-partition counts side must read the SAME materialized range
-    // shuffle, not rescan+reshuffle lineitem: exactly one range exchange
-    // materializes, the counts side consumes it as a reused stage
-    val nRange = "rangepartitioning".r.findAllIn(p.toLowerCase).length
-    assert(nRange == 1 || p.contains("ReusedExchange"),
-      s"counts side did not reuse the range exchange ($nRange range exchanges):\n$p")
-    // and no Window ever touches lineitem columns — the offsets cumsum is
-    // the only window and it runs over the partition-count-sized frame
-    val naive = "(?s)Window[^\\n]*l_shipdate".r
-    assert(naive.findFirstIn(p).isEmpty,
-      s"global rank fell back to a window over the data:\n$p")
+    // the r9 hazard class, structurally closed: correctness must not read
+    // the physical partition id (whose meaning depends on exchange reuse)
+    assert(!p.toUpperCase.contains("SPARK_PARTITION_ID"),
+      s"global rank reads the physical partition id:\n$p")
+    // the row_number window must be PARTITIONED by the bucket — an
+    // unpartitioned sort-key window prints windowspecdefinition(l_shipdate
+    // first and funnels 100 TB through one task
+    assert(!p.contains("windowspecdefinition(l_shipdate"),
+      s"global rank fell back to an unpartitioned data window:\n$p")
+    assert(p.contains("hashpartitioning(_bkt"),
+      s"bucket-partitioned window exchange missing:\n$p")
   }
 
   test("contamination broadcasts the eval side and shuffles only longs") {
@@ -333,13 +330,14 @@ class PlanQualitySpec extends SparkSpecBase {
       s"quantity rollup not partial-aggregated:\n$p")
   }
 
-  test("skyline: partitioned running max, no unpartitioned data window, no cross join") {
+  test("skyline: bucket-partitioned running max, no partition-id read, no cross join") {
     val p = plan(q("q_skyline"))
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"per-price maxima not range-partitioned:\n$p")
-    // the only windows allowed: prefix max over the partition-id frame
-    // (windowspecdefinition(_pid ASC...)) and the _pid-PARTITIONED local
-    // running max (windowspecdefinition(_pid, price ASC...)). An
+    // structural pin of the r9 hazard: no physical-partition-id dependence
+    assert(!p.toUpperCase.contains("SPARK_PARTITION_ID"),
+      s"skyline reads the physical partition id:\n$p")
+    // the only windows allowed: prefix max over the bucket-sized frame
+    // (windowspecdefinition(_bkt ASC...)) and the _bkt-PARTITIONED local
+    // running max (windowspecdefinition(_bkt, price ASC...)). An
     // unpartitioned price-ordered window over the data would print
     // windowspecdefinition(price ...) — the single-partition funnel.
     assert(!p.contains("windowspecdefinition(price"),
@@ -348,18 +346,37 @@ class PlanQualitySpec extends SparkSpecBase {
       s"skyline planned a dominance cross join:\n$p")
   }
 
-  test("max concurrency: range-partitioned sweep, no unpartitioned data window") {
+  test("max concurrency: bucket-partitioned sweep, no unpartitioned data window") {
     val p = plan(q("q_max_concurrency"))
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"sweep deltas not range-partitioned:\n$p")
-    // allowed windows: the _pid-PARTITIONED local running sum
-    // (windowspecdefinition(_pid, t ASC...)) and the partition-count-sized
-    // offset prefix (windowspecdefinition(_pid ASC...)). A global
+    // structural pin of the r9 hazard: no physical-partition-id dependence
+    assert(!p.toUpperCase.contains("SPARK_PARTITION_ID"),
+      s"sweep reads the physical partition id:\n$p")
+    // allowed windows: the _bkt-PARTITIONED local running sum
+    // (windowspecdefinition(_bkt, t ASC...)) and the bucket-count-sized
+    // offset prefix (windowspecdefinition(_bkt ASC...)). A global
     // time-ordered window over the data would print
     // windowspecdefinition(t ...) — the single-partition funnel.
     assert(!p.contains("windowspecdefinition(t#") &&
       !p.contains("windowspecdefinition(t "),
       s"sweep fell back to a global time-ordered window:\n$p")
+  }
+
+  test("split prefix-scan faces survive exchange reuse being DISABLED") {
+    // the r9 latent hazard, adversarially probed: with physical-partition-id
+    // grouping, spark.sql.exchange.reuse=false let the two consumers of one
+    // repartitionByRange sample DIFFERENT boundaries → silently wrong
+    // offsets. Deterministic value buckets must make the answers invariant.
+    val faces = Seq("q_global_rank", "q_skyline", "q_max_concurrency")
+    val base = faces.map(n => n -> q(n).collect().map(_.toString).sorted.toSeq).toMap
+    val k = "spark.sql.exchange.reuse"
+    val saved = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try {
+      faces.foreach { n =>
+        val got = q(n).collect().map(_.toString).sorted.toSeq
+        assert(got == base(n), s"$n changed when exchange reuse was disabled")
+      }
+    } finally saved.fold(spark.conf.unset(k))(spark.conf.set(k, _))
   }
 
   test("selective fact join gets a runtime bloom filter pushed into the fact side") {
