@@ -430,6 +430,8 @@ object SparkEntry {
     "q_not_exists" -> (Analytics.notExistsQuietCustomers _),
     "q_in_subquery" -> (Analytics.inSubqueryFrequentBuyers _),
     "q_not_in_null" -> (Analytics.notInNullSemantics _),
+    // q21-class: EXISTS + NOT EXISTS on the SAME fact, both decorrelated
+    "q_waiting_orders" -> (Analytics.waitingSuppliers _),
     "q_bag_set_ops" -> (Analytics.bagSetOps _),
     "q_global_rank" -> (Analytics.globalRank _),
 
@@ -2604,6 +2606,26 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    GROUP BY o_custkey HAVING count(*) >= 3)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // q21-class double correlated subquery: EXISTS + NOT EXISTS over the
+    // same fact — same text, each engine decorrelates its own way; ties in
+    // numwait are broken by the unique s_name so the LIMIT is total-ordered
+    "q_waiting_orders" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     // the NOT IN null trap: both engines must agree that one NULL in the
     // subquery collapses the nullable NOT IN count to 0 while NOT EXISTS

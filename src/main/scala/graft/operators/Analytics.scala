@@ -646,6 +646,7 @@ object Analytics {
     Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
     Tables.part(s, d).createOrReplaceTempView("g_part")
     Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
   }
 
   /** TPC-H Q4-class EXISTS semi-join, as a user would type it at the ad-hoc
@@ -717,6 +718,41 @@ object Analytics {
     * join against the grouped subquery — the HAVING aggregate runs ONCE
     * over orders, then one key shuffle; never a membership probe per row.
     */
+  /** TPC-H Q21-class DOUBLE correlated subquery — EXISTS + NOT EXISTS over
+    * the SAME fact table, the hardest standard decorrelation stressor and
+    * the last member of the subquery family (Q4/Q17/Q18/Q22 classes are
+    * [[existsReturnedOrders]] / [[correlatedAvgQuantity]] /
+    * `largeOrders` / [[notExistsQuietCustomers]]): suppliers blamed for a
+    * finished order — their line was returned, ANOTHER supplier was on the
+    * order (EXISTS), and NO other supplier's line was returned (NOT
+    * EXISTS). Catalyst's RewritePredicateSubquery must decorrelate BOTH
+    * predicates in one pass: one LEFT SEMI plus one LEFT ANTI join against
+    * the fact, each a single shuffle on l_orderkey with the `<>` residual
+    * as a join condition — never a per-row probe (PlanQualitySpec asserts
+    * the rewrite is total). The reference's TPC-H-ish lineitem carries no
+    * receiptdate/commitdate, so "late" is marked by `l_returnflag = 'R'`;
+    * the decorrelation shape is identical to the canonical Q21.
+    */
+  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM g_supplier
+        |JOIN g_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN g_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   def inSubqueryFrequentBuyers(s: SparkSession, d: String): DataFrame = {
     sqlViews(s, d)
     s.sql(

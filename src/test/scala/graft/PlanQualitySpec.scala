@@ -233,6 +233,17 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q21-class EXISTS + NOT EXISTS both decorrelate in one plan") {
+    val p = plan(q("q_waiting_orders"))
+    // the hardest standard decorrelation shape: two correlated predicates
+    // over the SAME fact must BOTH rewrite to joins — a residual subquery
+    // would execute once per outer row
+    assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not rewritten to anti join:\n$p")
+    assert(!p.toLowerCase.contains("subquery"),
+      s"residual subquery execution in q21-class plan:\n$p")
+  }
+
   test("EXISTS decorrelates to a left semi join (no per-row subquery)") {
     val p = plan(q("q_exists_orders"))
     assert(p.contains("LeftSemi"), s"EXISTS not rewritten to semi join:\n$p")
