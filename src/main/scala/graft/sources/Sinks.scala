@@ -71,6 +71,111 @@ object Sinks {
       .write.mode(SaveMode.Append).parquet(targetPath)
   }
 
+  /** [[appendInsertIgnore]] with a MAINTAINED cross-batch Bloom sketch — the
+    * cure for the one O(n²) shape in the streaming tier (SURVEY §13.12a):
+    * the plain form re-reads the target's FULL key set every micro-batch, so
+    * a long stream pays key-history × batches. Here each batch pays:
+    *
+    *  1. probe its keys against the standing sketch (an executor-side file
+    *     read, MBs — [[graft.functions.BloomFileCache]]); rows the sketch
+    *     rejects are DEFINITELY new (no false negatives) and skip the
+    *     anti-join outright;
+    *  2. only might-contain candidates trigger the exact anti-join against
+    *     target keys — and with `fpp` at 1e-5 a typical all-new batch has
+    *     ZERO candidates, so the history read is SKIPPED entirely; it runs
+    *     only on replays (where it must) and on rare false-positive hits.
+    *
+    * Correctness never rests on the sketch's quality — it rests on one
+    * INVARIANT: the sketch is at all times a SUPERSET of the target's keys.
+    * That is guaranteed by write order inside each batch: the batch's keys
+    * are merged into the sketch and atomically renamed into place BEFORE
+    * the target append. A torn batch (sketch updated, append lost, or
+    * append landed, checkpoint commit lost) therefore replays against a
+    * sketch that already knows every key the target might hold — every
+    * batch key probes might-contain and takes the exact anti-join, which
+    * resolves against the target's true state. Probing uses the PRE-merge
+    * sketch (a superset of the target before this batch, since batches are
+    * serial), so "not in old sketch ⇒ not in target" stays sound.
+    *
+    * Sketch files are versioned (`bloom-v…`), never mutated — the same
+    * immutability contract `graft_bloom_might_file`'s executor LRU cache
+    * requires; a replay rewrites its version with byte-identical content.
+    * Capacity: sized for `capacityHint` keys at `fpp`; when the inserted
+    * count outgrows it the sketch is REBUILT from the target's keys at 4×
+    * capacity (one narrow scan, amortized geometrically — the dynamic-array
+    * argument). At 100 TB the sketch path is shared storage and ~3 bytes
+    * per key at 1e-5 — 300 MB per 100M keys, the same ballpark the batch
+    * [[graft.operators.IngestTransforms.bloomInsertIgnore]] documents.
+    */
+  def appendInsertIgnoreSketched(incoming: DataFrame, targetPath: String,
+      key: String, fpp: Double = 1e-5, capacityHint: Long = 1L << 20): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = incoming.sparkSession
+    val deduped = incoming.dropDuplicates(key).persist()
+    try {
+      val nBatchKeys = deduped.count()
+      val targetExists =
+        try { spark.read.parquet(targetPath).schema; true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      val latest = BloomStore.latest(targetPath)
+
+      def batchKeyHashes = deduped.select(xxhash64(col(key)).as("h"))
+
+      (targetExists, latest) match {
+        case (false, _) =>
+          // first batch: establish the superset invariant BEFORE the first
+          // append ever lands
+          val cap = math.max(capacityHint, nBatchKeys)
+          BloomStore.writeMerged(targetPath, prior = None, batchKeyHashes,
+            cap, BloomStore.optimalBits(cap, fpp), nBatchKeys)
+          deduped.write.mode(SaveMode.Append).parquet(targetPath)
+        case (true, None) =>
+          // legacy target without a sketch: bootstrap the sketch from the
+          // target's keys ∪ the batch (one narrow scan), then exact append
+          val existing = spark.read.parquet(targetPath).select(key)
+          val cap = math.max(capacityHint, nBatchKeys + existing.count())
+          BloomStore.writeMerged(targetPath, prior = None,
+            existing.select(xxhash64(col(key)).as("h")).union(batchKeyHashes),
+            cap, BloomStore.optimalBits(cap, fpp), cap)
+          graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
+            .write.mode(SaveMode.Append).parquet(targetPath)
+        case (true, Some(cur)) if cur.nKeys + nBatchKeys > cur.capacity =>
+          // outgrown: rebuild at 4× from the target's true keys ∪ the batch
+          // (fpp would otherwise degrade silently — slower, never wrong,
+          // but the rebuild keeps the zero-candidate fast path alive)
+          val existing = spark.read.parquet(targetPath).select(key)
+          val cap = math.max(cur.capacity * 4, cur.nKeys + nBatchKeys)
+          BloomStore.writeMerged(targetPath, prior = None,
+            existing.select(xxhash64(col(key)).as("h")).union(batchKeyHashes),
+            cap, BloomStore.optimalBits(cap, fpp), cur.nKeys + nBatchKeys)
+          graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
+            .write.mode(SaveMode.Append).parquet(targetPath)
+        case (true, Some(cur)) =>
+          // steady state. (1) merge batch keys into the NEXT sketch version
+          // — invariant holds for any later crash point;
+          BloomStore.writeMerged(targetPath, prior = Some(cur), batchKeyHashes,
+            cur.capacity, cur.nBits, cur.nKeys + nBatchKeys)
+          // (2) probe the PRE-merge sketch: rejected keys are definitely
+          // absent from the target
+          val probed = deduped.withColumn("__might",
+            call_function("graft_bloom_might_file",
+              lit(cur.file.toString), xxhash64(col(key)))).persist()
+          try {
+            val novel =
+              if (probed.filter(col("__might")).isEmpty)
+                probed.drop("__might") // zero candidates: NO history read
+              else {
+                val existing = spark.read.parquet(targetPath).select(key)
+                probed.filter(!col("__might")).drop("__might").unionByName(
+                  probed.filter(col("__might")).drop("__might")
+                    .join(existing.dropDuplicates(key), Seq(key), "left_anti"))
+              }
+            novel.write.mode(SaveMode.Append).parquet(targetPath)
+          } finally probed.unpersist()
+      }
+    } finally deduped.unpersist()
+  }
+
   /** The reference's actual sink, Spark-native: Postgres row-at-a-time
     * `INSERT ... ON CONFLICT DO NOTHING` (`posts_pipeline.py:53-59`) becomes
     * dedup-within-batch + anti-join against the target table's current keys
@@ -336,8 +441,11 @@ object Sinks {
     * a null `idCol` (every record this pipeline lands serializes its id,
     * so a missing id ⇔ an unparseable line).
     *
-    * Scale shape: the split is row-local in the batch; each leg pays the
-    * key anti-join against its own store only.
+    * Scale shape: the split is row-local in the batch; each leg runs the
+    * SKETCHED insert-ignore ([[appendInsertIgnoreSketched]]), so the
+    * per-batch key read is the maintained Bloom file, not the growing
+    * store — the r9-flagged O(history × batches) anti-join is gone; the
+    * exact check runs only on replays and false-positive hits.
     */
   def streamQuarantine(lines: DataFrame, schemaDdl: String, idCol: String,
       targetPath: String, dlqPath: String, checkpointDir: String,
@@ -353,8 +461,8 @@ object Sinks {
         val good = parsed.filter(col(s"_p.$idCol").isNotNull).select(col("_p.*"))
         val bad = parsed.filter(col(s"_p.$idCol").isNull)
           .select(col("value").as("raw"), md5(col("value")).as("raw_key"))
-        appendInsertIgnore(good, targetPath, idCol)
-        appendInsertIgnore(bad, dlqPath, "raw_key")
+        appendInsertIgnoreSketched(good, targetPath, idCol)
+        appendInsertIgnoreSketched(bad, dlqPath, "raw_key")
         postAppendHook(batchId)
       }
       .trigger(trigger)

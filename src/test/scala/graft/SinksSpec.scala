@@ -96,6 +96,74 @@ class SinksSpec extends SparkSpecBase {
       == Seq(1L, 2L, 3L))
   }
 
+  test("appendInsertIgnoreSketched matches plain semantics; sketch supersets target") {
+    val dir = Files.createTempDirectory("graft_sk_append").toString + "/t"
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("id", "v")
+    Sinks.appendInsertIgnoreSketched(batch, dir, "id")
+    assert(spark.read.parquet(dir).count() == 2) // within-batch dedup
+    Sinks.appendInsertIgnoreSketched(batch, dir, "id") // re-run: no-op
+    assert(spark.read.parquet(dir).count() == 2)
+    val next = Seq((2L, "dup"), (3L, "c")).toDF("id", "v")
+    Sinks.appendInsertIgnoreSketched(next, dir, "id") // only the new key lands
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // versioned sketches published; the latest knows every target key
+    val ref = graft.sources.BloomStore.latest(dir).get
+    assert(ref.version >= 2, "each batch must publish a new sketch version")
+    val in = Files.newInputStream(ref.file)
+    val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    val hashes = spark.read.parquet(dir).select(xxhash64(col("id"))).as[Long].collect()
+    assert(hashes.forall(bf.mightContainLong), "sketch must be a superset of target keys")
+  }
+
+  test("appendInsertIgnoreSketched: both torn-window crash points stay exact") {
+    import graft.sources.BloomStore
+    // window A — sketch published, append LOST: the replayed batch probes a
+    // sketch that already knows its keys, so every row is a candidate and
+    // the exact anti-join must re-admit them (rows must not be lost)
+    val dirA = Files.createTempDirectory("graft_sk_tornA").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.appendInsertIgnoreSketched(b0, dirA, "id")
+    val b1 = Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+    // simulate the torn run: sketch merged and renamed, crash before append
+    val cur = BloomStore.latest(dirA).get
+    BloomStore.writeMerged(dirA, Some(cur),
+      b1.select(xxhash64(col("id")).as("h")), cur.capacity, cur.nBits,
+      cur.nKeys + 2)
+    Sinks.appendInsertIgnoreSketched(b1, dirA, "id") // replay
+    assert(spark.read.parquet(dirA).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L), "replay after sketch-only torn batch must land the rows")
+    // window B — append landed, commit lost (checkpoint never advanced):
+    // plain re-run of the same batch must append nothing
+    Sinks.appendInsertIgnoreSketched(b1, dirA, "id")
+    assert(spark.read.parquet(dirA).count() == 4,
+      "replay after full torn batch must append nothing")
+  }
+
+  test("appendInsertIgnoreSketched: legacy bootstrap and capacity rebuild stay exact") {
+    // target created by the PLAIN append (no sketch) — first sketched batch
+    // must bootstrap from the target's true keys
+    val dir = Files.createTempDirectory("graft_sk_legacy").toString + "/t"
+    Sinks.appendInsertIgnore(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "id")
+    Sinks.appendInsertIgnoreSketched(
+      Seq((2L, "dup"), (3L, "c")).toDF("id", "v"), dir, "id")
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // tiny capacityHint forces the outgrown-rebuild branch on batch 2; the
+    // rebuilt sketch carries 4x capacity and results stay exact
+    val dir2 = Files.createTempDirectory("graft_sk_grow").toString + "/t"
+    Sinks.appendInsertIgnoreSketched(
+      spark.range(3).select(col("id"), lit("x").as("v")), dir2, "id",
+      capacityHint = 4)
+    Sinks.appendInsertIgnoreSketched(
+      spark.range(2, 8).select(col("id"), lit("y").as("v")), dir2, "id",
+      capacityHint = 4)
+    assert(spark.read.parquet(dir2).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 8L), "rebuild branch must keep insert-ignore exact")
+    assert(graft.sources.BloomStore.latest(dir2).get.capacity >= 9,
+      "outgrown sketch must be rebuilt with enlarged capacity")
+  }
+
   test("streamInsertIgnore: replayed stream appends nothing (exactly-once)") {
     // landing dir with duplicate keys in the arriving data — the
     // at-least-once shape (part files sit directly in the dir: the file
