@@ -190,7 +190,8 @@ object BloomFileCache {
     val hit = cache.get(path)
     if (hit != null) hit
     else {
-      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)), 1 << 20)
       val bf = try BloomFilter.readFrom(in) finally in.close()
       cache.put(path, bf)
       bf

@@ -59,22 +59,26 @@ private[graft] object BloomStore {
       .toSeq.sortBy(_.version).lastOption
   }
 
-  /** Publish the next sketch version = `prior` (or empty) ∪ `keyHashes`
-    * (a single-column `h: BIGINT` frame of xxhash64 key hashes — hashed
-    * exactly as `graft_bloom_might_file` probes will hash). The distributed
-    * aggregate builds the batch-side sketch with the SAME (capacity, bits)
-    * as `prior`, so the driver-side `mergeInPlace` (register-wise OR) is
-    * always compatible; the result lands via temp-file + atomic rename.
+  /** Distributed sketch build over a single-column `h: BIGINT` frame of
+    * xxhash64 key hashes (hashed exactly as `graft_bloom_might_file` probes
+    * will hash). Returns the serialized filter, or null on empty input.
     */
-  def writeMerged(targetPath: String, prior: Option[SketchRef],
-      keyHashes: DataFrame, capacity: Long, nBits: Long, nKeys: Long): Unit = {
-    val batchBytes = keyHashes
+  def aggSketch(keyHashes: DataFrame, capacity: Long, nBits: Long): Array[Byte] =
+    keyHashes
       .agg(call_function("graft_bloom_agg", col("h"), lit(capacity), lit(nBits)))
-      .head().getAs[Array[Byte]](0) // null when keyHashes is empty
+      .head().getAs[Array[Byte]](0)
+
+  /** Publish the next sketch version = `prior` (or empty) ∪ `batchBytes`
+    * (a serialized filter built with the SAME (capacity, bits) as `prior`,
+    * so the driver-side `mergeInPlace` — register-wise OR — is always
+    * compatible; null means an empty batch). The result lands via
+    * temp-file + atomic rename.
+    */
+  def publishMerged(targetPath: String, prior: Option[SketchRef],
+      batchBytes: Array[Byte], capacity: Long, nBits: Long, nKeys: Long): Unit = {
     val merged = prior match {
       case Some(ref) =>
-        val in = Files.newInputStream(ref.file)
-        val cur = try BloomFilter.readFrom(in) finally in.close()
+        val cur = load(ref)
         if (batchBytes != null) cur.mergeInPlace(BloomFilter.readFrom(batchBytes))
         cur
       case None =>
@@ -86,8 +90,66 @@ private[graft] object BloomStore {
     val version = latest(targetPath).map(_.version + 1).getOrElse(0L)
     val name = s"bloom-v$version-c$capacity-b$nBits-n$nKeys.bf"
     val tmp = Files.createTempFile(d, s".tmp-$name", "")
-    val out = Files.newOutputStream(tmp)
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
     try merged.writeTo(out) finally out.close()
     Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    resident.synchronized { resident.put(d.resolve(name).toString, merged); () }
+  }
+
+  /** [[aggSketch]] + [[publishMerged]] in one call (bootstrap/rebuild
+    * paths, where the key frame can be history-sized — the distributed
+    * aggregate is the right tool there and the cost is one-time). */
+  def writeMerged(targetPath: String, prior: Option[SketchRef],
+      keyHashes: DataFrame, capacity: Long, nBits: Long, nKeys: Long): Unit =
+    publishMerged(targetPath, prior, aggSketch(keyHashes, capacity, nBits),
+      capacity, nBits, nKeys)
+
+  /** Driver-resident filters keyed by published file path, so the
+    * steady-state loop (load vN → insert batch → publish vN+1) mutates ONE
+    * resident object instead of re-reading and re-allocating a
+    * capacity-sized filter every micro-batch. Safety: an entry can only
+    * ever be a SUPERSET of its file (a caller that mutated but failed
+    * before publishing leaves extra keys — which only widen might-contain,
+    * never shrink it), so serving it preserves the no-false-negative
+    * contract; on restart the cache is empty and the file is truth.
+    */
+  private val resident = new java.util.LinkedHashMap[String, BloomFilter](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, BloomFilter]): Boolean =
+      size() > 4
+  }
+
+  /** Driver-side load of a published sketch (MBs — the same bytes the
+    * executor-side `graft_bloom_might_file` cache reads); buffered, and
+    * served from [[resident]] when this JVM published it. */
+  def load(ref: SketchRef): BloomFilter = resident.synchronized {
+    val hit = resident.get(ref.file.toString)
+    if (hit != null) hit
+    else {
+      val in = new java.io.BufferedInputStream(Files.newInputStream(ref.file), 1 << 20)
+      val bf = try BloomFilter.readFrom(in) finally in.close()
+      resident.put(ref.file.toString, bf)
+      bf
+    }
+  }
+
+  /** Publish an already-updated (driver-side) filter as the next version
+    * carrying `prior`'s sizing — the steady-state fast path: the caller
+    * loads via [[load]], probes/inserts the batch's xxhash64 longs with
+    * `mightContainLong`/`putLong` (one hash scheme, so driver inserts and
+    * any executor probe agree bit-for-bit), then publishes here. Versioned
+    * temp-file + atomic rename, as everywhere; the write is buffered
+    * (`writeTo` emits word-at-a-time — unbuffered, that is a syscall per
+    * 8 bytes).
+    */
+  def publish(targetPath: String, prior: SketchRef, bf: BloomFilter,
+      nKeys: Long): Unit = {
+    val d = dir(targetPath)
+    val version = latest(targetPath).map(_.version + 1).getOrElse(0L)
+    val name = s"bloom-v$version-c${prior.capacity}-b${prior.nBits}-n$nKeys.bf"
+    val tmp = Files.createTempFile(d, s".tmp-$name", "")
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
+    try bf.writeTo(out) finally out.close()
+    Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    resident.synchronized { resident.put(d.resolve(name).toString, bf); () }
   }
 }

@@ -76,10 +76,11 @@ object Sinks {
     * the plain form re-reads the target's FULL key set every micro-batch, so
     * a long stream pays key-history × batches. Here each batch pays:
     *
-    *  1. probe its keys against the standing sketch (an executor-side file
-    *     read, MBs — [[graft.functions.BloomFileCache]]); rows the sketch
-    *     rejects are DEFINITELY new (no false negatives) and skip the
-    *     anti-join outright;
+    *  1. ONE map-only collect of its xxhash64 key longs (KBs — a
+    *     micro-batch is bounded by admission control) probed driver-side
+    *     against the standing sketch (MBs, loaded once per batch); keys
+    *     the sketch rejects are DEFINITELY new (no false negatives) and
+    *     skip the anti-join outright;
     *  2. only might-contain candidates trigger the exact anti-join against
     *     target keys — and with `fpp` at 1e-5 a typical all-new batch has
     *     ZERO candidates, so the history read is SKIPPED entirely; it runs
@@ -107,73 +108,125 @@ object Sinks {
     * per key at 1e-5 — 300 MB per 100M keys, the same ballpark the batch
     * [[graft.operators.IngestTransforms.bloomInsertIgnore]] documents.
     */
+  /** Candidate-count ceiling for resolving sketch hits as pushed-down point
+    * lookups; above it (a replay re-offering a whole batch) the full exact
+    * anti-join is the correct resolution. */
+  private val PointLookupMax = 128
+
   def appendInsertIgnoreSketched(incoming: DataFrame, targetPath: String,
       key: String, fpp: Double = 1e-5, capacityHint: Long = 1L << 20): Unit = {
     import org.apache.spark.sql.functions._
     val spark = incoming.sparkSession
-    val deduped = incoming.dropDuplicates(key).persist()
-    try {
-      val nBatchKeys = deduped.count()
-      val targetExists =
-        try { spark.read.parquet(targetPath).schema; true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      val latest = BloomStore.latest(targetPath)
+    val targetExists =
+      try { spark.read.parquet(targetPath).schema; true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    val latest = if (targetExists) BloomStore.latest(targetPath) else None
 
-      def batchKeyHashes = deduped.select(xxhash64(col(key)).as("h"))
+    // exact fallback for the rare non-steady shapes (bootstrap of a legacy
+    // sketchless target; sketch outgrown): one narrow target-key scan, then
+    // (re)build the sketch from the target's TRUE keys ∪ the batch
+    def exactAndRebuild(deduped: DataFrame, recordKeys: Long,
+        minCapacity: Long): Unit = {
+      val existing = spark.read.parquet(targetPath).select(key)
+      val cap = math.max(math.max(capacityHint, minCapacity), recordKeys)
+      BloomStore.writeMerged(targetPath, prior = None,
+        existing.select(xxhash64(col(key)).as("h"))
+          .union(deduped.select(xxhash64(col(key)).as("h"))),
+        cap, BloomStore.optimalBits(cap, fpp), recordKeys)
+      graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
+        .write.mode(SaveMode.Append).parquet(targetPath)
+    }
 
-      (targetExists, latest) match {
-        case (false, _) =>
-          // first batch: establish the superset invariant BEFORE the first
-          // append ever lands
-          val cap = math.max(capacityHint, nBatchKeys)
-          BloomStore.writeMerged(targetPath, prior = None, batchKeyHashes,
-            cap, BloomStore.optimalBits(cap, fpp), nBatchKeys)
+    (targetExists, latest) match {
+      case (false, _) =>
+        // first batch: establish the superset invariant BEFORE the first
+        // append ever lands
+        val deduped = incoming.dropDuplicates(key).persist()
+        try {
+          val n = deduped.count()
+          val cap = math.max(capacityHint, n)
+          BloomStore.writeMerged(targetPath, prior = None,
+            deduped.select(xxhash64(col(key)).as("h")),
+            cap, BloomStore.optimalBits(cap, fpp), n)
           deduped.write.mode(SaveMode.Append).parquet(targetPath)
-        case (true, None) =>
-          // legacy target without a sketch: bootstrap the sketch from the
-          // target's keys ∪ the batch (one narrow scan), then exact append
-          val existing = spark.read.parquet(targetPath).select(key)
-          val cap = math.max(capacityHint, nBatchKeys + existing.count())
-          BloomStore.writeMerged(targetPath, prior = None,
-            existing.select(xxhash64(col(key)).as("h")).union(batchKeyHashes),
-            cap, BloomStore.optimalBits(cap, fpp), cap)
-          graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
-            .write.mode(SaveMode.Append).parquet(targetPath)
-        case (true, Some(cur)) if cur.nKeys + nBatchKeys > cur.capacity =>
-          // outgrown: rebuild at 4× from the target's true keys ∪ the batch
-          // (fpp would otherwise degrade silently — slower, never wrong,
-          // but the rebuild keeps the zero-candidate fast path alive)
-          val existing = spark.read.parquet(targetPath).select(key)
-          val cap = math.max(cur.capacity * 4, cur.nKeys + nBatchKeys)
-          BloomStore.writeMerged(targetPath, prior = None,
-            existing.select(xxhash64(col(key)).as("h")).union(batchKeyHashes),
-            cap, BloomStore.optimalBits(cap, fpp), cur.nKeys + nBatchKeys)
-          graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
-            .write.mode(SaveMode.Append).parquet(targetPath)
-        case (true, Some(cur)) =>
-          // steady state. (1) merge batch keys into the NEXT sketch version
-          // — invariant holds for any later crash point;
-          BloomStore.writeMerged(targetPath, prior = Some(cur), batchKeyHashes,
-            cur.capacity, cur.nBits, cur.nKeys + nBatchKeys)
-          // (2) probe the PRE-merge sketch: rejected keys are definitely
-          // absent from the target
-          val probed = deduped.withColumn("__might",
-            call_function("graft_bloom_might_file",
-              lit(cur.file.toString), xxhash64(col(key)))).persist()
-          try {
-            val novel =
-              if (probed.filter(col("__might")).isEmpty)
-                probed.drop("__might") // zero candidates: NO history read
-              else {
-                val existing = spark.read.parquet(targetPath).select(key)
-                probed.filter(!col("__might")).drop("__might").unionByName(
-                  probed.filter(col("__might")).drop("__might")
-                    .join(existing.dropDuplicates(key), Seq(key), "left_anti"))
-              }
-            novel.write.mode(SaveMode.Append).parquet(targetPath)
-          } finally probed.unpersist()
-      }
-    } finally deduped.unpersist()
+        } finally deduped.unpersist()
+      case (true, None) =>
+        // legacy target without a sketch: bootstrap from its true keys
+        val deduped = incoming.dropDuplicates(key).persist()
+        try {
+          val n = deduped.count()
+          val nTarget = spark.read.parquet(targetPath).count()
+          exactAndRebuild(deduped, recordKeys = nTarget + n,
+            minCapacity = nTarget + n)
+        } finally deduped.unpersist()
+      case (true, Some(cur)) =>
+        // steady state — the hot path: (1) ONE map-only collect of the
+        // batch's xxhash64 key longs (KBs — a micro-batch is bounded by
+        // admission control: maxFilesPerTrigger/maxOffsetsPerTrigger);
+        // dedup, the probe, and the sketch update all run on the driver
+        // against the loaded sketch — no per-batch target scan, no cache,
+        // no capacity-sized aggregation buffers shipping from every task;
+        // (2) ONE write job for the novel rows.
+        def tNow = System.nanoTime()
+        val dbg = sys.env.contains("SPARK_GRAFT_SKETCH_DEBUG")
+        val t0 = tNow
+        val hashArr = incoming.select(xxhash64(col(key)).as("h"))
+          .collect().map(_.getLong(0))
+        val t1 = tNow
+        val distinct = hashArr.toSet
+        val nBatchKeys = distinct.size.toLong
+        // equal counts ⇒ no duplicate hashes ⇒ no duplicate keys: the write
+        // can skip the dedup shuffle entirely (a true dup always collides;
+        // a cross-key hash collision only costs the harmless fallback)
+        val noInBatchDups = distinct.size == hashArr.length
+        if (cur.nKeys + nBatchKeys > cur.capacity)
+          // outgrown: rebuild at 4× (fpp would otherwise degrade silently
+          // — slower, never wrong; the rebuild keeps the zero-candidate
+          // fast path alive). Amortized geometric, like a dynamic array.
+          exactAndRebuild(incoming.dropDuplicates(key),
+            recordKeys = cur.nKeys + nBatchKeys, minCapacity = cur.capacity * 4)
+        else {
+          val bf = BloomStore.load(cur)
+          val t2 = tNow
+          // probe the PRE-merge sketch: rejected keys are definitely
+          // absent from the target (superset invariant)
+          val candHashes = distinct.filter(bf.mightContainLong)
+          // then merge batch keys into the NEXT sketch version BEFORE the
+          // append — the invariant holds at every crash point
+          distinct.foreach(bf.putLong)
+          val t3 = tNow
+          BloomStore.publish(targetPath, cur, bf, cur.nKeys + nBatchKeys)
+          val t4 = tNow
+          val deduped =
+            if (noInBatchDups) incoming else incoming.dropDuplicates(key)
+          val novel =
+            if (candHashes.isEmpty) deduped // zero candidates: NO history read
+            else if (candHashes.size <= PointLookupMax) {
+              // a handful of false-positive hits: resolve them as pushed-
+              // down point lookups on the key column (parquet footer
+              // min/max skips non-matching row groups) instead of a full
+              // key-history anti-join
+              val candKeys = incoming
+                .filter(xxhash64(col(key)).isInCollection(candHashes.toSeq))
+                .select(col(key)).distinct().collect().map(_.get(0)).toSeq
+              val found = spark.read.parquet(targetPath).select(key)
+                .filter(col(key).isInCollection(candKeys))
+                .distinct().collect().map(_.get(0)).toSet
+              if (found.isEmpty) deduped
+              else deduped.filter(!col(key).isInCollection(found.toSeq))
+            } else {
+              // candidate set is batch-scale — a replay: the full exact
+              // anti-join is the correct (and unavoidable) resolution
+              val existing = spark.read.parquet(targetPath).select(key)
+              graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
+            }
+          novel.write.mode(SaveMode.Append).parquet(targetPath)
+          if (dbg) System.err.println(f"[sketch] collect=${(t1 - t0) / 1e9}%.2f " +
+            f"load=${(t2 - t1) / 1e9}%.2f probe+put=${(t3 - t2) / 1e9}%.2f " +
+            f"publish=${(t4 - t3) / 1e9}%.2f write=${(tNow - t4) / 1e9}%.2f " +
+            f"cand=${candHashes.size}")
+        }
+    }
   }
 
   /** The reference's actual sink, Spark-native: Postgres row-at-a-time
