@@ -142,10 +142,17 @@ private[graft] object BloomStore {
     * 8 bytes).
     */
   def publish(targetPath: String, prior: SketchRef, bf: BloomFilter,
-      nKeys: Long): Unit = {
+      nKeys: Long): Unit =
+    publishNew(targetPath, prior.capacity, prior.nBits, bf, nKeys)
+
+  /** [[publish]] without a prior ref — first version, or a re-sized
+    * rebuild; the caller supplies the sizing the filter was created with. */
+  def publishNew(targetPath: String, capacity: Long, nBits: Long,
+      bf: BloomFilter, nKeys: Long): Unit = {
     val d = dir(targetPath)
+    Files.createDirectories(d)
     val version = latest(targetPath).map(_.version + 1).getOrElse(0L)
-    val name = s"bloom-v$version-c${prior.capacity}-b${prior.nBits}-n$nKeys.bf"
+    val name = s"bloom-v$version-c$capacity-b$nBits-n$nKeys.bf"
     val tmp = Files.createTempFile(d, s".tmp-$name", "")
     val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp), 1 << 20)
     try bf.writeTo(out) finally out.close()

@@ -114,7 +114,34 @@ object Sinks {
   private val PointLookupMax = 128
 
   def appendInsertIgnoreSketched(incoming: DataFrame, targetPath: String,
-      key: String, fpp: Double = 1e-5, capacityHint: Long = 1L << 20): Unit = {
+      key: String, fpp: Double = 1e-5, capacityHint: Long = 1L << 20,
+      expand: DataFrame => DataFrame = identity): Unit =
+    sketchedCore(incoming, targetPath, key, fpp, capacityHint,
+      dedupBatch = true, expand)
+
+  /** [[appendInsertIgnoreSketched]] for MULTI-ROW-PER-KEY stores (the band
+    * index lands 8 rows per doc): novel KEYS keep ALL their rows; nothing
+    * dedups within the batch — the caller owns per-key row-group shape
+    * (usually via `expand`).
+    */
+  def appendInsertIgnoreSketchedRows(incoming: DataFrame, targetPath: String,
+      key: String, fpp: Double = 1e-5, capacityHint: Long = 1L << 20,
+      expand: DataFrame => DataFrame = identity): Unit =
+    sketchedCore(incoming, targetPath, key, fpp, capacityHint,
+      dedupBatch = false, expand)
+
+  /** `expand` contract: the hash collect reads `incoming` RAW (so keep
+    * `incoming` a cheap scan — the key column must exist on it), and any
+    * expensive per-row derivation (minhash banding, centroid assignment)
+    * goes in `expand`, which runs exactly once, inside the single write
+    * action, over only the NOVEL rows. `expand` must preserve `key` and
+    * must be row-local per key (every output row of a key derives from
+    * that key's input rows), so filtering before expanding ≡ expanding
+    * before filtering.
+    */
+  private def sketchedCore(incoming: DataFrame, targetPath: String,
+      key: String, fpp: Double, capacityHint: Long, dedupBatch: Boolean,
+      expand: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val spark = incoming.sparkSession
     val targetExists =
@@ -122,43 +149,52 @@ object Sinks {
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     val latest = if (targetExists) BloomStore.latest(targetPath) else None
 
+    // key-exact anti-join honoring the row-shape contract: dedup-within-
+    // batch for the 1-row-per-key face, keep-all-rows for the multi-row one
+    def novelAgainst(batch: DataFrame, existing: DataFrame): DataFrame =
+      if (dedupBatch)
+        graft.operators.IngestTransforms.insertIgnore(batch, existing, key)
+      else
+        batch.join(existing.select(key).dropDuplicates(key), Seq(key), "left_anti")
+
     // exact fallback for the rare non-steady shapes (bootstrap of a legacy
     // sketchless target; sketch outgrown): one narrow target-key scan, then
     // (re)build the sketch from the target's TRUE keys ∪ the batch
-    def exactAndRebuild(deduped: DataFrame, recordKeys: Long,
+    def exactAndRebuild(batch: DataFrame, recordKeys: Long,
         minCapacity: Long): Unit = {
       val existing = spark.read.parquet(targetPath).select(key)
       val cap = math.max(math.max(capacityHint, minCapacity), recordKeys)
       BloomStore.writeMerged(targetPath, prior = None,
         existing.select(xxhash64(col(key)).as("h"))
-          .union(deduped.select(xxhash64(col(key)).as("h"))),
+          .union(batch.select(xxhash64(col(key)).as("h"))),
         cap, BloomStore.optimalBits(cap, fpp), recordKeys)
-      graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
+      expand(novelAgainst(batch, existing))
         .write.mode(SaveMode.Append).parquet(targetPath)
     }
 
     (targetExists, latest) match {
       case (false, _) =>
         // first batch: establish the superset invariant BEFORE the first
-        // append ever lands
-        val deduped = incoming.dropDuplicates(key).persist()
-        try {
-          val n = deduped.count()
-          val cap = math.max(capacityHint, n)
-          BloomStore.writeMerged(targetPath, prior = None,
-            deduped.select(xxhash64(col(key)).as("h")),
-            cap, BloomStore.optimalBits(cap, fpp), n)
-          deduped.write.mode(SaveMode.Append).parquet(targetPath)
-        } finally deduped.unpersist()
+        // append ever lands (sketch built driver-side from the collected
+        // hashes — same bounded-batch contract as the steady state)
+        val hs = incoming.select(xxhash64(col(key)).as("h"))
+          .collect().map(_.getLong(0))
+        val distinct = hs.toSet
+        val cap = math.max(capacityHint, distinct.size.toLong)
+        val bits = BloomStore.optimalBits(cap, fpp)
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(cap, bits)
+        distinct.foreach(bf.putLong)
+        BloomStore.publishNew(targetPath, cap, bits, bf, distinct.size.toLong)
+        val first =
+          if (!dedupBatch || distinct.size == hs.length) incoming
+          else incoming.dropDuplicates(key)
+        expand(first).write.mode(SaveMode.Append).parquet(targetPath)
       case (true, None) =>
         // legacy target without a sketch: bootstrap from its true keys
-        val deduped = incoming.dropDuplicates(key).persist()
-        try {
-          val n = deduped.count()
-          val nTarget = spark.read.parquet(targetPath).count()
-          exactAndRebuild(deduped, recordKeys = nTarget + n,
-            minCapacity = nTarget + n)
-        } finally deduped.unpersist()
+        val n = incoming.select(col(key)).distinct().count()
+        val nTarget = spark.read.parquet(targetPath).count()
+        exactAndRebuild(incoming, recordKeys = nTarget + n,
+          minCapacity = nTarget + n)
       case (true, Some(cur)) =>
         // steady state — the hot path: (1) ONE map-only collect of the
         // batch's xxhash64 key longs (KBs — a micro-batch is bounded by
@@ -183,7 +219,7 @@ object Sinks {
           // outgrown: rebuild at 4× (fpp would otherwise degrade silently
           // — slower, never wrong; the rebuild keeps the zero-candidate
           // fast path alive). Amortized geometric, like a dynamic array.
-          exactAndRebuild(incoming.dropDuplicates(key),
+          exactAndRebuild(incoming,
             recordKeys = cur.nKeys + nBatchKeys, minCapacity = cur.capacity * 4)
         else {
           val bf = BloomStore.load(cur)
@@ -197,10 +233,11 @@ object Sinks {
           val t3 = tNow
           BloomStore.publish(targetPath, cur, bf, cur.nKeys + nBatchKeys)
           val t4 = tNow
-          val deduped =
-            if (noInBatchDups) incoming else incoming.dropDuplicates(key)
+          val base =
+            if (!dedupBatch || noInBatchDups) incoming
+            else incoming.dropDuplicates(key)
           val novel =
-            if (candHashes.isEmpty) deduped // zero candidates: NO history read
+            if (candHashes.isEmpty) base // zero candidates: NO history read
             else if (candHashes.size <= PointLookupMax) {
               // a handful of false-positive hits: resolve them as pushed-
               // down point lookups on the key column (parquet footer
@@ -212,15 +249,14 @@ object Sinks {
               val found = spark.read.parquet(targetPath).select(key)
                 .filter(col(key).isInCollection(candKeys))
                 .distinct().collect().map(_.get(0)).toSet
-              if (found.isEmpty) deduped
-              else deduped.filter(!col(key).isInCollection(found.toSeq))
+              if (found.isEmpty) base
+              else base.filter(!col(key).isInCollection(found.toSeq))
             } else {
               // candidate set is batch-scale — a replay: the full exact
               // anti-join is the correct (and unavoidable) resolution
-              val existing = spark.read.parquet(targetPath).select(key)
-              graft.operators.IngestTransforms.insertIgnore(deduped, existing, key)
+              novelAgainst(base, spark.read.parquet(targetPath).select(key))
             }
-          novel.write.mode(SaveMode.Append).parquet(targetPath)
+          expand(novel).write.mode(SaveMode.Append).parquet(targetPath)
           if (dbg) System.err.println(f"[sketch] collect=${(t1 - t0) / 1e9}%.2f " +
             f"load=${(t2 - t1) / 1e9}%.2f probe+put=${(t3 - t2) / 1e9}%.2f " +
             f"publish=${(t4 - t3) / 1e9}%.2f write=${(tNow - t4) / 1e9}%.2f " +
@@ -529,7 +565,9 @@ object Sinks {
     * fitted model) and lands append-only as (vec_id, centroid_id).
     * Assignment is a pure function of the vector value and the frozen
     * model, so batches index independently; replay safety is the
-    * [[streamInsertIgnore]] anti-join keyed on vec_id. Model refresh
+    * SKETCHED insert-ignore keyed on vec_id
+    * ([[appendInsertIgnoreSketched]]), so the per-batch key read is the
+    * maintained Bloom file, never the growing index. Model refresh
     * (retraining centroids as the corpus drifts) is a rebuild, not an
     * append — exactly as in a production IVF index.
     */
@@ -541,9 +579,10 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendInsertIgnore(
-          graft.operators.Similarity.assignCells(batch, centroids),
-          storePath, "vec_id")
+        // the batch itself carries vec_id, so novelty probes the raw scan;
+        // the centroid-assignment argmax runs once, over novel rows only
+        appendInsertIgnoreSketched(batch, storePath, "vec_id",
+          expand = b => graft.operators.Similarity.assignCells(b, centroids))
         postAppendHook(batchId)
       }
       .trigger(trigger)
@@ -557,11 +596,14 @@ object Sinks {
     * a doc's own content (md5-derived), so batches index independently —
     * no cross-batch state beyond the store itself.
     *
-    * Replay safety is the [[streamInsertIgnore]] anti-join shape keyed on
-    * doc_id: a doc's 8 band rows land atomically in its batch's append, so
-    * key-level presence ⇒ the full row group is present, and a torn batch
-    * (append landed, checkpoint commit lost) replays to nothing
-    * (SinksSpec).
+    * Replay safety is the SKETCHED insert-ignore keyed on doc_id
+    * ([[appendInsertIgnoreSketchedRows]] — the multi-row face: a novel doc
+    * keeps ALL 8 band rows, nothing dedups within the batch), so the
+    * per-batch key read is the maintained Bloom file, never a distinct
+    * scan of the growing 8-rows-per-doc store. A doc's band rows land
+    * atomically in its batch's append, so key-level presence ⇒ the full
+    * row group is present, and a torn batch (append landed, checkpoint
+    * commit lost) replays to nothing (SinksSpec).
     */
   def streamBandIndex(stream: DataFrame, storePath: String,
       checkpointDir: String,
@@ -571,16 +613,11 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val bands = graft.operators.Dedup.docBands(
-          graft.operators.Dedup.keyedShingles(batch))
-        val fresh =
-          try {
-            val existing = spark.read.parquet(storePath)
-              .select("doc_id").distinct()
-            bands.join(existing, Seq("doc_id"), "left_anti")
-          } catch { case _: org.apache.spark.sql.AnalysisException => bands }
-        fresh.write.mode(SaveMode.Append).parquet(storePath)
+        // novelty probes the raw doc batch; shingling + minhash banding run
+        // once, over novel docs only, inside the single write action
+        appendInsertIgnoreSketchedRows(batch, storePath, "doc_id",
+          expand = b => graft.operators.Dedup.docBands(
+            graft.operators.Dedup.keyedShingles(b)))
         postAppendHook(batchId)
       }
       .trigger(trigger)
