@@ -432,6 +432,8 @@ object SparkEntry {
     "q_not_in_null" -> (Analytics.notInNullSemantics _),
     // q21-class: EXISTS + NOT EXISTS on the SAME fact, both decorrelated
     "q_waiting_orders" -> (Analytics.waitingSuppliers _),
+    // q2-class: correlated scalar MIN per part + achiever tie-break
+    "q_min_cost_supplier" -> (Analytics.minCostSupplier _),
     "q_bag_set_ops" -> (Analytics.bagSetOps _),
     "q_global_rank" -> (Analytics.globalRank _),
 
@@ -564,6 +566,9 @@ object SparkEntry {
     // split-leakage audit: val/test docs whose near-dup cluster contains
     // train members — the contamination mode the n-gram screen misses
     "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(s, d)),
+    // per-source mixture weights: uniqueness x length-quality, exact-int +
+    // one floor'd double division (ppm) so both engines agree bit-for-bit
+    "q_domain_mix" -> ((s, d) => TrainingData.domainMixWeights(s, d)),
     "q_temperature_sample" -> ((s, d) => TrainingData.temperatureSample(s, d)),
     // Efraimidis-Spirakis weighted sample w/o replacement: top-k of
     // u^(1/n_chars) per lang — size-biased, md5-deterministic
@@ -2282,6 +2287,21 @@ object SparkEntry {
          |FROM j JOIN tr ON j.cluster_id = tr.cluster_id
          |WHERE j.split <> 'train'""".stripMargin,
 
+    // mixture weights: exact ints + one floor'd double division per row —
+    // floor (not CAST) because DuckDB's double->BIGINT cast rounds while
+    // Spark's truncates
+    "q_domain_mix" ->
+      """WITH m AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT md5(text)) AS n_uniq_texts,
+        |    count(CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 1 END)
+        |      AS n_good_len
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_uniq_texts, n_good_len,
+        |  CAST(floor(1000000.0 * n_uniq_texts * n_good_len /
+        |    (n_docs * n_docs)) AS BIGINT) AS weight_ppm
+        |FROM m""".stripMargin,
+
     "q_contamination" -> {
       val t = sqlTokens("text")
       val gram5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
@@ -2606,6 +2626,26 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    GROUP BY o_custkey HAVING count(*) >= 3)
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // q2-class correlated scalar MIN + achiever tie-break — same text both
+    // engines; unit is one decimal->double division (IEEE-identical), min
+    // over doubles order-free, achiever resolved by min(l_suppkey)
+    "q_min_cost_supplier" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / l_quantity AS DOUBLE)
+        |      AS unit
+        |  FROM lineitem)
+        |SELECT p_partkey, p_brand,
+        |  min(unit) AS min_unit,
+        |  CAST(min(CASE WHEN unit = m THEN l_suppkey END) AS BIGINT)
+        |    AS best_suppkey
+        |FROM (
+        |  SELECT p.p_partkey, p.p_brand, li.l_suppkey, li.unit,
+        |    (SELECT min(unit) FROM li l2 WHERE l2.l_partkey = p.p_partkey) AS m
+        |  FROM part p JOIN li ON li.l_partkey = p.p_partkey
+        |  WHERE p.p_partkey % 13 = 0)
+        |GROUP BY p_partkey, p_brand""".stripMargin,
 
     // q21-class double correlated subquery: EXISTS + NOT EXISTS over the
     // same fact — same text, each engine decorrelates its own way; ties in

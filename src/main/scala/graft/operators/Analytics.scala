@@ -718,6 +718,37 @@ object Analytics {
     * join against the grouped subquery — the HAVING aggregate runs ONCE
     * over orders, then one key shuffle; never a membership probe per row.
     */
+  /** TPC-H Q2-class correlated MIN lookup: for each (filtered) part, its
+    * minimum unit price over all line items and the lowest supplier key
+    * achieving that minimum — the "cheapest supplier per part" shape Q2
+    * asks of partsupp, phrased over lineitem since the driver's schema has
+    * no partsupp table. Catalyst's RewriteCorrelatedScalarSubquery pulls
+    * the per-part `min(unit)` into ONE grouped aggregate joined back on
+    * the correlation key — O(parts) aggregate + a key join, never a probe
+    * per row. Determinism: `unit` is one decimal→double division per row
+    * (IEEE-identical in both engines), the min over doubles is order-free,
+    * and the achiever tie-break is `min(l_suppkey)` — total.
+    */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    sqlViews(s, d)
+    s.sql(
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / l_quantity AS DOUBLE)
+        |      AS unit
+        |  FROM g_lineitem)
+        |SELECT p_partkey, p_brand,
+        |  min(unit) AS min_unit,
+        |  CAST(min(CASE WHEN unit = m THEN l_suppkey END) AS BIGINT)
+        |    AS best_suppkey
+        |FROM (
+        |  SELECT p.p_partkey, p.p_brand, li.l_suppkey, li.unit,
+        |    (SELECT min(unit) FROM li l2 WHERE l2.l_partkey = p.p_partkey) AS m
+        |  FROM g_part p JOIN li ON li.l_partkey = p.p_partkey
+        |  WHERE p.p_partkey % 13 = 0)
+        |GROUP BY p_partkey, p_brand""".stripMargin)
+  }
+
   /** TPC-H Q21-class DOUBLE correlated subquery — EXISTS + NOT EXISTS over
     * the SAME fact table, the hardest standard decorrelation stressor and
     * the last member of the subquery family (Q4/Q17/Q18/Q22 classes are

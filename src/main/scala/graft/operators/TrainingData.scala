@@ -387,6 +387,37 @@ object TrainingData {
     * leaked subset only (near-dup clusters spanning the split are rare next
     * to the corpus, and val+test is ≤10% of it by construction).
     */
+  /** Per-source domain-mixture weights — the DoReMi/Pile-style knob a
+    * training run turns when composing its sampling distribution: each
+    * source's weight rewards uniqueness (distinct exact texts over docs —
+    * a duplicated crawl must not buy itself sampling mass; at the 100×
+    * replica, where every doc is a 100-member duplicate cluster, this term
+    * collapses to 1/100) and length quality (fraction of docs in the
+    * [200, 5000]-char band — the corpusClean gate's length discipline as a
+    * rate). `weight_ppm = floor(1e6 · uniq_ratio · good_ratio)` stays in
+    * exact integer/IEEE territory: the numerator product is < 2^53 at any
+    * plausible per-source count, the quotient is one double division, and
+    * `floor` truncates identically in both engines (the CAST-rounds trap
+    * q_rolling_1h documents). Normalization to a sampling distribution is
+    * the consumer's one-line step — emitting unnormalized ppm avoids
+    * cross-engine float-summation-order on the denominator.
+    *
+    * Scale shape: one partial-aggregated shuffle on source; the distinct
+    * text count is the standard two-phase distinct aggregate over
+    * md5(text) (128-bit — collision-safe at corpus scale; swap for
+    * approx_count_distinct when ±2% suffices at 100 TB).
+    */
+  def domainMixWeights(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq_texts"),
+        count(when(col("n_chars").between(200, 5000), 1)).as("n_good_len"))
+      .withColumn("weight_ppm",
+        floor(lit(1000000.0) * col("n_uniq_texts") * col("n_good_len") /
+          (col("n_docs") * col("n_docs"))).cast("long"))
+
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val labeled = Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))
       .join(hashSplit(s, d).select(col("doc_id"), col("split")), Seq("doc_id"))

@@ -233,6 +233,17 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q2-class correlated scalar MIN decorrelates to one grouped aggregate") {
+    val p = plan(q("q_min_cost_supplier"))
+    // the per-part min must run as ONE aggregate joined back on the
+    // correlation key — a per-row subquery would re-aggregate lineitem
+    // once per outer row
+    assert(!p.toLowerCase.contains("subquery"),
+      s"residual subquery execution in q2-class plan:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("partial_min"),
+      s"per-part min not planned as a grouped aggregate:\n$p")
+  }
+
   test("q21-class EXISTS + NOT EXISTS both decorrelate in one plan") {
     val p = plan(q("q_waiting_orders"))
     // the hardest standard decorrelation shape: two correlated predicates
