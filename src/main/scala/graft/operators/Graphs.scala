@@ -446,7 +446,13 @@ object Graphs {
     val path = dir.resolve("sketch.bin")
     path.toFile.deleteOnExit()
     val target = path.toString
-    closing
+    // every partial-aggregation task allocates a FULL nBits/8-byte buffer;
+    // at 100×-dense (120M edges → ~145 MB each) 32 concurrent partials
+    // GC-locker-thrash the JVM to death (measured, round 10). Cap the
+    // builder's parallelism so concurrent buffers stay ≤ ~2 GB — the build
+    // is one CPU-light pass over the keys, so narrowing it costs little.
+    val maxPartials = math.max(1L, math.min(8L, (2L << 30) / math.max(nBits / 8, 1L))).toInt
+    closing.coalesce(maxPartials)
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("p"), col("q")), lit(nEdges), lit(nBits)).as("bf"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
