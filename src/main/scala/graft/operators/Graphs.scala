@@ -367,7 +367,7 @@ object Graphs {
         .select(col("x.t").as("p"), col("y.t").as("q"))
       val pruned =
         if (nWedges > sketchWedgeFactor * nEdges) {
-          val path = writeSketchFile(s, closing, nEdges)
+          val path = writeSketchFile(s, closing, nEdges, nWedges)
           wedges.filter(call_function("graft_bloom_might_file",
             lit(path), xxhash64(col("p"), col("q"))))
         } else wedges
@@ -429,8 +429,16 @@ object Graphs {
     * shape targets a shared filesystem path.
     */
   private def writeSketchFile(s: SparkSession, closing: DataFrame,
-      nEdges: Long): String = {
-    val fpp = 0.01
+      nEdges: Long, nWedges: Long): String = {
+    // fpp must scale with the wedge/edge ratio: the sketch's false-positive
+    // SURVIVORS (fpp · wedges) are what reach the closing shuffle, so
+    // target fp-survivors ≈ m. A flat 0.01 at the 100×-dense graph (268B
+    // wedges, 90M edges) let ~2.7B fp rows through and filled the disk
+    // with closing-shuffle spill (measured, round 10); m/wedges = 3.4e-4
+    // there costs only ~7 more bits/key. Clamped to [1e-5, 0.01] — at
+    // contract scale (wedges/m ≲ 100) the clamp reproduces the old 0.01.
+    val fpp = math.min(0.01,
+      math.max(1e-5, nEdges.toDouble / math.max(nWedges, 1L)))
     val nBits = math.max(64L,
       math.ceil(-nEdges * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // Spark clamps BloomFilterAggregate sizing to the runtime-filter confs
