@@ -39,12 +39,16 @@ object EventWindows {
     * classic gaps-and-islands (lag + cumulative flag sum) construction.
     */
   /** Session inactivity gap (micros): sessions close 30 minutes after their
-    * last event, so every session_end ≤ max event ts + this. */
+    * last event, so every session_end ≤ max event ts + this. The
+    * `session_window` gap string below DERIVES from this constant — one
+    * definition, so the bucket-bounds invariant in `maxConcurrency` can't
+    * silently drift from the sessionization gap. */
   val SessionGapMicros: Long = 30L * 60 * 1000000
+  private val SessionGapStr: String = s"${SessionGapMicros / 60000000L} minutes"
 
   def sessionize(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(col("ts"), SessionGapStr), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))

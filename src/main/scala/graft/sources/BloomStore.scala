@@ -48,15 +48,21 @@ private[graft] object BloomStore {
   def latest(targetPath: String): Option[SketchRef] = {
     val d = dir(targetPath)
     if (!Files.isDirectory(d)) return None
-    Files.list(d).iterator().asScala
-      .flatMap { p =>
+    // Files.list holds an open directory fd until the stream is closed, and
+    // latest() runs ≥2× per micro-batch on the sketched hot path — close it
+    // eagerly (after materializing) or a long-running stream leaks one fd
+    // per call until 'Too many open files'.
+    val listing = Files.list(d)
+    val refs =
+      try listing.iterator().asScala.flatMap { p =>
         p.getFileName.toString match {
           case Name(v, c, b, n) =>
             Some(SketchRef(p, v.toLong, c.toLong, b.toLong, n.toLong))
           case _ => None
         }
-      }
-      .toSeq.sortBy(_.version).lastOption
+      }.toSeq
+      finally listing.close()
+    refs.sortBy(_.version).lastOption
   }
 
   /** Distributed sketch build over a single-column `h: BIGINT` frame of

@@ -190,9 +190,13 @@ object Sinks {
           else incoming.dropDuplicates(key)
         expand(first).write.mode(SaveMode.Append).parquet(targetPath)
       case (true, None) =>
-        // legacy target without a sketch: bootstrap from its true keys
+        // legacy target without a sketch: bootstrap from its true keys.
+        // Count DISTINCT keys, not rows — the multi-row-per-key face (band
+        // index: 8 rows/doc) would otherwise oversize the sketch ~8× and
+        // skew the nKeys-based rebuild accounting.
         val n = incoming.select(col(key)).distinct().count()
-        val nTarget = spark.read.parquet(targetPath).count()
+        val nTarget =
+          spark.read.parquet(targetPath).select(key).distinct().count()
         exactAndRebuild(incoming, recordKeys = nTarget + n,
           minCapacity = nTarget + n)
       case (true, Some(cur)) =>
@@ -250,7 +254,12 @@ object Sinks {
                 .filter(col(key).isInCollection(candKeys))
                 .distinct().collect().map(_.get(0)).toSet
               if (found.isEmpty) base
-              else base.filter(!col(key).isInCollection(found.toSeq))
+              // null-safe: !isInCollection is NULL (filtered out) for
+              // null-key rows, but the exact anti-join keeps them — and all
+              // null keys share one xxhash64 (the seed), so a single sketch
+              // hit would otherwise silently drop every null-key row
+              else base.filter(col(key).isNull ||
+                !col(key).isInCollection(found.toSeq))
             } else {
               // candidate set is batch-scale — a replay: the full exact
               // anti-join is the correct (and unavoidable) resolution
