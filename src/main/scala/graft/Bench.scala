@@ -59,10 +59,17 @@ object Bench {
         val fut = pool.submit(new Runnable {
           def run(): Unit = {
             // job group set on the worker thread so cancelJobGroup can reach
-            // every job this query submits
+            // every job this query submits; BenchPhases scope so the query's
+            // instrumented phases (staging/stream_wall/per-batch metrics)
+            // land in this run's artifact — begin() also discards a prior
+            // run's phases, so a budget retry reports its own
             spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            BenchPhases.begin(name)
             try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            finally spark.sparkContext.clearJobGroup()
+            finally {
+              spark.sparkContext.clearJobGroup()
+              BenchPhases.end()
+            }
           }
         })
         try fut.get(budget, TimeUnit.SECONDS)
@@ -112,6 +119,11 @@ object Bench {
       .map { case (name, fn) =>
         val (secs, err) = runOne(name, fn)
         System.err.println(f"[bench] $name%-30s ${secs}%8.2fs ${err.getOrElse("ok")}")
+        BenchPhases.snapshot(name).foreach { ph =>
+          val line = ph.toSeq.sortBy(_._1)
+            .map { case (p, v) => f"$p=$v%.2f" }.mkString(" ")
+          System.err.println(s"[bench]   phases: $line")
+        }
         (name, secs, err, fn)
       }
 
@@ -149,7 +161,20 @@ object Bench {
     val overJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val retriesJson = retried.map { case (n, first, s2, _) =>
       jstr(n) + ":[" + first + "," + s2 + "]" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"sf":"$sfDir"}"""
+    // per-phase attribution for instrumented queries (streaming faces):
+    // the phase map reflects each query's LAST run in this session (a
+    // budget retry overwrites the first run's phases), so a slow face in
+    // the artifact carries its own decomposition — staging vs stream wall
+    // vs Spark's per-batch durations — instead of leaving driver-window
+    // inflation to speculation (r10 verdict task 1)
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val phasesJson = results.flatMap { case (k, _, _, _) =>
+      BenchPhases.snapshot(k).map { ph =>
+        jstr(k) + ":" + ph.toSeq.sortBy(_._1)
+          .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}")
+      }
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"phases":$phasesJson,"sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries

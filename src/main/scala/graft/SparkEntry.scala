@@ -615,8 +615,8 @@ object SparkEntry {
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/landing")
-      graft.sources.Sinks.streamInsertIgnore(stream, s"$root/tgt", "o_orderkey",
-        s"$root/ckpt").awaitTermination()
+      BenchPhases.settle(graft.sources.Sinks.streamInsertIgnore(stream,
+        s"$root/tgt", "o_orderkey", s"$root/ckpt"))
       s.read.parquet(s"$root/tgt")
     }),
 
@@ -649,8 +649,8 @@ object SparkEntry {
         .schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, eff TIMESTAMP_NTZ")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/landing")
-      graft.sources.Sinks.streamScd2(stream, s"$root/dim", "c_custkey",
-        Seq("c_name", "c_mktsegment"), "eff", s"$root/ckpt").awaitTermination()
+      BenchPhases.settle(graft.sources.Sinks.streamScd2(stream, s"$root/dim",
+        "c_custkey", Seq("c_name", "c_mktsegment"), "eff", s"$root/ckpt"))
       s.read.parquet(s"$root/dim")
     }),
 
@@ -666,10 +666,10 @@ object SparkEntry {
         java.nio.file.Files.createDirectory(dir.resolve("landing"))
         stageEventSlices(s, d, dir.resolve("landing"), StreamSlices)
       }
-      graft.sources.Sinks.streamSketchStore(
+      BenchPhases.settle(graft.sources.Sinks.streamSketchStore(
         EventStreamJob.readEventStream(s, s"$root/landing",
           maxFilesPerTrigger = Some(1)),
-        s"$root/store", s"$root/ckpt").awaitTermination()
+        s"$root/store", s"$root/ckpt"))
       Layouts.sketchStoreCheckedAt(s, d, s"$root/store")
     }),
 
@@ -695,8 +695,8 @@ object SparkEntry {
         .schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/landing")
-      graft.sources.Sinks.streamBandIndex(stream, s"$root/store", s"$root/ckpt")
-        .awaitTermination()
+      BenchPhases.settle(graft.sources.Sinks.streamBandIndex(stream,
+        s"$root/store", s"$root/ckpt"))
       Dedup.incrementalNearDupProbeIndex(s, d, s"$root/store")
     }),
 
@@ -726,8 +726,8 @@ object SparkEntry {
       }
       val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
-      graft.sources.Sinks.streamVectorIndex(stream, cents,
-        s"$root/store", s"$root/ckpt").awaitTermination()
+      BenchPhases.settle(graft.sources.Sinks.streamVectorIndex(stream, cents,
+        s"$root/store", s"$root/ckpt"))
       s.read.parquet(s"$root/store")
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_vec_id"),
@@ -746,10 +746,10 @@ object SparkEntry {
         stageEventSlices(s, d, dir.resolve("landing"), StreamSlices,
           overlapDupHours = 1.0)
       }
-      graft.sources.Sinks.streamDailyRollup(
+      BenchPhases.settle(graft.sources.Sinks.streamDailyRollup(
         EventStreamJob.readEventStream(s, s"$root/landing",
           maxFilesPerTrigger = Some(1)),
-        s"$root/mv_landing", s"$root/rollup", s"$root/ckpt").awaitTermination()
+        s"$root/mv_landing", s"$root/rollup", s"$root/ckpt"))
       s.read.parquet(s"$root/rollup")
         .select(col("event_date").cast("timestamp_ntz").as("event_date"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -909,7 +909,7 @@ object SparkEntry {
       stage: java.nio.file.Path => Unit): String =
     stagedLandings.getOrElseUpdate((key, d), {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$key")
-      stage(dir)
+      BenchPhases.timed("staging")(stage(dir))
       dir.toFile.deleteOnExit()
       withPathStream(java.nio.file.Files.list(dir))(
         _.forEach(p => p.toFile.deleteOnExit()))
@@ -1046,8 +1046,11 @@ object SparkEntry {
     val name = s"${base}_${sinkSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
-    try graft.streaming.EventStreamJob.runAvailableNow(df, name, mode)
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      val q = BenchPhases.timed("stream_wall")(
+        graft.streaming.EventStreamJob.runAvailableNow(df, name, mode))
+      BenchPhases.attribute(q)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val out = s.table(name)
     s.catalog.dropTempView(name)
     out

@@ -112,10 +112,10 @@ object JsonLanding {
   def streamQuarantineReport(s: SparkSession, d: String): DataFrame = {
     val src = stagedCorruptDir(s, d)
     val root = StagedDirs.once(s, d, "stream_quarantine") { dir =>
-      graft.sources.Sinks.streamQuarantine(
+      graft.BenchPhases.settle(graft.sources.Sinks.streamQuarantine(
         s.readStream.option("maxFilesPerTrigger", "1").text(src),
         "doc_id LONG, lang STRING, n_chars LONG", "doc_id",
-        s"$dir/target", s"$dir/dlq", s"$dir/ckpt").awaitTermination()
+        s"$dir/target", s"$dir/dlq", s"$dir/ckpt"))
     }
     val good = s.read.parquet(s"$root/target")
       .agg(count(lit(1)).as("n_rows"), count(col("doc_id")).as("n_ids"),
