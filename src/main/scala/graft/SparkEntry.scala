@@ -1025,11 +1025,23 @@ object SparkEntry {
     * every stateful operator — a stream-stream join keeps four stores per
     * partition, so the session-wide 32 meant ~6 batches × 32 × 4 × 2 sides
     * of store commits for kilobyte-sized state (over half of
-    * q_stream_join's 60 s wall at sf0.1). Eight matches the harness batch
-    * volumes; a production cluster sizes this knob to ITS batch volume the
-    * same way — deliberately, per stream, not from the batch-side default.
+    * q_stream_join's 60 s wall at sf0.1). A production cluster sizes this
+    * knob to ITS batch volume the same way — deliberately, per stream, not
+    * from the batch-side default.
+    *
+    * Why 4 (was 8 through r10): the r11 phase attribution measured
+    * state-store COMMIT time as the dominant per-batch term at 8 —
+    * q_stream_left_join spent a summed 14.8 s in commits (7 batches × 8
+    * partitions × 4 join stores ≈ 66 ms per commit of kilobyte state, pure
+    * checkpoint-file I/O). Halving the partitions cut that 3.5× (14.8 →
+    * 4.2 s; tumbling 3.6 → 0.9 s) with addBatch time flat — the faces are
+    * not compute-bound at 4 — which also shrinks the surface exposed to
+    * co-tenant disk stalls, the suspected r10 driver-window inflation
+    * (q_stream_tumbling 4.3 → 25.0 s with unchanged code). 2 partitions
+    * measured no further wall gain and narrows addBatch parallelism at the
+    * 100× probe volumes (32 batches × 2.5 M rows), so 4 is the floor.
     */
-  private val StreamStatePartitions = 8
+  private val StreamStatePartitions = 4
 
   /** Run a streaming frame to completion (AvailableNow) into a uniquely-named
     * memory sink and return the settled result. The catalog entry is dropped
