@@ -806,21 +806,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"))
     }),
 
-    // -- multimodal binary pipeline: the stub decoder is deterministic in
-    //    the payload bytes, so its sizes/dimensions/frame-counts ARE
-    //    SQL-expressible over the documents table's text lengths — a real
-    //    static oracle (round-5 verdict task 4). The rolling checksum still
-    //    executes inside extractFeatures but stays out of the driver
-    //    columns: its byte-fold has no byte-safe DuckDB mirror (ord() is
-    //    codepoints, not bytes); BinaryPipelineSpec pins it instead.
+    // -- multimodal binary pipeline: image/audio payloads are REAL PNG/WAV
+    //    bytes decoded by JDK codecs (javax.imageio / javax.sound.sampled);
+    //    the fixtures are closed-form in doc_id (solid-RGB images, constant-
+    //    sample audio), so the pixel/sample aggregates the decode produces
+    //    ARE SQL-expressible and the oracle recomputes them without a codec.
+    //    Video keeps the stub header (no JDK video codec). Raw payload
+    //    length/checksum still execute inside extractFeatures but stay out
+    //    of the driver columns: PNG byte size is codec-version-dependent and
+    //    the checksum byte-fold has no byte-safe DuckDB mirror;
+    //    BinaryPipelineSpec pins both instead.
     "q_media_features" -> ((s, d) => {
-      val media = graft.multimodal.BinaryPipeline.syntheticMediaFromDocuments(s, d)
+      val media = graft.multimodal.BinaryPipeline.syntheticRealMedia(s, d)
       val feats = graft.multimodal.BinaryPipeline.extractFeatures(media)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"),
           sum(col("width").cast("long")).as("sum_width"),
-          sum(col("height").cast("long")).as("sum_height"))
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("frames")).as("sum_frames"),
+          sum(col("decoded_bytes")).as("total_decoded_bytes"),
+          sum(col("content_sum")).as("content_sum"))
       // the 1:N frame-sampling stage, driver-checked via its exact count
       val frames = graft.multimodal.BinaryPipeline.sampleFrames(media)
         .groupBy(lit("video").as("kind"))
@@ -2786,23 +2791,27 @@ object SparkEntry {
         |  TRUE AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
 
-    // mirror of the stub decoder's deterministic output: payload =
-    // 12-byte header + utf-8 text, width/height from doc_id, kind from
-    // doc_id % 3, frames = every 4th 64-byte chunk of the content
-    // (count = ceil(ceil(len/64)/4), 0 for empty content)
+    // mirror of the REAL decode over closed-form fixtures: image = solid
+    // (id*37%256, id*59%256, id*83%256) PNG of (id%61+4)x(id%37+4) px, so
+    // pixel sums are w*h*(r+g+b); audio = (id%800+50) constant PCM16 frames
+    // of value (id%2000-1000); video = the 12-byte stub header + utf-8
+    // text, frames = every 4th 64-byte chunk (ceil(ceil(len/64)/4))
     "q_media_features" ->
       """WITH m AS (SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    12 + octet_length(encode(text)) AS n_bytes,
-        |    doc_id % 640 + 1 AS width,
-        |    doc_id % 480 + 1 AS height,
+        |    doc_id % 61 + 4 AS iw, doc_id % 37 + 4 AS ih,
+        |    (doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256 AS prgb,
+        |    doc_id % 800 + 50 AS af, doc_id % 2000 - 1000 AS av,
+        |    doc_id % 640 + 1 AS vw, doc_id % 480 + 1 AS vh,
         |    octet_length(encode(text)) AS clen
         |  FROM documents)
         |SELECT kind, count(*) AS n,
-        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        |  CAST(sum(width) AS BIGINT) AS sum_width,
-        |  CAST(sum(height) AS BIGINT) AS sum_height,
+        |  CAST(sum(CASE kind WHEN 'image' THEN iw WHEN 'video' THEN vw ELSE 0 END) AS BIGINT) AS sum_width,
+        |  CAST(sum(CASE kind WHEN 'image' THEN ih WHEN 'video' THEN vh ELSE 0 END) AS BIGINT) AS sum_height,
+        |  CAST(sum(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN af ELSE 0 END) AS BIGINT) AS sum_frames,
+        |  CAST(sum(CASE kind WHEN 'image' THEN iw*ih*3 WHEN 'audio' THEN 2*af ELSE clen END) AS BIGINT) AS total_decoded_bytes,
+        |  CAST(sum(CASE kind WHEN 'image' THEN iw*ih*prgb WHEN 'audio' THEN af*av ELSE 0 END) AS BIGINT) AS content_sum,
         |  CAST(sum(CASE WHEN kind = 'video'
         |    THEN ((clen + 63) // 64 + 3) // 4 ELSE 0 END) AS BIGINT) AS n_frames
         |FROM m GROUP BY kind""".stripMargin,

@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, flowing through Spark with real schema,
   * partitioning and batch shape.
   *
-  * The decode step is a clearly-marked deterministic STUB ([[FakeDecoder]]):
-  * real image/audio codecs are not present in this environment, so the stub
-  * parses a tiny self-describing header instead. Everything around it — the
-  * schema contract, the `mapPartitions` batch execution (one decoder
-  * instantiation per partition, the same shape a JNI/codec binding needs),
-  * partition sizing, and the feature-extraction output — is real and tested.
+  * Image and audio decode are REAL JDK codecs ([[MediaCodecs]]):
+  * `javax.imageio` PNG and `javax.sound.sampled` WAV/PCM16 — features come
+  * from actually-decoded pixels and samples, no external jars. Only the
+  * VIDEO face keeps the clearly-marked deterministic STUB ([[FakeDecoder]],
+  * a tiny self-describing header): no video codec ships with the JDK. The
+  * surrounding contract — schema, `mapPartitions` batch execution (one
+  * decoder instantiation per partition, the same shape a JNI/codec binding
+  * needs), partition sizing, and the feature output — is identical across
+  * the three kinds, so swapping the video stub for a real codec changes
+  * nothing downstream.
   */
 object BinaryPipeline {
 
@@ -23,15 +27,114 @@ object BinaryPipeline {
       payload: Array[Byte],  // opaque encoded bytes
       source: String)
 
+  /** Per-media features, populated from the REAL decode of each kind:
+    *   - image: `width`/`height` from the decoded PNG, `frames` = 1,
+    *     `decoded_bytes` = w*h*3 (RGB24 raster), `content_sum` = Σ(r+g+b)
+    *     over every decoded pixel;
+    *   - audio: `frames` = PCM frame count from the WAV header,
+    *     `decoded_bytes` = 2*frames (16-bit mono), `content_sum` = Σ of the
+    *     decoded signed samples (can be negative);
+    *   - video (stub codec): `width`/`height` from the GRFT header,
+    *     `decoded_bytes` = content length, `content_sum` = 0 — loudly NOT a
+    *     real decode, see [[FakeDecoder]].
+    * `n_bytes`/`checksum` are over the raw encoded payload for all kinds.
+    */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      width: Int,            // decoded header fields (stubbed)
+      width: Int,
       height: Int,
+      frames: Long,
+      decoded_bytes: Long,
+      content_sum: Long,
       checksum: Long)        // rolling checksum over payload bytes
 
-  /** STUB decoder: stands in for a real codec.
+  /** Real JDK codecs for the image and audio kinds. PNG via `javax.imageio`
+    * (lossless, so solid-color fixtures decode to exactly the encoded RGB);
+    * WAV via `javax.sound.sampled` (PCM16 mono little-endian; the JDK
+    * writer emits the canonical 44-byte RIFF header, so encoded size is
+    * exactly 44 + 2*frames — spec-pinned). Decoders take and return plain
+    * byte arrays so they drop into the per-partition batch shape unchanged.
+    */
+  object MediaCodecs {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    val SampleRateHz = 8000f
+
+    /** Encode a solid-RGB PNG (fixture generator; any PNG decodes). */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode an image payload: (width, height, Σ(r+g+b) over pixels). */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum)
+    }
+
+    /** Encode PCM16 mono samples as a WAV file. */
+    def encodeWav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](2 * samples.length)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRateHz, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode an audio payload: (frame count, Σ of decoded signed samples). */
+    def decodeWav(payload: Array[Byte]): (Long, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected WAV shape: $fmt")
+        val frames = ais.getFrameLength
+        val bytes = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          sum += ((bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)).toShort
+          i += 2
+        }
+        (frames, sum)
+      } finally ais.close()
+    }
+  }
+
+  /** STUB decoder for the VIDEO kind only (no JDK video codec exists).
     *
     * Payload layout (written by [[encodeFake]]): 4 bytes magic "GRFT",
     * 4 bytes width, 4 bytes height (big-endian), then raw content bytes.
@@ -68,10 +171,11 @@ object BinaryPipeline {
     FakeDecoder.Magic ++ be32(width) ++ be32(height) ++ content
   }
 
-  /** Decode + feature-extract over a media Dataset.
+  /** Decode + feature-extract over a media Dataset. Image and audio rows go
+    * through the REAL JDK codecs ([[MediaCodecs]]); video through the stub.
     *
-    * `mapPartitions` so a real decoder would be instantiated once per
-    * partition (not per row) — the standard shape for codec/model handles.
+    * `mapPartitions` so decoder state is instantiated once per partition
+    * (not per row) — the standard shape for codec/model handles.
     * Repartitions to `targetPartitions` first: media payloads are large and
     * skewed, so partition count is sized by byte budget, not row count.
     */
@@ -80,11 +184,28 @@ object BinaryPipeline {
     import media.sparkSession.implicits._
     val sized = if (targetPartitions > 0) media.repartition(targetPartitions) else media
     sized.mapPartitions { it =>
-      // per-partition decoder init would go here
+      // per-partition decoder init (ImageIO scans its reader SPI registry
+      // lazily on first use; one scan per partition, then cached)
       it.map { r =>
-        val (w, h) = FakeDecoder.decode(r.payload)
-        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h,
+        val base = (r.media_id, r.kind, r.payload.length.toLong,
           FakeDecoder.checksum(r.payload))
+        r.kind match {
+          case "image" =>
+            val (w, h, pixelSum) = MediaCodecs.decodeImage(r.payload)
+            MediaFeatures(base._1, base._2, base._3, w, h,
+              frames = 1L, decoded_bytes = w.toLong * h * 3,
+              content_sum = pixelSum, checksum = base._4)
+          case "audio" =>
+            val (frames, sampleSum) = MediaCodecs.decodeWav(r.payload)
+            MediaFeatures(base._1, base._2, base._3, 0, 0,
+              frames = frames, decoded_bytes = 2L * frames,
+              content_sum = sampleSum, checksum = base._4)
+          case _ =>
+            val (w, h) = FakeDecoder.decode(r.payload)
+            MediaFeatures(base._1, base._2, base._3, w, h,
+              frames = 0L, decoded_bytes = (r.payload.length - 12).toLong,
+              content_sum = 0L, checksum = base._4)
+        }
       }
     }
   }
@@ -98,22 +219,41 @@ object BinaryPipeline {
       orig_width: Int,
       orig_height: Int)
 
-  /** Resize stage (STUB transform, real plumbing): decode the header, scale
-    * to fit `maxDim` preserving aspect ratio, re-encode. A real
-    * implementation swaps the body for an image-library scale; the
-    * per-partition batch shape, schema, and chaining contract are what a
-    * production pipeline needs and are tested.
+  /** Resize stage. For the image kind this is a REAL resize: decode the PNG,
+    * rescale the raster with `Graphics2D.drawImage` (bilinear) to fit
+    * `maxDim` preserving aspect ratio, re-encode as PNG — the output payload
+    * decodes to the new dimensions. Non-image kinds keep the stub transform
+    * (header rewrite, content unchanged) so the stage chains uniformly.
     */
   def resizeMedia(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition codec/scaler init would go here
       it.map { r =>
-        val (w, h) = FakeDecoder.decode(r.payload)
-        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        val content = r.payload.drop(12) // stub "rescale": content unchanged
-        ResizedMedia(r.media_id, r.kind, encodeFake(nw, nh, content), r.source, w, h)
+        if (r.kind == "image") {
+          import java.awt.image.BufferedImage
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedMedia(r.media_id, r.kind, bos.toByteArray, r.source, w, h)
+        } else {
+          val (w, h) = FakeDecoder.decode(r.payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          val content = r.payload.drop(12) // stub "rescale": content unchanged
+          ResizedMedia(r.media_id, r.kind, encodeFake(nw, nh, content), r.source, w, h)
+        }
       }
     }
   }
@@ -183,8 +323,48 @@ object BinaryPipeline {
   def mediaNearDup(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame =
     mediaNearDupPairs(syntheticMediaFromDocuments(s, d), maxHamming)
 
-  /** Synthesize a media table from `documents` text bytes (fixture path:
-    * deterministic, no external data) — payload = fake header + utf-8 text.
+  /** Synthesize a media table with REAL encoded payloads (deterministic from
+    * doc_id, no external data):
+    *   - image (doc_id % 3 == 0): a genuine PNG, (id%61+4) × (id%37+4) px,
+    *     solid RGB (id*37 % 256, id*59 % 256, id*83 % 256) — so the decoded
+    *     pixel features are closed-form in doc_id and the DuckDB oracle can
+    *     recompute them without a codec;
+    *   - audio (doc_id % 3 == 1): a genuine WAV, (id%800+50) PCM16 frames of
+    *     constant sample value (id%2000 − 1000);
+    *   - video (doc_id % 3 == 2): the GRFT stub payload over the document
+    *     text (no JDK video codec), dims (id%640+1) × (id%480+1).
+    */
+  def syntheticRealMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        // per-partition: ImageIO SPI registry warms once, then row loop
+        it.map { case (id, text, source) =>
+          (id % 3) match {
+            case 0 =>
+              val rgb = (((id * 37) % 256).toInt << 16) |
+                (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+              MediaRecord(id, "image",
+                MediaCodecs.encodePng((id % 61).toInt + 4, (id % 37).toInt + 4, rgb),
+                source)
+            case 1 =>
+              val v = ((id % 2000) - 1000).toShort
+              MediaRecord(id, "audio",
+                MediaCodecs.encodeWav(Array.fill((id % 800).toInt + 50)(v)), source)
+            case _ =>
+              MediaRecord(id, "video",
+                encodeFake((id % 640).toInt + 1, (id % 480).toInt + 1,
+                  text.getBytes("UTF-8")), source)
+          }
+        }
+      }
+  }
+
+  /** Synthesize an all-GRFT media table from `documents` text bytes — the
+    * fixture for the perceptual near-dup face, whose "decoded content" must
+    * be the document text so DuckDB can recompute identical fingerprints.
     */
   def syntheticMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

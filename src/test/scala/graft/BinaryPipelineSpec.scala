@@ -1,11 +1,12 @@
 package graft
 
 import graft.multimodal.BinaryPipeline
-import graft.multimodal.BinaryPipeline.{FakeDecoder, MediaRecord}
+import graft.multimodal.BinaryPipeline.{FakeDecoder, MediaCodecs, MediaRecord}
 
-/** Multimodal binary-column plumbing: encode → decode → checksum roundtrip
-  * and the distributed `mapPartitions` feature extraction (SURVEY.md
-  * north-star; the decoder itself is a disclosed stub, the plumbing is real).
+/** Multimodal binary-column plumbing: REAL JDK image/audio codecs
+  * (javax.imageio PNG, javax.sound.sampled WAV) behind the distributed
+  * `mapPartitions` feature extraction; the video kind keeps the disclosed
+  * header stub (SURVEY.md north-star).
   */
 class BinaryPipelineSpec extends SparkSpecBase {
   import spark.implicits._
@@ -28,35 +29,65 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(FakeDecoder.checksum(a) != FakeDecoder.checksum(b))
   }
 
-  test("extractFeatures runs distributed and preserves metadata") {
+  test("image decode reads actual pixels (non-solid PNG, hand-pinned sums)") {
+    // 2x2 PNG with four distinct pixels proves the decode reads the raster,
+    // not a header: sum = (255+0+0)+(0+255+0)+(0+0+255)+(10+20+30) = 825
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, (10 << 16) | (20 << 8) | 30)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, sum) = MediaCodecs.decodeImage(bos.toByteArray)
+    assert((w, h, sum) == ((2, 2, 825L)))
+  }
+
+  test("wav roundtrip: canonical 44-byte header, exact frame count and sample sum") {
+    val samples = Array[Short](100, -50, 7)
+    val wav = MediaCodecs.encodeWav(samples)
+    assert(wav.length == 44 + 2 * samples.length, "JDK WAV writer header drifted")
+    val (frames, sampleSum) = MediaCodecs.decodeWav(wav)
+    assert(frames == 3L && sampleSum == 57L)
+  }
+
+  test("extractFeatures runs distributed, real codecs per kind, metadata preserved") {
     val media = Seq(
-      MediaRecord(1L, "image", BinaryPipeline.encodeFake(64, 48, Array.fill(100)(7.toByte)), "s1"),
-      MediaRecord(2L, "audio", BinaryPipeline.encodeFake(1, 1, Array[Byte]()), "s2"),
+      MediaRecord(1L, "image", MediaCodecs.encodePng(64, 48, (5 << 16) | (6 << 8) | 7), "s1"),
+      MediaRecord(2L, "audio", MediaCodecs.encodeWav(Array[Short](10, 20, -5, 1000)), "s2"),
       MediaRecord(3L, "video", BinaryPipeline.encodeFake(1920, 1080, "frame".getBytes), "s3"))
       .toDS()
     val feats = BinaryPipeline.extractFeatures(media, targetPartitions = 2)
       .collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).width == 64 && feats(1L).height == 48)
-    assert(feats(1L).n_bytes == 112) // 12-byte header + 100 content bytes
-    assert(feats(2L).n_bytes == 12)
+    assert(feats(1L).decoded_bytes == 64L * 48 * 3 && feats(1L).frames == 1L)
+    assert(feats(1L).content_sum == 64L * 48 * (5 + 6 + 7)) // decoded, not declared
+    assert(feats(2L).frames == 4L && feats(2L).decoded_bytes == 8L)
+    assert(feats(2L).content_sum == 1025L)
+    assert(feats(2L).n_bytes == 44 + 2 * 4)
     assert(feats(3L).width == 1920 && feats(3L).height == 1080)
+    assert(feats(3L).decoded_bytes == 5L && feats(3L).content_sum == 0L)
     assert(feats.values.forall(_.checksum >= 0))
   }
 
-  test("resize scales to fit, preserves aspect ratio, chains with decode") {
+  test("resize: real raster rescale for images, stub header rewrite otherwise") {
     val media = Seq(
-      MediaRecord(1L, "image", BinaryPipeline.encodeFake(640, 480, "img".getBytes), "s"),
-      MediaRecord(2L, "image", BinaryPipeline.encodeFake(100, 400, "tall".getBytes), "s"),
-      MediaRecord(3L, "image", BinaryPipeline.encodeFake(32, 24, "small".getBytes), "s"))
+      MediaRecord(1L, "image", MediaCodecs.encodePng(640, 480, 0x405060), "s"),
+      MediaRecord(2L, "image", MediaCodecs.encodePng(100, 400, 0x010203), "s"),
+      MediaRecord(3L, "image", MediaCodecs.encodePng(32, 24, 0x0a0b0c), "s"),
+      MediaRecord(4L, "video", BinaryPipeline.encodeFake(1920, 1080, "vid".getBytes), "s"))
       .toDS()
     val resized = BinaryPipeline.resizeMedia(media, maxDim = 128)
       .collect().map(r => r.media_id -> r).toMap
-    assert(FakeDecoder.decode(resized(1L).payload) == ((128, 96)))   // 640x480 -> /5
-    assert(FakeDecoder.decode(resized(2L).payload) == ((32, 128)))   // 100x400 -> /3.125
-    assert(FakeDecoder.decode(resized(3L).payload) == ((32, 24)))    // never upscale
+    // image payloads re-decode (real PNG) to the scaled dims, pixels intact
+    val (w1, h1, sum1) = MediaCodecs.decodeImage(resized(1L).payload)
+    assert((w1, h1) == ((128, 96)))                                  // 640x480 -> /5
+    assert(sum1 == 128L * 96 * (0x40 + 0x50 + 0x60), "bilinear of a solid is the solid")
+    assert(MediaCodecs.decodeImage(resized(2L).payload)._1 == 32)    // 100x400 -> /3.125
+    assert(MediaCodecs.decodeImage(resized(2L).payload)._2 == 128)
+    assert(MediaCodecs.decodeImage(resized(3L).payload) == ((32, 24, 32L * 24 * (0x0a + 0x0b + 0x0c)))) // never upscale
     assert(resized(1L).orig_width == 640 && resized(1L).orig_height == 480)
-    // content survives the stub re-encode
-    assert(new String(resized(1L).payload.drop(12)) == "img")
+    // non-image kinds take the stub path: header rewritten, content intact
+    assert(FakeDecoder.decode(resized(4L).payload) == ((128, 72)))
+    assert(new String(resized(4L).payload.drop(12)) == "vid")
   }
 
   test("frame sampling emits every stride-th chunk of video payloads only") {
@@ -73,11 +104,25 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(frames.find(_.frame_no == 4).get.frame_bytes.length == 300 - 4 * 64)
   }
 
-  test("synthetic media from documents flows end-to-end (driver-visible path)") {
-    val media = BinaryPipeline.syntheticMediaFromDocuments(spark, Sf)
-    val feats = BinaryPipeline.extractFeatures(media)
-    val n = feats.count()
-    assert(n > 0 && n == Tables.documents(spark, Sf).count())
+  test("synthetic real media flows end-to-end: decoded features match the closed form") {
+    val media = BinaryPipeline.syntheticRealMedia(spark, Sf)
+    val feats = BinaryPipeline.extractFeatures(media).collect()
+    assert(feats.length.toLong == Tables.documents(spark, Sf).count())
+    feats.foreach { f =>
+      (f.media_id % 3) match {
+        case 0 =>
+          val (iw, ih) = ((f.media_id % 61 + 4).toInt, (f.media_id % 37 + 4).toInt)
+          val prgb = (f.media_id * 37) % 256 + (f.media_id * 59) % 256 + (f.media_id * 83) % 256
+          assert(f.width == iw && f.height == ih, s"image dims drifted for ${f.media_id}")
+          assert(f.content_sum == iw.toLong * ih * prgb, s"pixel sum drifted for ${f.media_id}")
+        case 1 =>
+          val af = f.media_id % 800 + 50
+          assert(f.frames == af && f.content_sum == af * (f.media_id % 2000 - 1000))
+          assert(f.n_bytes == 44 + 2 * af)
+        case _ =>
+          assert(f.width == (f.media_id % 640 + 1).toInt && f.content_sum == 0L)
+      }
+    }
   }
 
   test("mediaNearDupPairs: identical content pairs at hamming 0, distinct content does not") {
