@@ -846,10 +846,11 @@ object Analytics {
     * window a naive `row_number() OVER (ORDER BY …)` plans (Spark warns and
     * funnels 100 TB through one task). The scalable recipe:
     *
-    *  1. assign each row a DETERMINISTIC equi-width bucket on the leading
-    *     sort key ([[RangeBuckets]] — boundaries are driver-side literals
-    *     from one pruned min/max scan, so the assignment is a pure function
-    *     of the row and monotone in the total order);
+    *  1. assign each row a DETERMINISTIC sampled-quantile bucket on the
+    *     leading sort key ([[RangeBuckets]] — cut points are driver-side
+    *     literals from one pruned value-hash-sampled scan, so the
+    *     assignment is a pure function of the row, monotone in the total
+    *     order, and population-balanced even on skewed keys);
     *  2. `row_number()` PARTITIONED BY the bucket — bucket-parallel, never
     *     a global window;
     *  3. per-bucket row counts cumsum'd into offsets over a
@@ -866,9 +867,10 @@ object Analytics {
   def globalRank(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-    val b = RangeBuckets.bounds(li, unix_micros(col("l_shipdate").cast("timestamp")))
-    val withB = li.withColumn("_bkt", RangeBuckets.bucketOpt(
-      unix_micros(col("l_shipdate").cast("timestamp")), b, RangeBuckets.DefaultBuckets))
+    val cs = RangeBuckets.cuts(li, unix_micros(col("l_shipdate").cast("timestamp")),
+      RangeBuckets.DefaultBuckets)
+    val withB = li.withColumn("_bkt", RangeBuckets.bucketByCuts(
+      unix_micros(col("l_shipdate").cast("timestamp")), cs))
     val wRn = Window.partitionBy(col("_bkt"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     val counts = withB.groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
@@ -893,9 +895,9 @@ object Analytics {
     *
     * The running max over all prices is the same global-order scan
     * [[globalRank]] solves without a single-partition window: per-price
-    * maxima (one narrow shuffle) get DETERMINISTIC equi-width price buckets
-    * ([[RangeBuckets]] — driver-literal boundaries, monotone in price, a
-    * pure function of the row so no exchange-reuse dependency); the
+    * maxima (one narrow shuffle) get DETERMINISTIC sampled-quantile price
+    * buckets ([[RangeBuckets]] — driver-literal cut points, monotone in
+    * price, a pure function of the row so no exchange-reuse dependency); the
     * within-bucket prefix max is a window PARTITIONED BY the bucket
     * (bucket-parallel); the cross-bucket term is a bucket-count-sized
     * prefix-max broadcast. `greatest` of the two equals the full-order
@@ -910,10 +912,10 @@ object Analytics {
         col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
     // bounds off the BASE column (pruned scan) — never a second run of the
     // per-price aggregation
-    val b = RangeBuckets.bounds(Tables.lineitem(s, d), col("l_extendedprice"))
+    val cs = RangeBuckets.cuts(Tables.lineitem(s, d), col("l_extendedprice"),
+      RangeBuckets.DefaultBuckets)
     val perPrice = pts.groupBy(col("price")).agg(max(col("qty")).as("pq"))
-      .withColumn("_bkt",
-        RangeBuckets.bucketOpt(col("price"), b, RangeBuckets.DefaultBuckets))
+      .withColumn("_bkt", RangeBuckets.bucketByCuts(col("price"), cs))
     val wIn = Window.partitionBy(col("_bkt")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = perPrice.withColumn("_runmax", max(col("pq")).over(wIn))

@@ -119,7 +119,7 @@ object EventWindows {
     *
     * The global prefix sum does NOT use a single-partition window (the
     * [[Analytics.globalRank]] recipe): deltas group into DETERMINISTIC
-    * equi-width time buckets ([[RangeBuckets]] — boundaries are driver-side
+    * sampled-quantile time buckets ([[RangeBuckets]] — cut points are driver-side
     * literals, so the assignment is a pure function of the row, immune to
     * exchange-reuse failures); the within-bucket running sum is a window
     * PARTITIONED BY the bucket (bucket-parallel); per-bucket delta sums
@@ -128,26 +128,30 @@ object EventWindows {
     * placement (addition is associative), and `max` of a row-granular
     * prefix equals the oracle's peer-grouped RANGE-frame max (maxima occur
     * only after +1 rows, where the last peer's row value equals the group
-    * value). Bucket bounds come from the RAW events table (min ts, max ts
-    * + gap) — one pruned column scan, never a second sessionize run.
+    * value). Bucket cuts come from the RAW events table — one sampled
+    * pruned column scan, never a second sessionize run; session ends past
+    * the last cut land in the top bucket, which monotonicity absorbs.
     */
   def maxConcurrency(s: SparkSession, d: String): DataFrame = {
-    val evBounds = RangeBuckets.bounds(
-      Tables.events(s, d), unix_micros(col("ts").cast("timestamp")))
-      .map { case (lo, hi) => (lo, hi + SessionGapMicros + 1) }
+    val evCuts = RangeBuckets.cuts(
+      Tables.events(s, d), unix_micros(col("ts").cast("timestamp")),
+      RangeBuckets.DefaultBuckets)
     maxConcurrencyOver(
       sessionize(s, d).select(col("session_start"), col("session_end")),
-      evBounds)
+      Some(evCuts))
   }
 
   /** Core of [[maxConcurrency]] over explicit (session_start, session_end)
     * intervals (EventWindowsSpec drives it on handcrafted geometry). When
-    * `bounds` (epoch-micros lo/hi covering every endpoint) is not supplied,
-    * one bounded min/max pass over the intervals derives it. */
+    * `cuts` (epoch-micros cut points) is not supplied, one sampled-quantile
+    * pass over the interval ends derives it. Cut points need not cover the
+    * endpoint domain — session ends past the last cut (the gap-widened
+    * tail) simply land in the top bucket, which monotonicity absorbs. */
   private[graft] def maxConcurrencyOver(
-      ses: DataFrame, bounds: Option[(Double, Double)] = None): DataFrame = {
-    val b = bounds.orElse(RangeBuckets.bounds(ses,
-      unix_micros(col("session_end").cast("timestamp"))))
+      ses: DataFrame, cuts: Option[Array[Double]] = None): DataFrame = {
+    val cs = cuts.getOrElse(RangeBuckets.cuts(ses,
+      unix_micros(col("session_end").cast("timestamp")),
+      RangeBuckets.DefaultBuckets))
     // both deltas explode from ONE pass over the intervals — a two-leg
     // union would re-run the whole upstream aggregation per leg
     val pts = ses.select(explode(array(
@@ -156,8 +160,7 @@ object EventWindows {
         struct(unix_micros(col("session_end").cast("timestamp")).as("t"),
           lit(-1L).as("d")))).as("p"))
       .select(col("p.t").as("t"), col("p.d").as("d"))
-      .withColumn("_bkt",
-        RangeBuckets.bucketOpt(col("t"), b, RangeBuckets.DefaultBuckets))
+      .withColumn("_bkt", RangeBuckets.bucketByCuts(col("t"), cs))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bkt")).orderBy(col("t"), col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
