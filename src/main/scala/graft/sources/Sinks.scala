@@ -113,6 +113,16 @@ object Sinks {
     * anti-join is the correct resolution. */
   private val PointLookupMax = 128
 
+  /** Row ceiling for the driver-side sketch path. An admission-controlled
+    * micro-batch (the steady state) stays far under it and takes the
+    * two-job driver loop; a bulk/backfill batch above it (the r11 100×
+    * probe: 5M rows/batch collected 2× slower than the plain anti-join)
+    * stays fully distributed — executor-side file probe, one bloom
+    * aggregation — and never ships batch-scale hash sets to the driver.
+    * Test-adjustable (like [[postAppendHook]]) so specs can drive the
+    * large-batch shape without materializing half a million rows. */
+  private[graft] var SmallBatchMaxRows = 1 << 19
+
   def appendInsertIgnoreSketched(incoming: DataFrame, targetPath: String,
       key: String, fpp: Double = 1e-5, capacityHint: Long = 1L << 20,
       expand: DataFrame => DataFrame = identity): Unit =
@@ -175,10 +185,31 @@ object Sinks {
     (targetExists, latest) match {
       case (false, _) =>
         // first batch: establish the superset invariant BEFORE the first
-        // append ever lands (sketch built driver-side from the collected
-        // hashes — same bounded-batch contract as the steady state)
-        val hs = incoming.select(xxhash64(col(key)).as("h"))
+        // append ever lands. Same size-adaptive shape as the steady state:
+        // small batches build the sketch driver-side from the collected
+        // hashes; a bulk first load builds it with one distributed
+        // `graft_bloom_agg` aggregation instead.
+        val hashDf0 = incoming.select(xxhash64(col(key)).as("h"))
+        val hs = hashDf0.limit(SmallBatchMaxRows + 1)
           .collect().map(_.getLong(0))
+        if (hs.length > SmallBatchMaxRows) {
+          // approx distinct is enough here: the estimate only sizes the
+          // sketch (inflated 5%, then 4× geometric headroom so the next
+          // bulk batch doesn't trigger an immediate outgrown-rebuild) and
+          // seeds the rebuild accounting; dedup of the batch itself is
+          // unconditional on the bulk shape — the exactness that
+          // `nd == n ⇒ skip the dedup shuffle` needs is not worth a full
+          // distinct shuffle over millions of hashes
+          val nd0 = math.max(1L,
+            (hashDf0.agg(approx_count_distinct(col("h")))
+              .head().getLong(0) * 1.05).toLong)
+          val cap = math.max(capacityHint, nd0 * 4)
+          BloomStore.writeMerged(targetPath, prior = None, hashDf0,
+            cap, BloomStore.optimalBits(cap, fpp), nd0)
+          val first = if (dedupBatch) incoming.dropDuplicates(key) else incoming
+          expand(first).write.mode(SaveMode.Append).parquet(targetPath)
+          return
+        }
         val distinct = hs.toSet
         val cap = math.max(capacityHint, distinct.size.toLong)
         val bits = BloomStore.optimalBits(cap, fpp)
@@ -200,19 +231,82 @@ object Sinks {
         exactAndRebuild(incoming, recordKeys = nTarget + n,
           minCapacity = nTarget + n)
       case (true, Some(cur)) =>
-        // steady state — the hot path: (1) ONE map-only collect of the
-        // batch's xxhash64 key longs (KBs — a micro-batch is bounded by
-        // admission control: maxFilesPerTrigger/maxOffsetsPerTrigger);
-        // dedup, the probe, and the sketch update all run on the driver
-        // against the loaded sketch — no per-batch target scan, no cache,
-        // no capacity-sized aggregation buffers shipping from every task;
-        // (2) ONE write job for the novel rows.
+        // steady state. ONE decision job picks the shape by batch size:
+        // limit(T+1).collect() returns EVERY hash when the batch holds
+        // ≤ T rows (CollectLimit executes incrementally, so this costs
+        // what the plain collect cost) and T+1 rows when it does not.
+        //
+        // Small batch — the admission-controlled hot path: (1) the hashes
+        // are already on the driver; dedup, the probe, and the sketch
+        // update run driver-side against the loaded sketch — no per-batch
+        // target scan, no capacity-sized aggregation buffers shipping from
+        // every task; (2) ONE write job for the novel rows.
+        //
+        // Large batch (bulk load / backfill / replay of one): everything
+        // stays distributed — the probe is the executor-side
+        // `graft_bloom_might_file` against the published (immutable)
+        // sketch file, the update is one `graft_bloom_agg` aggregation at
+        // the current sizing — and the driver never materializes
+        // batch-scale hash sets (the r11 100× probe measured the collect
+        // shape at 2× the plain anti-join's wall on 5M-row batches).
         def tNow = System.nanoTime()
         val dbg = sys.env.contains("SPARK_GRAFT_SKETCH_DEBUG")
         val t0 = tNow
-        val hashArr = incoming.select(xxhash64(col(key)).as("h"))
+        val hashDf = incoming.select(xxhash64(col(key)).as("h"))
+        val hashArr = hashDf.limit(SmallBatchMaxRows + 1)
           .collect().map(_.getLong(0))
         val t1 = tNow
+        if (hashArr.length > SmallBatchMaxRows) {
+          // one map-side-partial agg: batch size, approx key count (sizing
+          // and accounting only — see the bulk first-batch note), and the
+          // candidate count via the executor-side probe of the published
+          // (immutable) sketch file
+          val probe = call_function("graft_bloom_might_file",
+            lit(cur.file.toString), col("h"))
+          val st = hashDf.agg(
+            approx_count_distinct(col("h")).as("nd"),
+            count(when(probe, 1)).as("nc")).head()
+          val (nBatchKeys, nCand) =
+            (math.max(1L, (st.getLong(0) * 1.05).toLong), st.getLong(1))
+          val tStats = tNow
+          if (cur.nKeys + nBatchKeys > cur.capacity)
+            exactAndRebuild(incoming,
+              recordKeys = cur.nKeys + nBatchKeys, minCapacity = cur.capacity * 4)
+          else {
+            // merge the batch's keys into the next version BEFORE the
+            // append — the superset invariant holds at every crash point,
+            // exactly as on the small path
+            BloomStore.writeMerged(targetPath, Some(cur), hashDf,
+              cur.capacity, cur.nBits, cur.nKeys + nBatchKeys)
+            val tMerge = tNow
+            val base = if (dedupBatch) incoming.dropDuplicates(key) else incoming
+            val novel =
+              if (nCand == 0L) base // zero candidates: NO history read
+              else if (nCand <= PointLookupMax) {
+                val candKeys = incoming
+                  .filter(call_function("graft_bloom_might_file",
+                    lit(cur.file.toString), xxhash64(col(key))))
+                  .select(col(key)).distinct().collect().map(_.get(0)).toSeq
+                val found = spark.read.parquet(targetPath).select(key)
+                  .filter(col(key).isInCollection(candKeys))
+                  .distinct().collect().map(_.get(0)).toSet
+                if (found.isEmpty) base
+                else base.filter(col(key).isNull ||
+                  !col(key).isInCollection(found.toSeq))
+              } else {
+                // batch-scale candidates — a replay: the exact anti-join
+                // is the correct (and unavoidable) resolution
+                novelAgainst(base, spark.read.parquet(targetPath).select(key))
+              }
+            expand(novel).write.mode(SaveMode.Append).parquet(targetPath)
+            if (dbg) System.err.println(f"[sketch-large] keys~$nBatchKeys " +
+              f"cand=$nCand stats=${(tStats - t1) / 1e9}%.2f " +
+              f"merge=${(tMerge - tStats) / 1e9}%.2f " +
+              f"resolve+write=${(tNow - tMerge) / 1e9}%.2f " +
+              f"wall=${(tNow - t0) / 1e9}%.2f")
+          }
+          return
+        }
         val distinct = hashArr.toSet
         val nBatchKeys = distinct.size.toLong
         // equal counts ⇒ no duplicate hashes ⇒ no duplicate keys: the write
@@ -334,7 +428,31 @@ object Sinks {
     * delivery × key-idempotent writes: a replayed micro-batch (restart
     * without a committed epoch) re-offers rows whose keys already exist and
     * appends nothing. The per-batch dedup guards duplicate keys INSIDE one
-    * batch; the anti-join guards across batches and restarts.
+    * batch; the cross-batch/restart guard is the SKETCHED insert-ignore
+    * ([[appendInsertIgnoreSketched]], r11 — previously the plain
+    * [[appendInsertIgnore]]): the per-batch key read is the maintained
+    * Bloom file, never the growing target's key history; the exact
+    * anti-join runs only on replays (where the candidate set is
+    * batch-scale and the full resolution is unavoidable) and on rare
+    * false-positive hits (resolved as pushed-down point lookups).
+    *
+    * Per-batch read-shape audit of every streaming sink here (r10 verdict
+    * task 5):
+    *  - [[streamInsertIgnore]], [[streamQuarantine]] (both legs),
+    *    [[streamVectorIndex]], [[streamBandIndex]]: sketched — O(sketch)
+    *    per batch, never O(history).
+    *  - [[streamScd2]]: EXEMPT by algebra — the SCD2 merge must join each
+    *    batch against the dimension's OPEN SLICE (is_current rows) to close
+    *    changed versions; that read is dimension-sized by definition, and a
+    *    dimension (entities) grows ~log-scale vs its fact stream. A Bloom
+    *    sketch cannot answer "which tracked attrs does the open row carry".
+    *  - [[streamSketchStore]]: reads its own store per batch, but the store
+    *    is the AGGREGATE — bounded by |days × event_types|, not by event
+    *    history; the re-read is group-count-sized forever.
+    *  - [[streamDailyRollup]]: reads only the batch's AFFECTED DAY
+    *    partitions (static pruning over a driver literal day list) on both
+    *    the anti-join and the refresh — bounded by days-per-batch, not
+    *    history (measured 74.8 → 38.7 s at the 100× replica).
     *
     * Returns the started query; callers drive it (the default AvailableNow
     * for cron-equivalent runs, processing-time triggers for continuous).
@@ -347,7 +465,7 @@ object Sinks {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendInsertIgnore(batch, targetPath, key)
+        appendInsertIgnoreSketched(batch, targetPath, key)
         postAppendHook(batchId)
       }
       .trigger(trigger)

@@ -140,6 +140,45 @@ class SinksSpec extends SparkSpecBase {
       "replay after full torn batch must append nothing")
   }
 
+  test("appendInsertIgnoreSketched: large-batch distributed shape matches small-path semantics") {
+    // drive the bulk branch (executor-side file probe + graft_bloom_agg
+    // update, no driver hash collect) by lowering the size gate: first
+    // batch large (distributed bootstrap), replay of it (batch-scale
+    // candidates -> exact anti-join), overlapping large batch, then a
+    // SMALL batch on the same store — both shapes must interoperate on
+    // one sketch lineage
+    val saved = Sinks.SmallBatchMaxRows
+    Sinks.SmallBatchMaxRows = 8
+    try {
+      val dir = Files.createTempDirectory("graft_sk_large").toString + "/t"
+      val b0 = spark.range(0, 40).select(col("id"), lit("x").as("v"))
+      Sinks.appendInsertIgnoreSketched(b0, dir, "id")
+      assert(spark.read.parquet(dir).count() == 40)
+      Sinks.appendInsertIgnoreSketched(b0, dir, "id") // replay: no-op
+      assert(spark.read.parquet(dir).count() == 40)
+      // overlap [20, 60): only [40, 60) lands
+      val b1 = spark.range(20, 60).select(col("id"), lit("y").as("v"))
+      Sinks.appendInsertIgnoreSketched(b1, dir, "id")
+      assert(spark.read.parquet(dir).count() == 60)
+      // small batch (under the gate) rides the same sketch lineage
+      val b2 = Seq((59L, "dup"), (60L, "z")).toDF("id", "v")
+      Sinks.appendInsertIgnoreSketched(b2, dir, "id")
+      assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+        == (0L to 60L))
+      // superset invariant across both shapes
+      val ref = graft.sources.BloomStore.latest(dir).get
+      val in = Files.newInputStream(ref.file)
+      val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+      val hashes = spark.read.parquet(dir).select(xxhash64(col("id"))).as[Long].collect()
+      assert(hashes.forall(bf.mightContainLong), "sketch must be a superset of target keys")
+      // within-batch dedup holds on the large shape too
+      val dirD = Files.createTempDirectory("graft_sk_large_dup").toString + "/t"
+      val dup = spark.range(0, 20).select((col("id") % 10).as("id"), lit("d").as("v"))
+      Sinks.appendInsertIgnoreSketched(dup, dirD, "id")
+      assert(spark.read.parquet(dirD).count() == 10)
+    } finally Sinks.SmallBatchMaxRows = saved
+  }
+
   test("appendInsertIgnoreSketched: legacy bootstrap and capacity rebuild stay exact") {
     // target created by the PLAIN append (no sketch) — first sketched batch
     // must bootstrap from the target's true keys
