@@ -506,6 +506,11 @@ object SparkEntry {
     // the quality gate that makes the ANN faces shippable (r8 verdict task
     // 1). Oracle is generated (it composes the lsh + trained-ivf oracles).
     "q_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // knob sweep over the tunable faces (r10 verdict task 6): recall@5 at
+    // multiprobe flips 4/6/8, IVF nprobe 2/4/8, PQ rerank shortlist
+    // 20/50/100 — the recall/IO trade-off as a table. Oracle is generated
+    // (the same parameterized statements the standalone faces check).
+    "q_ann_recall_sweep" -> ((s, d) => Similarity.annRecallSweep(s, d)),
     "q_embed_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d, 0.2)),
     // SemDeDup-style semantic dedup: trained-quantizer clustering as the
     // blocking, drop-by-any-smaller-id within a cluster at cosine ≥ 0.2.
@@ -2118,34 +2123,7 @@ object SparkEntry {
          |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
          |WHERE rnk <= 5""".stripMargin,
 
-    "q_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
-         |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm2 AS cnrm2
-         |      FROM e WHERE vec_id < 16),
-         |crossed AS (
-         |  SELECT e.vec_id, c.centroid_id,
-         |    ${sqlDot("e.embedding", "c.cvec")} / (sqrt(e.nrm2) * sqrt(c.cnrm2)) AS ccos
-         |  FROM e CROSS JOIN c),
-         |assign AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id AS query_id, centroid_id FROM (
-         |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC, centroid_id) AS rn
-         |    FROM crossed WHERE vec_id < 10) WHERE rn <= 4),
-         |pairs AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
-         |  FROM probes p
-         |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
-         |  JOIN e q ON q.vec_id = p.query_id
-         |  JOIN e n ON n.vec_id = a.vec_id)
-         |SELECT query_id, neighbor_id, rnk, cosine FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
-         |WHERE rnk <= 5""".stripMargin,
+    "q_ann_ivf" -> sqlIvf(graft.operators.Similarity.IvfProbe),
 
     "q_quality_score" -> {
       val toks = sqlTokens("text")
@@ -3197,7 +3175,8 @@ object SparkEntry {
       (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index"),
         () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
-      (Seq("q_ann_recall"), () => annRecallOracle(s, d)))
+      (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
+      (Seq("q_ann_recall_sweep"), () => annRecallSweepOracle(s, d)))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
       case ((ok, errs), (names, gen)) =>
         try (ok ++ gen(), errs)
@@ -3210,7 +3189,7 @@ object SparkEntry {
 
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] =
     pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d) ++
-      pqOracles(s, d) ++ annRecallOracle(s, d)
+      pqOracles(s, d) ++ annRecallOracle(s, d) ++ annRecallSweepOracle(s, d)
 
   /** Mirror of [[graft.operators.Similarity.pqTopK]] over the SAME fitted
     * codebooks (memoized — query run and generator see one model instance,
@@ -3221,7 +3200,10 @@ object SparkEntry {
     * element where Spark's `aggregate` starts at 0.0 — identical doubles
     * because 0.0 + x == x in IEEE.
     */
-  private def pqOracles(s: SparkSession, d: String): Map[String, String] = {
+  /** Shared PQ compressed-index CTE block (codebook literals, codes,
+    * reconstruction) — the `WITH` interior every PQ statement opens with.
+    * Codebooks are memoized, so repeated builders see one fitted model. */
+  private def pqIndexSql(s: SparkSession, d: String): String = {
     val books = Similarity.trainedPqCodebooks(s, d)
     val (mN, kN, sub) = (Similarity.PqM, Similarity.PqK, Similarity.PqSubDim)
     // SCIENTIFIC notation, not Double.toString: DuckDB types plain decimal
@@ -3232,12 +3214,9 @@ object SparkEntry {
     val cbLit = books.map(_.map(_.map(v =>
         String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    // pqIndex: the compressed-index CTEs (codebook, codes, reconstruction)
-    // shared by all three PQ statements; `pairs` (the full-corpus ADC scan)
-    // belongs only to the standalone PQ faces — IVF-PQ replaces it with the
-    // cell-bounded candidate set.
-    val pqIndex =
-      s"""cb AS (
+    // `pairs` (the full-corpus ADC scan) belongs only to the standalone PQ
+    // faces — IVF-PQ replaces it with the cell-bounded candidate set.
+    s"""cb AS (
          |  SELECT CAST(rm.i - 1 AS INTEGER) AS m, CAST(rk.i - 1 AS INTEGER) AS code,
          |    t.cbs[rm.i][rk.i] AS csub
          |  FROM (SELECT $cbLit AS cbs) t, range(1, ${mN + 1}) rm(i), range(1, ${kN + 1}) rk(i)),
@@ -3265,12 +3244,42 @@ object SparkEntry {
          |    list_reduce(list_transform(range(1, ${Similarity.Dims + 1}),
          |      i -> rv[i] * rv[i]), (x, y) -> x + y) AS rnrm2
          |  FROM recon)""".stripMargin
-    val core =
-      s"""WITH $pqIndex,
-         |pairs AS (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    ${sqlDot("q.embedding", "n.rv")} / (sqrt(q.nrm2) * sqrt(n.rnrm2)) AS approx_cosine
-         |  FROM e q JOIN rn2 n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)""".stripMargin
+  }
+
+  /** [[pqIndexSql]] + the full-corpus ADC `pairs` CTE — the statement
+    * prefix of both standalone PQ faces and every rerank-shortlist row. */
+  private def pqPairsCoreSql(s: SparkSession, d: String): String =
+    s"""WITH ${pqIndexSql(s, d)},
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${sqlDot("q.embedding", "n.rv")} / (sqrt(q.nrm2) * sqrt(n.rnrm2)) AS approx_cosine
+       |  FROM e q JOIN rn2 n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)""".stripMargin
+
+  /** ADC shortlist (top-`shortlist` by approximate cosine) + exact-cosine
+    * rerank — the production two-stage recipe, shortlist parameterized so
+    * the recall sweep reuses the exact statement the standalone face is
+    * checked against. */
+  private def sqlPqRerank(core: String, shortlist: Int): String =
+    s"""$core,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_cosine DESC, neighbor_id) AS rn FROM pairs)
+       |  WHERE rn <= $shortlist),
+       |exactp AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+       |  FROM short s
+       |  JOIN e q ON q.vec_id = s.query_id
+       |  JOIN e n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM exactp)
+       |WHERE rnk <= 5""".stripMargin
+
+  private def pqOracles(s: SparkSession, d: String): Map[String, String] = {
+    val pqIndex = pqIndexSql(s, d)
+    val core = pqPairsCoreSql(s, d)
     // the trained coarse quantizer's CTEs (mirrors centroidOracles' trained
     // IVF assign/probe dataflow) — the cell bound IVF-PQ composes with
     val cents = Similarity.trainedCentroids(s, d)
@@ -3305,25 +3314,9 @@ object SparkEntry {
            |    ORDER BY approx_cosine DESC, neighbor_id) AS rnk FROM pairs)
            |WHERE rnk <= 5""".stripMargin,
 
-      // ADC shortlist (same pairs CTE, top-50) + exact cosine rerank over
-      // raw vectors — the production two-stage recipe
-      "q_ann_pq_rerank" ->
-        s"""$core,
-           |short AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |      ORDER BY approx_cosine DESC, neighbor_id) AS rn FROM pairs)
-           |  WHERE rn <= ${Similarity.PqShortlist}),
-           |exactp AS (
-           |  SELECT s.query_id, s.neighbor_id,
-           |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
-           |  FROM short s
-           |  JOIN e q ON q.vec_id = s.query_id
-           |  JOIN e n ON n.vec_id = s.neighbor_id)
-           |SELECT query_id, neighbor_id, rnk, cosine FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM exactp)
-           |WHERE rnk <= 5""".stripMargin,
+      // ADC shortlist + exact cosine rerank over raw vectors — the
+      // production two-stage recipe ([[sqlPqRerank]], shared with the sweep)
+      "q_ann_pq_rerank" -> sqlPqRerank(core, Similarity.PqShortlist),
 
       // IVF-PQ: trained-cell probes bound the candidates, ADC over codes
       // scores them, exact rerank of the shortlist — the FAISS default
@@ -3406,6 +3399,53 @@ object SparkEntry {
          |  ON h.method = spine.method AND h.query_id = spine.query_id""".stripMargin)
   }
 
+  /** Mirror of [[graft.operators.Similarity.annRecallSweep]]: the same
+    * recall spine as [[annRecallOracle]], but each row family is one
+    * tunable face at three knob settings — the parameterized statement
+    * builders ([[sqlMultiProbe]], [[sqlIvf]], [[sqlPqRerank]]) are the
+    * exact statements the standalone faces are checked against.
+    */
+  private def annRecallSweepOracle(s: SparkSession, d: String): Map[String, String] = {
+    val exactSql = oracleSql("q_ann_cosine")
+    val planes = Similarity.lshPlanes(s, d)
+    val core = pqPairsCoreSql(s, d)
+    val methods: Seq[(String, String)] = Seq(
+      "multiprobe_f4" -> sqlMultiProbe(planes, 4),
+      "multiprobe_f6" -> sqlMultiProbe(planes, 6),
+      "multiprobe_f8" -> sqlMultiProbe(planes, 8),
+      "ivf_p2" -> sqlIvf(2),
+      "ivf_p4" -> sqlIvf(4),
+      "ivf_p8" -> sqlIvf(8),
+      "pq_rerank_s20" -> sqlPqRerank(core, 20),
+      "pq_rerank_s50" -> sqlPqRerank(core, 50),
+      "pq_rerank_s100" -> sqlPqRerank(core, 100))
+    val ctes = methods.zipWithIndex.map { case ((_, sql), i) =>
+      s"a_$i AS (SELECT query_id, neighbor_id FROM ($sql))"
+    }.mkString(",\n")
+    val union = methods.zipWithIndex.map { case ((m, _), i) =>
+      s"SELECT '$m' AS method, query_id, neighbor_id FROM a_$i"
+    }.mkString("\n  UNION ALL ")
+    val values = methods.map { case (m, _) => s"('$m')" }.mkString(", ")
+    Map("q_ann_recall_sweep" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($exactSql)),
+         |$ctes,
+         |approx AS (
+         |  $union),
+         |hits AS (
+         |  SELECT a.method, a.query_id, count(*) AS n_hits
+         |  FROM approx a JOIN exact e USING (query_id, neighbor_id)
+         |  GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT m.method, q.query_id
+         |  FROM (SELECT DISTINCT query_id FROM exact) q
+         |  CROSS JOIN (VALUES $values) m(method))
+         |SELECT spine.method, spine.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+         |FROM spine LEFT JOIN hits h
+         |  ON h.method = spine.method AND h.query_id = spine.query_id""".stripMargin)
+  }
+
   /** Graph-derived PageRank scale (overflow guard): the query run derives
     * the same constant from the same node count, so both embed S = 10^12
     * here and would both drop to 10^8 on a 10^9-node corpus.
@@ -3469,14 +3509,47 @@ object SparkEntry {
            |WHERE cosine >= 0.2""".stripMargin)
   }
 
+  /** Mirror of [[graft.operators.Similarity.ivfTopK]] at an explicit probe
+    * count — static but parameterized, so the recall sweep's nprobe rows
+    * reuse the exact statement the standalone face is checked against. */
+  private def sqlIvf(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm2 AS cnrm2
+       |      FROM e WHERE vec_id < 16),
+       |crossed AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    ${sqlDot("e.embedding", "c.cvec")} / (sqrt(e.nrm2) * sqrt(c.cnrm2)) AS ccos
+       |  FROM e CROSS JOIN c),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, centroid_id) AS rn
+       |    FROM crossed WHERE vec_id < 10) WHERE rn <= $nprobe),
+       |pairs AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+       |  FROM probes p
+       |  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e n ON n.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, rnk, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+       |WHERE rnk <= 5""".stripMargin
+
   /** Mirror of [[graft.operators.Similarity.lshMultiProbeTopK]]: per-plane
     * query projections, flip planes = the `fp` lowest-|proj| plane ids
     * ((|proj|, plane) order — total, so both engines pick identical flip
     * sets), 2^fp probe buckets via XOR of bit subsets, exact-cosine rerank
     * of the probed buckets' union.
     */
-  private def sqlMultiProbe(planes: Int): String = {
-    val fp = math.min(graft.operators.Similarity.MultiProbeFlipPlanes, planes)
+  private def sqlMultiProbe(planes: Int,
+      flipPlanes: Int = graft.operators.Similarity.MultiProbeFlipPlanes): String = {
+    val fp = math.min(flipPlanes, planes)
     val planeVal = "((CAST(" +
       "CAST(concat('0x', substring(md5('plane' || CAST(r.p AS VARCHAR) || '~' || CAST(i-1 AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)" +
       " AS DOUBLE) / 576460752303423488.0) - 1.0)"

@@ -304,7 +304,8 @@ object Similarity {
     * centroids come from a sampled k-means; the dataflow — broadcast
     * centroids, cell-keyed candidate join, two-stage top-k — is unchanged.
     */
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = IvfProbe): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
@@ -320,7 +321,7 @@ object Similarity {
     val probes = crossed.filter(col("vec_id") < 10)
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
-      .filter(col("rn") <= IvfProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val scored = probes
       .join(assign.filter(col("vec_id") >= 0), Seq("centroid_id"))
@@ -500,17 +501,45 @@ object Similarity {
     * exact scan (the brute-force baseline), which at 100 TB runs over a
     * SAMPLED query set exactly as it does here (vec_id < 10).
     */
-  def annRecall(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    import s.implicits._
-    val exact = bruteForceTopK(s, d, k).select(col("query_id"), col("neighbor_id"))
-    val methods: Seq[(String, DataFrame)] = Seq(
+  def annRecall(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    recallAgainstExact(s, d, k, Seq(
       "lsh" -> lshTopK(s, d, k),
       "lsh_multiprobe" -> lshMultiProbeTopK(s, d, k),
       "ivf" -> ivfTopK(s, d, k),
       "ivf_trained" -> ivfTopKTrained(s, d, k),
       "pq" -> pqTopK(s, d, k),
       "pq_rerank" -> pqRerankTopK(s, d, k),
-      "ivf_pq" -> ivfPqTopK(s, d, k))
+      "ivf_pq" -> ivfPqTopK(s, d, k)))
+
+  /** Knob sweep over the tunable ANN faces ([[annRecall]]'s sibling, r10
+    * verdict task 6): recall@k per (method×knob, query) so the recall/IO
+    * trade-off each face's scaladoc narrates is a TABLE a user can read —
+    * multiprobe flip count (probed buckets = 2^f), IVF nprobe (cells
+    * scanned ∝ nprobe/nlist), PQ rerank shortlist (exact distances
+    * computed per query). Each knob family is structurally monotone: a
+    * larger knob probes a SUPERSET of candidates, so per-query recall is
+    * non-decreasing along the family (AnnSweepSpec pins exactly that, plus
+    * measured floors).
+    */
+  def annRecallSweep(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    recallAgainstExact(s, d, k, Seq(
+      "multiprobe_f4" -> lshMultiProbeTopK(s, d, k, flipPlanes = 4),
+      "multiprobe_f6" -> lshMultiProbeTopK(s, d, k, flipPlanes = 6),
+      "multiprobe_f8" -> lshMultiProbeTopK(s, d, k, flipPlanes = 8),
+      "ivf_p2" -> ivfTopK(s, d, k, nprobe = 2),
+      "ivf_p4" -> ivfTopK(s, d, k, nprobe = 4),
+      "ivf_p8" -> ivfTopK(s, d, k, nprobe = 8),
+      "pq_rerank_s20" -> pqRerankTopK(s, d, k, shortlist = 20),
+      "pq_rerank_s50" -> pqRerankTopK(s, d, k, shortlist = 50),
+      "pq_rerank_s100" -> pqRerankTopK(s, d, k, shortlist = 100)))
+
+  /** Shared recall spine: |approx top-k ∩ exact top-k| / k per (method,
+    * query), with a queries × methods spine so empty result sets appear
+    * at 0 rather than vanishing. */
+  private def recallAgainstExact(s: SparkSession, d: String, k: Int,
+      methods: Seq[(String, DataFrame)]): DataFrame = {
+    import s.implicits._
+    val exact = bruteForceTopK(s, d, k).select(col("query_id"), col("neighbor_id"))
     val approx = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
