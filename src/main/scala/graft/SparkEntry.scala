@@ -3191,15 +3191,6 @@ object SparkEntry {
     pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d) ++
       pqOracles(s, d) ++ annRecallOracle(s, d) ++ annRecallSweepOracle(s, d)
 
-  /** Mirror of [[graft.operators.Similarity.pqTopK]] over the SAME fitted
-    * codebooks (memoized — query run and generator see one model instance,
-    * serialized as shortest-round-trip double literals): subspace L2²
-    * assignment with (d2, code) tie order, m-ordered reconstruction, and
-    * the asymmetric approximate cosine ranked with the neighbor-id
-    * tiebreak. Fold-order parity: DuckDB `list_reduce` starts at the first
-    * element where Spark's `aggregate` starts at 0.0 — identical doubles
-    * because 0.0 + x == x in IEEE.
-    */
   /** Shared PQ compressed-index CTE block (codebook literals, codes,
     * reconstruction) — the `WITH` interior every PQ statement opens with.
     * Codebooks are memoized, so repeated builders see one fitted model. */
@@ -3277,6 +3268,15 @@ object SparkEntry {
        |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM exactp)
        |WHERE rnk <= 5""".stripMargin
 
+  /** Mirror of [[graft.operators.Similarity.pqTopK]] over the SAME fitted
+    * codebooks (memoized — query run and generator see one model instance,
+    * serialized as shortest-round-trip double literals): subspace L2²
+    * assignment with (d2, code) tie order, m-ordered reconstruction, and
+    * the asymmetric approximate cosine ranked with the neighbor-id
+    * tiebreak. Fold-order parity: DuckDB `list_reduce` starts at the first
+    * element where Spark's `aggregate` starts at 0.0 — identical doubles
+    * because 0.0 + x == x in IEEE.
+    */
   private def pqOracles(s: SparkSession, d: String): Map[String, String] = {
     val pqIndex = pqIndexSql(s, d)
     val core = pqPairsCoreSql(s, d)

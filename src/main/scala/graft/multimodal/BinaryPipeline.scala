@@ -65,6 +65,21 @@ object BinaryPipeline {
 
     val SampleRateHz = 8000f
 
+    /** Decode image bytes to a raster, or fail loudly (ImageIO.read
+      * returns null on an unrecognized payload). */
+    def readImage(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    /** Encode a raster as PNG bytes. */
+    def writePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Encode a solid-RGB PNG (fixture generator; any PNG decodes). */
     def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
@@ -74,15 +89,12 @@ object BinaryPipeline {
         while (x < width) { img.setRGB(x, y, rgb); x += 1 }
         y += 1
       }
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      writePng(img)
     }
 
     /** Decode an image payload: (width, height, Σ(r+g+b) over pixels). */
     def decodeImage(payload: Array[Byte]): (Int, Int, Long) = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "undecodable image payload")
+      val img = readImage(payload)
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L
       var y = 0
@@ -232,9 +244,7 @@ object BinaryPipeline {
       it.map { r =>
         if (r.kind == "image") {
           import java.awt.image.BufferedImage
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          require(img != null, "undecodable image payload")
+          val img = MediaCodecs.readImage(r.payload)
           val (w, h) = (img.getWidth, img.getHeight)
           val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
           val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
@@ -244,9 +254,7 @@ object BinaryPipeline {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, nw, nh, null)
           g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          ResizedMedia(r.media_id, r.kind, bos.toByteArray, r.source, w, h)
+          ResizedMedia(r.media_id, r.kind, MediaCodecs.writePng(out), r.source, w, h)
         } else {
           val (w, h) = FakeDecoder.decode(r.payload)
           val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))

@@ -154,6 +154,9 @@ object Sinks {
       expand: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     val spark = incoming.sparkSession
+    // read the (test-adjustable) gate ONCE per batch so both the limit
+    // plan and the comparison see one value
+    val smallMax = SmallBatchMaxRows
     val targetExists =
       try { spark.read.parquet(targetPath).schema; true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
@@ -190,9 +193,9 @@ object Sinks {
         // hashes; a bulk first load builds it with one distributed
         // `graft_bloom_agg` aggregation instead.
         val hashDf0 = incoming.select(xxhash64(col(key)).as("h"))
-        val hs = hashDf0.limit(SmallBatchMaxRows + 1)
+        val hs = hashDf0.limit(smallMax + 1)
           .collect().map(_.getLong(0))
-        if (hs.length > SmallBatchMaxRows) {
+        if (hs.length > smallMax) {
           // approx distinct is enough here: the estimate only sizes the
           // sketch (inflated 5%, then 4× geometric headroom so the next
           // bulk batch doesn't trigger an immediate outgrown-rebuild) and
@@ -253,30 +256,38 @@ object Sinks {
         val dbg = sys.env.contains("SPARK_GRAFT_SKETCH_DEBUG")
         val t0 = tNow
         val hashDf = incoming.select(xxhash64(col(key)).as("h"))
-        val hashArr = hashDf.limit(SmallBatchMaxRows + 1)
+        val hashArr = hashDf.limit(smallMax + 1)
           .collect().map(_.getLong(0))
         val t1 = tNow
-        if (hashArr.length > SmallBatchMaxRows) {
-          // one map-side-partial agg: batch size, approx key count (sizing
-          // and accounting only — see the bulk first-batch note), and the
-          // candidate count via the executor-side probe of the published
-          // (immutable) sketch file
+        if (hashArr.length > smallMax) {
+          // ONE distributed agg over the batch's hashes: approx key count
+          // (sizing/accounting only — see the bulk first-batch note),
+          // approx DISTINCT candidate count (keys, not rows: a multi-row-
+          // per-key batch must not fall off the point-lookup path just
+          // because its few candidate KEYS span many rows) via the
+          // executor-side probe of the published (immutable) sketch file,
+          // and the batch's bloom bytes at the current sizing — so the
+          // scan is paid once, not once per statistic
           val probe = call_function("graft_bloom_might_file",
             lit(cur.file.toString), col("h"))
           val st = hashDf.agg(
             approx_count_distinct(col("h")).as("nd"),
-            count(when(probe, 1)).as("nc")).head()
+            approx_count_distinct(when(probe, col("h"))).as("nc"),
+            call_function("graft_bloom_agg", col("h"),
+              lit(cur.capacity), lit(cur.nBits)).as("bf")).head()
           val (nBatchKeys, nCand) =
             (math.max(1L, (st.getLong(0) * 1.05).toLong), st.getLong(1))
           val tStats = tNow
           if (cur.nKeys + nBatchKeys > cur.capacity)
+            // discard the built bytes — the rare rebuild resizes anyway
             exactAndRebuild(incoming,
               recordKeys = cur.nKeys + nBatchKeys, minCapacity = cur.capacity * 4)
           else {
             // merge the batch's keys into the next version BEFORE the
             // append — the superset invariant holds at every crash point,
             // exactly as on the small path
-            BloomStore.writeMerged(targetPath, Some(cur), hashDf,
+            BloomStore.publishMerged(targetPath, Some(cur),
+              st.getAs[Array[Byte]]("bf"),
               cur.capacity, cur.nBits, cur.nKeys + nBatchKeys)
             val tMerge = tNow
             val base = if (dedupBatch) incoming.dropDuplicates(key) else incoming

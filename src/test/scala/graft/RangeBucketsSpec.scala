@@ -57,6 +57,39 @@ class RangeBucketsSpec extends SparkSpecBase {
     assert(rows == Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
   }
 
+  test("low-cardinality keys keep every value (rate from distinct count, not rows)") {
+    // 60k rows over 100 distinct values: a ROW-count-derived sample rate
+    // (60000/1000 = keep-1-in-60) would survive ~2 distinct values and
+    // collapse the recipes to ~2 buckets (the l_shipdate-at-100x hazard);
+    // the distinct-derived rate keeps all 100, giving the full cut set —
+    // exact population quantiles
+    val df = spark.range(0, 60000, 1, 16)
+      .select((col("id") % 100).cast("double").as("k"))
+    val cs = RangeBuckets.cuts(df, col("k"), N, targetSample = 1000)
+    assert(cs.length == N - 1, s"expected ${N - 1} cuts, got ${cs.length}")
+    val pops = df.withColumn("b", RangeBuckets.bucketByCuts(col("k"), cs))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(pops.size == N && pops.values.max <= 2 * (60000 / N),
+      s"uniform low-cardinality key must fill all buckets: $pops")
+  }
+
+  test("a heavy-hitter value collects as ONE (value, freq) pair, cuts stay total") {
+    // one value holds 50% of rows — the sample must not materialize its
+    // multiplicity on the driver, and the cut walk must emit each value at
+    // most once (strictly increasing cuts) with the hot value's weight
+    // concentrated in one bucket
+    val skew = spark.range(0, 40000, 1, 8)
+      .select(when(col("id") % 2 === 0, lit(500.0))
+        .otherwise((col("id") % 1000).cast("double")).as("k"))
+    val cs = RangeBuckets.cuts(skew, col("k"), 8, targetSample = 100000)
+    assert(cs.nonEmpty && cs.toSeq == cs.sorted.toSeq && cs.distinct.length == cs.length)
+    val pops = skew.withColumn("b", RangeBuckets.bucketByCuts(col("k"), cs))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    // every non-hot bucket holds <= ~1/8 of the non-hot mass + slack; the
+    // hot bucket is irreducibly ~50% (a single value cannot split)
+    assert(pops.values.count(_ > 22000) <= 1, s"more than one hot bucket: $pops")
+  }
+
   test("degenerate domains collapse to one bucket, never throw") {
     val one = Seq(7.0, 7.0, 7.0).toDF("k")
     assert(RangeBuckets.cuts(one, col("k"), N).isEmpty)
