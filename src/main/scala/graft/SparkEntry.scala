@@ -282,7 +282,7 @@ object SparkEntry {
       settledStream(s,
         EventStreamJob.tumblingAgg(
           EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))),
-        "q_stream_tumbling_sink", "append")
+        "q_stream_tumbling_sink", "append", landing)
         .filter(col("event_type") =!= "sentinel")
     }),
 
@@ -302,7 +302,7 @@ object SparkEntry {
         EventStreamJob.dedupStream(
           EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1)))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value")),
-        "q_stream_dedup_sink", "append")
+        "q_stream_dedup_sink", "append", landing)
     }),
 
     //    custom-state sessionization (flatMapGroupsWithState) under the SAME
@@ -330,7 +330,7 @@ object SparkEntry {
         EventStreamJob.anomalyStream(
           EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1)))
           .toDF(),
-        "q_stream_anomaly_sink", "append")
+        "q_stream_anomaly_sink", "append", landing)
     }),
 
     "q_stream_sessions" -> ((s, d) => {
@@ -349,7 +349,7 @@ object SparkEntry {
         EventStreamJob.sessionizeStream(
           EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1)))
           .toDF(),
-        "q_stream_sessions_sink", "append")
+        "q_stream_sessions_sink", "append", landing)
     }),
 
     //    stream-stream interval join (purchases ⋈ same-user views from the
@@ -366,7 +366,7 @@ object SparkEntry {
       settledStream(s,
         EventStreamJob.purchaseViewJoinStream(
           EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))),
-        "q_stream_join_sink", "append")
+        "q_stream_join_sink", "append", landing)
     }),
 
     //    stream-stream LEFT OUTER interval join: the settled output must
@@ -396,7 +396,7 @@ object SparkEntry {
       settledStream(s,
         EventStreamJob.purchaseViewLeftJoinStream(
           EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))),
-        "q_stream_left_join_sink", "append")
+        "q_stream_left_join_sink", "append", landing)
         .filter(col("purchase_id") >= 0)
     }),
 
@@ -420,7 +420,7 @@ object SparkEntry {
           .join(broadcast(cohort), Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("cohort_day"),
             col("event_type"), col("value")),
-        "q_stream_enrich_sink", "append")
+        "q_stream_enrich_sink", "append", landing)
     }),
 
     // -- correlated subqueries (the ad-hoc SQL surface, TPC-H q4/q17 class;
@@ -1029,45 +1029,57 @@ object SparkEntry {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** State partitions for the harness streams. A stateful query's shuffle
-    * partition count is pinned into its checkpoint at batch 0, and every
-    * micro-batch then pays per-partition state-store open/commit I/O on
-    * every stateful operator — a stream-stream join keeps four stores per
-    * partition, so the session-wide 32 meant ~6 batches × 32 × 4 × 2 sides
-    * of store commits for kilobyte-sized state (over half of
-    * q_stream_join's 60 s wall at sf0.1). A production cluster sizes this
-    * knob to ITS batch volume the same way — deliberately, per stream, not
-    * from the batch-side default.
+  /** State partitions for a harness stream, SIZED TO ITS STAGED VOLUME.
+    * A stateful query's shuffle partition count is pinned into its
+    * checkpoint at batch 0, and the two cost terms pull in opposite
+    * directions, so no constant serves both scales — the r11 phase
+    * attribution measured both regimes:
     *
-    * Why 4 (was 8 through r10): the r11 phase attribution measured
-    * state-store COMMIT time as the dominant per-batch term at 8 —
-    * q_stream_left_join spent a summed 14.8 s in commits (7 batches × 8
-    * partitions × 4 join stores ≈ 66 ms per commit of kilobyte state, pure
-    * checkpoint-file I/O). Halving the partitions cut that 3.5× (14.8 →
-    * 4.2 s; tumbling 3.6 → 0.9 s) with addBatch time flat — the faces are
-    * not compute-bound at 4 — which also shrinks the surface exposed to
-    * co-tenant disk stalls, the suspected r10 driver-window inflation
-    * (q_stream_tumbling 4.3 → 25.0 s with unchanged code). 2 partitions
-    * measured no further wall gain and narrows addBatch parallelism at the
-    * 100× probe volumes (32 batches × 2.5 M rows), so 4 is the floor.
+    *  - small batches are COMMIT-I/O-bound: every micro-batch pays
+    *    per-partition state-store open/commit on every stateful operator
+    *    (a stream-stream join keeps four stores per partition), ~66 ms per
+    *    commit of KILOBYTE state at sf0.1 — q_stream_left_join summed
+    *    14.8 s of commits at 8 partitions; 4 cut that 3.5× with addBatch
+    *    flat, and fewer partitions also shrink the surface exposed to
+    *    co-tenant disk stalls (the r10 driver-window inflation,
+    *    q_stream_tumbling 4.3 → 25.0 s with unchanged code);
+    *  - bulk batches are STATE-UPDATE-bound: at the 100× replica the join
+    *    faces summed ~1,225 s of state-update task time per query, and a
+    *    fixed 4 funneled it through 4 tasks (q_stream_join 179 s at 8 →
+    *    357 s at 4) while commit I/O was trivial (2.8 s).
+    *
+    * Hence ~4 MB of staged landing per partition, clamped to [4, 32]:
+    * sf0.1 landings (≈2 MB) sit at the commit-I/O floor, the 100× landings
+    * (≈180–400 MB) get the session's full width. A production cluster
+    * sizes this knob to ITS batch volume the same way — deliberately, per
+    * stream, not from the batch-side default. Deterministic per staging
+    * (pure function of the landing's bytes, which the per-(key, dataset)
+    * memo reuses across runs in one session).
     */
-  private val StreamStatePartitions = 4
+  private def streamStatePartitions(landing: String): Int = {
+    val bytes = withPathStream(java.nio.file.Files.list(
+      java.nio.file.Paths.get(landing)))(
+      _.mapToLong(p => java.nio.file.Files.size(p)).sum())
+    math.max(4, math.min(32, (bytes / (4L << 20)).toInt))
+  }
 
   /** Run a streaming frame to completion (AvailableNow) into a uniquely-named
     * memory sink and return the settled result. The catalog entry is dropped
     * immediately after the read — `Dataset` analysis is eager, so the
     * returned frame's resolved plan keeps the sink's rows alive while the
     * session's table list stays flat across repeated runs.
-    * `spark.sql.shuffle.partitions` is overridden to [[StreamStatePartitions]]
-    * strictly for the stream's lifetime (set → start/await → restore in
-    * finally); the harness is single-threaded per session, so no concurrent
-    * batch plan can observe the override.
+    * `spark.sql.shuffle.partitions` is overridden to
+    * [[streamStatePartitions]] of the stream's staged landing strictly for
+    * the stream's lifetime (set → start/await → restore in finally); the
+    * harness is single-threaded per session, so no concurrent batch plan
+    * can observe the override.
     */
   private def settledStream(s: SparkSession, df: DataFrame, base: String,
-      mode: String): DataFrame = {
+      mode: String, landing: String): DataFrame = {
     val name = s"${base}_${sinkSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions.toString)
+    s.conf.set("spark.sql.shuffle.partitions",
+      streamStatePartitions(landing).toString)
     try {
       val q = BenchPhases.timed("stream_wall")(
         graft.streaming.EventStreamJob.runAvailableNow(df, name, mode))
