@@ -434,6 +434,17 @@ object SparkEntry {
     "q_waiting_orders" -> (Analytics.waitingSuppliers _),
     // q2-class: correlated scalar MIN per part + achiever tie-break
     "q_min_cost_supplier" -> (Analytics.minCostSupplier _),
+    // -- the remaining TPC-H classes (q7/q8/q9/q10/q12/q14/q16/q19/q22);
+    //    schema-driven adaptations documented in RelFaces' scaladoc
+    "q7_nation_trade" -> (RelFaces.nationTradeVolume _),
+    "q8_market_share" -> (RelFaces.marketShare _),
+    "q9_profit_nation" -> (RelFaces.profitByNation _),
+    "q10_returned_items" -> (RelFaces.returnedItems _),
+    "q12_ship_lag" -> (RelFaces.shipLagPriority _),
+    "q14_promo_share" -> (RelFaces.promoShare _),
+    "q16_supplier_cnt" -> (RelFaces.supplierCountByPart _),
+    "q19_disjunctive" -> (RelFaces.disjunctiveRevenue _),
+    "q22_idle_rich" -> (RelFaces.idleRichCustomers _),
     "q_bag_set_ops" -> (Analytics.bagSetOps _),
     "q_global_rank" -> (Analytics.globalRank _),
 
@@ -2656,6 +2667,135 @@ object SparkEntry {
         |  FROM part p JOIN li ON li.l_partkey = p.p_partkey
         |  WHERE p.p_partkey % 13 = 0)
         |GROUP BY p_partkey, p_brand""".stripMargin,
+
+    // -- remaining TPC-H classes (see RelFaces scaladoc for the schema
+    //    adaptations). Money rides decimal sums; ratios/profit are IEEE ops
+    //    on identical doubles; counts CAST to BIGINT (DuckDB sums to HUGEINT)
+    "q7_nation_trade" ->
+      s"""SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS volume, count(*) AS n_lines
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation)
+         |    ON s_nationkey = s_nk
+         |  JOIN (SELECT n_nationkey AS c_nk, n_name AS cust_nation FROM nation)
+         |    ON c_nationkey = c_nk
+         |WHERE supp_nation IN ('NATION_3','NATION_7')
+         |  AND cust_nation IN ('NATION_3','NATION_7')
+         |  AND supp_nation <> cust_nation
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN $decRevenue ELSE 0 END)
+         |    AS DOUBLE) AS nation_volume,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS total_volume,
+         |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN $decRevenue ELSE 0 END)
+         |    AS DOUBLE) / CAST(sum($decRevenue) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN (SELECT p_partkey FROM part WHERE p_type = 'PROMO') ON l_partkey = p_partkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN (SELECT n_nationkey AS cust_nk FROM nation
+         |        JOIN region ON n_regionkey = r_regionkey
+         |        WHERE r_name = 'EUROPE') ON c_nationkey = cust_nk
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN (SELECT n_nationkey AS supp_nk, n_name AS supp_nation FROM nation)
+         |    ON s_nationkey = supp_nk
+         |GROUP BY o_year""".stripMargin,
+
+    "q9_profit_nation" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS revenue,
+         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * $decQty) AS DOUBLE)
+         |    AS retail_cost,
+         |  count(*) AS n_lines,
+         |  CAST(sum($decRevenue) AS DOUBLE)
+         |    - 0.6 * CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) * $decQty) AS DOUBLE)
+         |    AS sum_profit
+         |FROM lineitem
+         |  JOIN (SELECT p_partkey, p_retailprice FROM part
+         |        WHERE p_name LIKE '%red%') ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name, o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_ship_lag" ->
+      """SELECT lag_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                        CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
+        |         WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                        CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
+        |         ELSE 'SLOW' END AS lag_class
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |GROUP BY lag_class""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $decRevenue ELSE 0 END)
+         |    AS DOUBLE) AS promo_revenue,
+         |  CAST(sum($decRevenue) AS DOUBLE) AS total_revenue,
+         |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $decRevenue ELSE 0 END)
+         |    AS DOUBLE) / CAST(sum($decRevenue) AS DOUBLE) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT CAST(sum($decRevenue) AS DOUBLE) AS revenue, count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size <= 30 AND l_quantity BETWEEN 1 AND 35
+         |  AND ((p_brand = 'Brand#1' AND p_size <= 10
+         |        AND l_quantity BETWEEN 1 AND 15)
+         |    OR (p_brand = 'Brand#2' AND p_size <= 20
+         |        AND l_quantity BETWEEN 10 AND 25)
+         |    OR (p_brand = 'Brand#3' AND p_size <= 30
+         |        AND l_quantity BETWEEN 20 AND 35))""".stripMargin,
+
+    "q22_idle_rich" ->
+      """SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                     / count(*)
+        |                   FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n_name""".stripMargin,
 
     // q21-class double correlated subquery: EXISTS + NOT EXISTS over the
     // same fact — same text, each engine decorrelates its own way; ties in
