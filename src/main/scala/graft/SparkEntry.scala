@@ -445,6 +445,13 @@ object SparkEntry {
     "q16_supplier_cnt" -> (RelFaces.supplierCountByPart _),
     "q19_disjunctive" -> (RelFaces.disjunctiveRevenue _),
     "q22_idle_rich" -> (RelFaces.idleRichCustomers _),
+    // -- closing the set: with these, all 22 TPC-H query classes have an
+    //    oracle-checked face (the rest live in Analytics — see RelFaces doc)
+    "q6_forecast_revenue" -> (RelFaces.forecastRevenue _),
+    "q11_important_value" -> (RelFaces.importantPartValue _),
+    "q13_order_count_dist" -> (RelFaces.orderCountDistribution _),
+    "q15_top_supplier" -> (RelFaces.topSupplier _),
+    "q20_dominant_supplier" -> (RelFaces.dominantSuppliers _),
     "q_bag_set_ops" -> (Analytics.bagSetOps _),
     "q_global_rank" -> (Analytics.globalRank _),
 
@@ -2796,6 +2803,76 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY n_name""".stripMargin,
+
+    // q6-class: joinless pushdown scan-agg; discount values are exact
+    // two-decimal doubles, the band compare is IEEE-identical in both engines
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // q11-class: HAVING against the global aggregate — scale-invariant cut
+    // (value*n_parts > 2*total) in exact decimal, no IEEE division
+    "q11_important_value" ->
+      """WITH bp AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM bp
+        |WHERE value_dec * (SELECT count(*) FROM bp)
+        |      > (SELECT sum(value_dec) FROM bp) * 2""".stripMargin,
+
+    // q13-class: the exclusion lives in the JOIN's ON clause (not WHERE) so
+    // zero-order customers survive into the histogram
+    "q13_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    // q15-class: all achievers of the exact-decimal max survive — no
+    // tiebreak needed for determinism
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum($decRevenue) AS rev_dec
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)""".stripMargin,
+
+    // q20-class: nested two-level aggregate + scale-invariant dominance
+    // threshold in exact arithmetic (q*n_suppliers > 2*total — no division),
+    // rolled up per supplier nation
+    "q20_dominant_supplier" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, sum($decQty) AS q_dec
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_name LIKE '%blue%'
+         |  GROUP BY l_partkey, l_suppkey),
+         |pt AS (SELECT l_partkey, sum(q_dec) AS tq_dec, count(*) AS ns
+         |       FROM ps GROUP BY l_partkey)
+         |SELECT s_name, n_name, count(*) AS n_parts
+         |FROM ps
+         |  JOIN pt USING (l_partkey)
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE ps.q_dec * pt.ns > pt.tq_dec * 2
+         |GROUP BY s_name, n_name""".stripMargin,
 
     // q21-class double correlated subquery: EXISTS + NOT EXISTS over the
     // same fact — same text, each engine decorrelates its own way; ties in

@@ -4,23 +4,37 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The remaining TPC-H query classes (q7/q8/q9/q10/q12/q14/q16/q19/q22) as
-  * north-star relational faces over the driver's star schema — the ad-hoc
-  * SQL surface a user of the reference's Adminer console would reach for
-  * (reference: `init_db_tables.sh:5-59` defines the analogous star DDL;
-  * the reference itself ships no analytics beyond SELECT *).
+/** The remaining TPC-H query classes (q6/q7/q8/q9/q10/q11/q12/q13/q14/q15/
+  * q16/q19/q20/q22) as north-star relational faces over the driver's star
+  * schema — the ad-hoc SQL surface a user of the reference's Adminer console
+  * would reach for (reference: `init_db_tables.sh:5-59` defines the
+  * analogous star DDL; the reference itself ships no analytics beyond
+  * SELECT *). Together with the classes already in [[Analytics]] (q1/q2/q3/
+  * q4/q5/q17/q18/q21 — `pricingSummary`, `minCostSupplier`,
+  * `shippingPriority`, `existsReturnedOrders`, `localSupplierVolume`,
+  * `correlatedAvgQuantity`, `largeVolumeCustomers`, `waitingSuppliers`)
+  * every one of the 22 TPC-H query classes has an oracle-checked face.
   *
   * The driver schema lacks `partsupp`, `l_shipmode`, `l_commitdate`,
-  * `p_container`, and `c_phone`, so four faces are documented adaptations:
+  * `p_container`, and `c_phone`, so several faces are documented
+  * adaptations:
   *  - q9 prices cost from `p_retailprice` instead of `ps_supplycost`;
+  *  - q11 measures a nation's per-part shipped value from `lineitem`
+  *    instead of `partsupp` stock value — same grouped-sum vs
+  *    fraction-of-global-scalar HAVING shape;
   *  - q12 classifies shipping lag (`l_shipdate - o_orderdate`) instead of
   *    shipmode/commit-receipt windows — same CASE-sum shape;
+  *  - q13 stands in `o_orderpriority` for the comment-pattern exclusion;
   *  - q16 counts distinct suppliers observed in `lineitem` instead of
   *    `partsupp` rows;
+  *  - q20 takes "supplier holds excess stock" to "supplier shipped more
+  *    than half the part's total quantity" — same nested two-level
+  *    aggregate + semi-join-back shape;
   *  - q22 groups idle rich customers by nation instead of phone prefix.
   * The plan shapes — which is what these faces exist to exercise — are the
   * canonical ones: conditional aggregation, disjunctive pushdown, scalar
-  * subquery broadcast, anti join, count-distinct rollup.
+  * subquery broadcast, anti join, count-distinct rollup, outer-join
+  * histogram, argmax-by-global-scalar, nested aggregate semi-join.
   *
   * Determinism-for-oracle: money sums ride `decimal(18,2)` (exact,
   * associative — see [[Analytics]] header); ratios are ONE double division
@@ -36,6 +50,24 @@ object RelFaces {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def revenue: Column = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+
+  /** q6-class: the forecasting-revenue-change scan — a single filtered pass
+    * with NO join at all; exists to pin that every predicate (date range,
+    * discount band, quantity cap) reaches the parquet scan as a pushed
+    * filter and the aggregate runs map-side (asserted in RelFacesSpec).
+    * Discount values are exact two-decimal doubles in the data; both
+    * engines parse the identical IEEE literals, so the band compare is
+    * bit-deterministic.
+    */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
 
   /** q7-class: trade volume between two nations by direction and year.
     * The disjunctive nation-pair predicate `(s=3 ∧ c=7) ∨ (s=7 ∧ c=3)` is
@@ -249,5 +281,107 @@ object RelFaces {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("numcust"),
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  /** q11-class (adapted): parts that carry an outsized share of one
+    * nation's shipped value. No `partsupp`, so "stock value" is the
+    * shipped `l_extendedprice` sum from `lineitem` restricted to NATION_3
+    * suppliers. The HAVING threshold is relative to the GLOBAL aggregate —
+    * derived by re-aggregating the grouped result (one fact scan; the
+    * scalar rides a broadcast join back onto the groups, the same plan
+    * Catalyst builds for the scalar-subquery SQL). Canonical q11's
+    * `value > f·total` with a FIXED f degenerates with the part count
+    * (empty below 1/f parts, everything above), so like [[dominantSuppliers]]
+    * the cut is scale-invariant: "more than twice the AVERAGE part's
+    * value", compared as `value · n_parts > 2 · total` in EXACT
+    * integer-times-decimal arithmetic — no IEEE division in the predicate,
+    * non-degenerate at any replica factor.
+    */
+  def importantPartValue(s: SparkSession, d: String): DataFrame = {
+    val natSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val byPart = Tables.lineitem(s, d)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("value_dec"))
+    val total = byPart.agg(sum(col("value_dec")).as("total_dec"),
+      count(lit(1)).as("np"))
+    byPart.join(broadcast(total))
+      .filter(col("value_dec") * col("np") > col("total_dec") * lit(2))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+  }
+
+  /** q13-class: the order-count distribution — how many customers placed
+    * exactly k qualifying orders, INCLUDING the zero-order customers that
+    * only a left outer join can see (the whole point of the class). The
+    * comment-pattern exclusion becomes an `o_orderpriority` exclusion.
+    * Two-level aggregate: count per customer (shuffle on custkey), then
+    * the tiny histogram rollup.
+    */
+  def orderCountDistribution(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q15-class: the top supplier(s) of a quarter — revenue per supplier,
+    * keep every achiever of the global maximum. The max is re-aggregated
+    * from the grouped result (one fact scan) and compared in EXACT decimal,
+    * so "equals the max" is engine-independent; ALL tied achievers survive,
+    * which makes the face deterministic without a tiebreak.
+    */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("rev_dec"))
+    val best = rev.agg(max(col("rev_dec")).as("best_dec"))
+    rev.join(broadcast(best))
+      .filter(col("rev_dec") === col("best_dec"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  /** q20-class (adapted): suppliers who dominate a part family's supply.
+    * No `partsupp` stock, so "holds excess stock" becomes "shipped MORE
+    * THAN TWICE THE AVERAGE supplier's share of that part's total
+    * quantity" — the same nested two-level aggregate (per part×supplier,
+    * then per part) with a correlated threshold, resolved as a broadcast
+    * join of the per-part totals instead of a correlated subquery re-scan.
+    * The average-share compare is `q·n_suppliers > 2·total` in EXACT
+    * integer-times-decimal arithmetic (no division), and — unlike an
+    * absolute "more than half" cut — it is SCALE-INVARIANT: densifying the
+    * fact N× dilutes every supplier's absolute share but preserves
+    * relative dominance, so the face stays non-degenerate at any replica
+    * factor. Dominating pairs then semi-join back onto supplier+nation
+    * dims and roll up to (supplier, nation, #parts dominated).
+    */
+  def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
+    val blueParts = Tables.part(s, d).filter(col("p_name").contains("blue"))
+      .select(col("p_partkey"))
+    val psQty = Tables.lineitem(s, d)
+      .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q_dec"))
+    val partTotal = psQty.groupBy(col("l_partkey"))
+      .agg(sum(col("q_dec")).as("tq_dec"), count(lit(1)).as("ns"))
+    val nation = Tables.nation(s, d).select(
+      col("n_nationkey").as("supp_nk"), col("n_name"))
+    psQty.join(broadcast(partTotal), Seq("l_partkey"))
+      .filter(col("q_dec") * col("ns") > col("tq_dec") * lit(2))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("supp_nk"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_parts"))
   }
 }

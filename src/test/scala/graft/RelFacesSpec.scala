@@ -94,6 +94,72 @@ class RelFacesSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
   }
 
+  test("q6: joinless scan — every predicate reaches the parquet scan pushed") {
+    // the plan toString truncates PushedFilters at 100 chars; formatted
+    // explain prints the full pushed list
+    val full = q("q6_forecast_revenue").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!full.contains("Join"), s"q6 must not join:\n$full")
+    assert(full.contains("GreaterThanOrEqual(l_shipdate") &&
+      full.contains("GreaterThanOrEqual(l_discount,0.05") &&
+      full.contains("LessThanOrEqual(l_discount,0.07") &&
+      full.contains("LessThan(l_quantity,24"), s"q6 predicates not pushed:\n$full")
+    val r = q("q6_forecast_revenue").collect()(0)
+    assert(r.getAs[Long]("n_lines") > 0L && r.getAs[Double]("revenue") > 0.0)
+  }
+
+  test("q11: every kept part clears twice the independently-computed average") {
+    val rows = q("q11_important_value").collect()
+    assert(rows.nonEmpty, "scale-invariant cut must keep rows at sf0.001")
+    // recompute the per-part average independently (exact decimal → double)
+    val byPart = Tables.lineitem(spark, Sf)
+      .join(Tables.supplier(spark, Sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, Sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("v"))
+    val Array(total, np) = byPart.agg(sum(col("v")).cast("double"), count(lit(1)))
+      .collect()(0).toSeq.map(_.toString.toDouble).toArray
+    rows.foreach(r => assert(r.getAs[Double]("part_value") * np > 2 * total * 0.999))
+  }
+
+  test("q13: histogram masses sum to the customer count; zero bucket = anti-join") {
+    val rows = q("q13_order_count_dist").collect()
+    val nCust = Tables.customer(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum === nCust)
+    // the zero bucket must equal the independently-computed count of
+    // customers with NO qualifying order (the left outer join's whole point)
+    val zeroCust = Tables.customer(spark, Sf)
+      .join(Tables.orders(spark, Sf).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    val bucket0 = rows.find(_.getAs[Long]("c_count") == 0L)
+      .map(_.getAs[Long]("custdist")).getOrElse(0L)
+    assert(bucket0 === zeroCust)
+  }
+
+  test("q15: all achievers carry the identical maximal quarter revenue") {
+    val rows = q("q15_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length === 1)
+    // no per-supplier revenue in the quarter may exceed it
+    val best = Tables.lineitem(spark, Sf)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("r"))
+      .agg(max(col("r"))).collect()(0).getDouble(0)
+    assert(revs.head === best)
+  }
+
+  test("q20: dominance is scale-invariant (non-degenerate) and counts are positive") {
+    val rows = q("q20_dominant_supplier").collect()
+    assert(rows.nonEmpty, "relative-dominance threshold must keep rows at sf0.001")
+    rows.foreach(r => assert(r.getAs[Long]("n_parts") >= 1L))
+  }
+
   test("q22: every kept customer beats the positive-balance mean and is idle") {
     val thr = Tables.customer(spark, Sf).filter(col("c_acctbal") > 0.0)
       .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
