@@ -101,6 +101,14 @@ object RelFaces {
     * Share = conditional decimal sum / total decimal sum — ONE double
     * division per group; the fact is scanned once (no numerator/denominator
     * self-join).
+    *
+    * Plan shape: the ONLY shuffle is the lineitem⋈orders orderkey join, and
+    * BOTH of its inputs are pruned by their broadcast dims FIRST — PROMO
+    * parts keep ~1/6 of lineitem, EUROPE customers keep ~1/5 of orders —
+    * so the shuffled volume is ~1/6 + ~1/5 of the fact tables instead of
+    * all of both (Catalyst does not reorder across a shuffle join without
+    * CBO stats, so the join order is stated explicitly; measured 35.6 s →
+    * 6.1 s at the 100× replica — `BENCH_100x_rel.json`).
     */
   def marketShare(s: SparkSession, d: String): DataFrame = {
     val europe = Tables.nation(s, d)
@@ -111,18 +119,24 @@ object RelFaces {
       col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
     val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
       .select("p_partkey")
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    val promoLines = Tables.lineitem(s, d)
       .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(europe), col("c_nationkey") === col("cust_nk"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+      .select(col("l_orderkey"), col("supp_nation"), revenue.as("rev_dec"))
+    val euroOrders = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(europe), col("c_nationkey") === col("cust_nk"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    promoLines
+      .join(euroOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        sum(when(col("supp_nation") === "NATION_3", revenue).otherwise(dec(lit(0))))
+        sum(when(col("supp_nation") === "NATION_3", col("rev_dec")).otherwise(dec(lit(0))))
           .cast("double").as("nation_volume"),
-        sum(revenue).cast("double").as("total_volume"))
+        sum(col("rev_dec")).cast("double").as("total_volume"))
       .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
   }
 
