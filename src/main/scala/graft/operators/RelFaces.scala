@@ -43,8 +43,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every dim join is an explicit `broadcast()` (nation 25 rows,
   * part/customer/supplier ~1e-2 of lineitem); the lineitem⋈orders fact-fact
-  * join shuffles on the join key and is AQE-planned. Conditional aggregates
-  * keep everything in one pass over the fact — no self-joins, no windows.
+  * join shuffles on the join key and is AQE-planned, with BOTH inputs
+  * broadcast-dim-pruned BEFORE the shuffle wherever a face filters on a dim
+  * (see [[marketShare]] — 35.6 → 6.1 s at the 100× replica). Conditional
+  * aggregates keep everything in one pass over the fact — no self-joins, no
+  * windows. The customer/supplier hints assume the TPC-H dim/fact ratio
+  * (~40× smaller than lineitem and mostly column-pruned to 2 narrow keys);
+  * past executor memory (~SF 10k+) the hint should yield to a row-cap gate
+  * like [[Graphs.BroadcastRowCap]] — the shuffle join the planner falls back
+  * to is the correct shape there, just never reached at any tested replica.
   */
 object RelFaces {
 
