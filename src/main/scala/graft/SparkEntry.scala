@@ -561,6 +561,10 @@ object SparkEntry {
     // tfidf no-libm decision applied again)
     "q_bool_search" -> ((s, d) => TextAnalysis.booleanSearch(s, d)),
     "q_bm25_search" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    // hybrid lexical+vector retrieval fused by reciprocal rank (RRF k=60):
+    // rank is the only thing that crosses the fusion boundary, so the face
+    // is hash-stable wherever the two arms' orders are (see Retrieval doc)
+    "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
     // trigram-pruned substring search (the pg_trgm / code-search design):
     // posting intersection bounds candidates, exact contains verifies
     "q_substring_search" -> ((s, d) => TextAnalysis.substringSearch(s, d)),
@@ -1218,6 +1222,41 @@ object SparkEntry {
   /** Mirror of Similarity: left-fold double dot product over 64-dim floats. */
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** The BM25 CTE chain (mirror of TextAnalysis.bm25Search, terms
+    * 'vector'/'merge', k1=1.2, b=0.75) ending in `bmtop(doc_id, score)` —
+    * the top-`limit` docs by (score DESC, doc_id). Shared by the
+    * `q_bm25_search` oracle (limit 20) and the `q_hybrid_rrf` lexical arm
+    * (limit 50) so the two faces cannot drift apart.
+    */
+  private def sqlBm25Ctes(limit: Int): String = {
+    val toks = sqlTokens("text")
+    def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
+    val (k1, b) = (1.2, 0.75)
+    s"""terms AS (
+       |  SELECT doc_id, lower(unnest($toks)) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${fm(k1 + 1.0)})
+       |      / (CAST(tf AS DOUBLE)
+       |         + ${fm(k1)} * (${fm(1.0 - b)} + ${fm(b)} * dl / avgdl)) AS tscore
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  WHERE tf.term IN ('vector', 'merge')),
+       |bmagg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s_0,
+       |    sum(CASE WHEN term = 'merge' THEN tscore END) AS s_1
+       |  FROM scored GROUP BY doc_id),
+       |bmtop AS (
+       |  SELECT doc_id, coalesce(s_0, 0.0) + coalesce(s_1, 0.0) AS score
+       |  FROM bmagg ORDER BY score DESC, doc_id LIMIT $limit)""".stripMargin
+  }
 
   /** Mirror of Similarity.lshBucket: `planes` sign-random-projection bits.
     * The plane count is corpus-derived (Similarity.lshPlanes), so the two
@@ -2442,33 +2481,38 @@ object SparkEntry {
     // ln), identical IEEE op tree, fixed-order cross-term sum. The float
     // constants that are COMPUTED Scala-side (k1+1) are serialized %.17e so
     // both engines score with the same doubles.
-    "q_bm25_search" -> {
-      val toks = sqlTokens("text")
-      def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH terms AS (
-         |  SELECT doc_id, lower(unnest($toks)) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
-         |stats AS (SELECT count(*) AS n_docs,
-         |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |scored AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-         |      * (CAST(tf AS DOUBLE) * ${fm(k1 + 1.0)})
-         |      / (CAST(tf AS DOUBLE)
-         |         + ${fm(k1)} * (${fm(1.0 - b)} + ${fm(b)} * dl / avgdl)) AS tscore
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-         |  WHERE tf.term IN ('vector', 'merge')),
-         |agg AS (
-         |  SELECT doc_id,
-         |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s_0,
-         |    sum(CASE WHEN term = 'merge' THEN tscore END) AS s_1
-         |  FROM scored GROUP BY doc_id)
-         |SELECT doc_id, coalesce(s_0, 0.0) + coalesce(s_1, 0.0) AS score
-         |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q_bm25_search" ->
+      s"""WITH ${sqlBm25Ctes(20)}
+         |SELECT doc_id, score FROM bmtop ORDER BY score DESC, doc_id""".stripMargin,
+
+    // hybrid retrieval: ranks are the ONLY thing crossing the fusion
+    // boundary; absent-arm membership is rank 0 (not NULL) so the int64
+    // columns stay int64 under the dtype-strict gate; the RRF weight is one
+    // double division of exact small integers on both engines
+    "q_hybrid_rrf" ->
+      s"""WITH ${sqlBm25Ctes(50)},
+         |lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |  FROM bmtop),
+         |e AS (SELECT vec_id, embedding,
+         |        ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |q AS (SELECT embedding AS qv, sqrt(nrm2) AS qn FROM e WHERE vec_id = 0),
+         |vs AS (SELECT n.vec_id AS doc_id,
+         |         ${sqlDot("qv", "n.embedding")} / (qn * sqrt(n.nrm2)) AS cosine
+         |       FROM e n CROSS JOIN q WHERE n.vec_id <> 0),
+         |vtop AS (SELECT doc_id, cosine FROM vs ORDER BY cosine DESC, doc_id LIMIT 50),
+         |vec AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+         |  FROM vtop)
+         |SELECT doc_id,
+         |  coalesce(lex_rank, 0) AS lex_rank,
+         |  coalesce(vec_rank, 0) AS vec_rank,
+         |  (CASE WHEN coalesce(lex_rank, 0) > 0
+         |        THEN CAST(1 AS DOUBLE) / (60 + lex_rank) ELSE 0.0 END)
+         |  + (CASE WHEN coalesce(vec_rank, 0) > 0
+         |          THEN CAST(1 AS DOUBLE) / (60 + vec_rank) ELSE 0.0 END) AS rrf
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // exact integer edit distance on both engines over the k²-bounded
     // vocabulary product
