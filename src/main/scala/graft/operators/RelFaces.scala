@@ -398,7 +398,13 @@ object RelFaces {
       .agg(sum(col("q_dec")).as("tq_dec"), count(lit(1)).as("ns"))
     val nation = Tables.nation(s, d).select(
       col("n_nationkey").as("supp_nk"), col("n_name"))
-    psQty.join(broadcast(partTotal), Seq("l_partkey"))
+    // partTotal is FACT-derived (one row per blue part — scales with SF,
+    // unlike the dim-table broadcasts the header rationalizes), so it gets
+    // NO broadcast hint: the partkey equi-join shuffles, psQty arrives
+    // already partitioned by (partkey, suppkey) from its aggregation, and
+    // AQE converts the join to broadcast at runtime whenever partTotal is
+    // actually small — free at test scale, correct at 100 TB.
+    psQty.join(partTotal, Seq("l_partkey"))
       .filter(col("q_dec") * col("ns") > col("tq_dec") * lit(2))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("supp_nk"))
