@@ -84,6 +84,29 @@ class RelFacesSpec extends SparkSpecBase {
     }
   }
 
+  test("q8: both shuffle-join inputs are dim-pruned BELOW the orderkey join") {
+    // the property the 100x probe established (35.6 -> 6.1 s): the fact-fact
+    // orderkey join must sit ABOVE the dim joins on both sides, so each
+    // shuffle input is already PROMO-/EUROPE-pruned. Asserted on the
+    // optimized LOGICAL plan — AQE may legitimately turn the physical join
+    // into a broadcast at tiny SFs, but the logical ordering is what decides
+    // the shuffled volume at scale.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] =
+      p +: p.children.flatMap(nodes)
+    val lp = q("q8_market_share").queryExecution.optimizedPlan
+    val factJoin = nodes(lp).collectFirst {
+      case j: Join if j.condition.exists { c =>
+        val refs = c.references.map(_.name).toSet
+        refs.contains("l_orderkey") && refs.contains("o_orderkey")
+      } => j
+    }.getOrElse(fail("no lineitem-orders orderkey join in the plan"))
+    val leftJoins = nodes(factJoin.left).count(_.isInstanceOf[Join])
+    val rightJoins = nodes(factJoin.right).count(_.isInstanceOf[Join])
+    assert(leftJoins >= 2, s"lineitem side reaches the shuffle un-pruned ($leftJoins dim joins below)")
+    assert(rightJoins >= 2, s"orders side reaches the shuffle un-pruned ($rightJoins dim joins below)")
+  }
+
   test("q19: factored predicate envelope reaches both parquet scans") {
     val p = plan(q("q19_disjunctive"))
     // the common p_size<=30 and quantity bounds must be pushed — the
