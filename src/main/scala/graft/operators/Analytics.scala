@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   *  - averages are emitted as `decimal-sum / count` in double — a single IEEE
   *    division of identical inputs is bit-identical across engines.
   *
-  * Scale notes: dimension sides of joins are explicitly `broadcast()` when
-  * they are orders-of-magnitude smaller than the fact table (region/nation/
-  * supplier/customer vs lineitem); the big fact-fact join (lineitem⋈orders)
-  * is left to shuffle hash/sort-merge + AQE.
+  * Scale notes: dimension sides of joins (region/nation/supplier/customer
+  * vs lineitem) ride SIZE-GATED broadcast hints ([[DimBroadcast]] — hint
+  * below a 128 MiB stats estimate, shuffle join above it), so the plans
+  * that are broadcast at every tested replica degrade gracefully instead
+  * of OOMing at SF 10k+; the big fact-fact join (lineitem⋈orders) is left
+  * to shuffle hash/sort-merge + AQE. Explicit `broadcast()` remains only on
+  * frames whose row bound is STRUCTURAL, not statistical: grouped
+  * aggregates keyed by a bounded domain (event_type ~8 values, the 32-row
+  * bucket-offset/prefix frames of the global-rank faces, the ≤60-day WAU
+  * spine) — sizes no estimator sees but the group key proves.
   */
 object Analytics {
 
@@ -46,7 +52,7 @@ object Analytics {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(DimBroadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -64,12 +70,12 @@ object Analytics {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(s, d)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp),
+      .join(DimBroadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(DimBroadcast(supp),
         li("l_suppkey") === supp("s_suppkey") &&
           cust("c_nationkey") === supp("s_nationkey"))
-      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
-      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .join(DimBroadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(DimBroadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
   }
@@ -496,11 +502,11 @@ object Analytics {
     val cDelta = c.filter(col("c_custkey") % 10 === 0)
     def agg(df: DataFrame) = df.groupBy(col("c_nationkey"))
       .agg(sum(dec(col("o_totalprice"))).as("sp"), count(lit(1)).as("n"))
-    val standing = agg(oBase.join(broadcast(cBase),
+    val standing = agg(oBase.join(DimBroadcast(cBase),
       col("o_custkey") === col("c_custkey")))
-    val dOrders = agg(oDelta.join(broadcast(c),
+    val dOrders = agg(oDelta.join(DimBroadcast(c),
       col("o_custkey") === col("c_custkey")))
-    val dCusts = agg(oBase.join(broadcast(cDelta),
+    val dCusts = agg(oBase.join(DimBroadcast(cDelta),
       col("o_custkey") === col("c_custkey")))
     standing.unionAll(dOrders).unionAll(dCusts)
       .groupBy(col("c_nationkey"))
@@ -981,7 +987,7 @@ object Analytics {
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         col("o_totalprice"), col("total_qty"))
-    ord.join(broadcast(Tables.customer(s, d)
+    ord.join(DimBroadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"))),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),

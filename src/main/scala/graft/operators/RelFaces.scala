@@ -41,17 +41,20 @@ import org.apache.spark.sql.functions._
   * of decimal sums (bit-identical across engines); every top-k carries a
   * unique-key tiebreak.
   *
-  * Scale notes: every dim join is an explicit `broadcast()` (nation 25 rows,
-  * part/customer/supplier ~1e-2 of lineitem); the lineitem⋈orders fact-fact
-  * join shuffles on the join key and is AQE-planned, with BOTH inputs
-  * broadcast-dim-pruned BEFORE the shuffle wherever a face filters on a dim
-  * (see [[marketShare]] — 35.6 → 6.1 s at the 100× replica). Conditional
-  * aggregates keep everything in one pass over the fact — no self-joins, no
-  * windows. The customer/supplier hints assume the TPC-H dim/fact ratio
-  * (~40× smaller than lineitem and mostly column-pruned to 2 narrow keys);
-  * past executor memory (~SF 10k+) the hint should yield to a row-cap gate
-  * like [[Graphs.BroadcastRowCap]] — the shuffle join the planner falls back
-  * to is the correct shape there, just never reached at any tested replica.
+  * Scale notes: every dim join rides a SIZE-GATED broadcast hint
+  * ([[DimBroadcast]] — hint below a 128 MiB stats estimate, pass through to
+  * the shuffle join above it, r11 verdict task 1); nation is 25 rows and
+  * part/customer/supplier ~1e-2 of lineitem, so at every tested replica the
+  * gated plan is byte-identical to the old unconditional hint, while at
+  * SF 10k+ the same code yields the shuffle join instead of an executor
+  * OOM. The lineitem⋈orders fact-fact join shuffles on the join key and is
+  * AQE-planned, with BOTH inputs broadcast-dim-pruned BEFORE the shuffle
+  * wherever a face filters on a dim (see [[marketShare]] — 35.6 → 6.1 s at
+  * the 100× replica). Conditional aggregates keep everything in one pass
+  * over the fact — no self-joins, no windows. The only remaining EXPLICIT
+  * `broadcast()` hints are the provably-single-row scalar frames (q11's
+  * total, q15's best, q22's threshold): their bound is structural (global
+  * aggregate ⇒ one row), which no size estimator can see.
   */
 object RelFaces {
 
@@ -90,10 +93,10 @@ object RelFaces {
     val wanted = Seq("NATION_3", "NATION_7")
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(DimBroadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(DimBroadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(DimBroadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(DimBroadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation").isin(wanted: _*) && col("cust_nation").isin(wanted: _*) &&
         col("supp_nation") =!= col("cust_nation"))
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -127,15 +130,15 @@ object RelFaces {
     val promoParts = Tables.part(s, d).filter(col("p_type") === "PROMO")
       .select("p_partkey")
     val promoLines = Tables.lineitem(s, d)
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+      .join(DimBroadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(DimBroadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(suppNation), col("s_nationkey") === col("supp_nk"))
+      .join(DimBroadcast(suppNation), col("s_nationkey") === col("supp_nk"))
       .select(col("l_orderkey"), col("supp_nation"), revenue.as("rev_dec"))
     val euroOrders = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+      .join(DimBroadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(europe), col("c_nationkey") === col("cust_nk"))
+      .join(DimBroadcast(europe), col("c_nationkey") === col("cust_nk"))
       .select(col("o_orderkey"), col("o_orderdate"))
     promoLines
       .join(euroOrders, col("l_orderkey") === col("o_orderkey"))
@@ -165,10 +168,10 @@ object RelFaces {
     val nation = Tables.nation(s, d).select(
       col("n_nationkey").as("supp_nk"), col("n_name"))
     Tables.lineitem(s, d)
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(DimBroadcast(redParts), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("supp_nk"))
+      .join(DimBroadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(DimBroadcast(nation), col("s_nationkey") === col("supp_nk"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(revenue).cast("double").as("revenue"),
         sum(dec(col("p_retailprice")) * dec(col("l_quantity"))).cast("double").as("retail_cost"),
@@ -189,8 +192,8 @@ object RelFaces {
     Tables.lineitem(s, d)
       .filter(col("l_returnflag") === "R")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nation), col("c_nationkey") === col("cust_nk"))
+      .join(DimBroadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(DimBroadcast(nation), col("c_nationkey") === col("cust_nk"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(sum(revenue).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -227,7 +230,7 @@ object RelFaces {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+      .join(DimBroadcast(Tables.part(s, d).select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(isPromo, revenue).otherwise(dec(lit(0)))).cast("double").as("promo_revenue"),
@@ -248,7 +251,7 @@ object RelFaces {
         col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     Tables.lineitem(s, d)
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(DimBroadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -272,7 +275,7 @@ object RelFaces {
         col("l_quantity") >= 10 && col("l_quantity") <= 25) ||
       (col("p_brand") === "Brand#3" && col("p_size") <= 30 &&
         col("l_quantity") >= 20 && col("l_quantity") <= 35)
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && clause)
+    li.join(DimBroadcast(part), col("l_partkey") === col("p_partkey") && clause)
       .agg(sum(revenue).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
@@ -298,7 +301,7 @@ object RelFaces {
       .join(broadcast(threshold))
       .filter(col("c_acctbal") > col("thr"))
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
-      .join(broadcast(nation), col("c_nationkey") === col("cust_nk"))
+      .join(DimBroadcast(nation), col("c_nationkey") === col("cust_nk"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("numcust"),
         sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
@@ -317,20 +320,29 @@ object RelFaces {
     * value", compared as `value · n_parts > 2 · total` in EXACT
     * integer-times-decimal arithmetic — no IEEE division in the predicate,
     * non-degenerate at any replica factor.
+    *
+    * Exactness bound (r11 ADVICE): the count rides `decimal(9,0)` so the
+    * product decimal(28,2)·decimal(9,0) needs precision 38 — INSIDE Spark's
+    * cap, no silent `allowPrecisionLoss` scale truncation. The stated
+    * bounds are np < 10^9 distinct parts per nation's shipments and
+    * Σ value < 10^26 — at SF 100k the real magnitudes are ~2·10^10 total
+    * parts (so a PER-NATION np within bound) and Σ value ~10^16, both
+    * orders of magnitude inside; a corpus that breaches them needs the
+    * predicate moved to decimal(38,0)-scaled integers, not this face.
     */
   def importantPartValue(s: SparkSession, d: String): DataFrame = {
     val natSupp = Tables.supplier(s, d)
-      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+      .join(DimBroadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val byPart = Tables.lineitem(s, d)
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(DimBroadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(dec(col("l_extendedprice"))).as("value_dec"))
     val total = byPart.agg(sum(col("value_dec")).as("total_dec"),
       count(lit(1)).as("np"))
     byPart.join(broadcast(total))
-      .filter(col("value_dec") * col("np") > col("total_dec") * lit(2))
+      .filter(col("value_dec") * col("np").cast("decimal(9,0)") > col("total_dec") * lit(2))
       .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
   }
 
@@ -358,17 +370,27 @@ object RelFaces {
     * from the grouped result (one fact scan) and compared in EXACT decimal,
     * so "equals the max" is engine-independent; ALL tied achievers survive,
     * which makes the face deterministic without a tiebreak.
+    *
+    * The `l_suppkey.isNotNull` is stated EXPLICITLY even though the final
+    * inner supplier join implies it: Catalyst pushes that join's IsNotNull
+    * into only the rev branch's scan, making the two aggregation subtrees
+    * canonically UNEQUAL — exchange reuse then silently fails and the fact
+    * is scanned twice (caught by the RelFacesSpec single-scan pin this
+    * round; the r11 ADVICE predicted precisely this class). Stating it
+    * upstream puts the identical filter in both branches, so the "one fact
+    * scan" the scaladoc claims is what the executed plan actually does.
     */
   def topSupplier(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum(revenue).as("rev_dec"))
     val best = rev.agg(max(col("rev_dec")).as("best_dec"))
     rev.join(broadcast(best))
       .filter(col("rev_dec") === col("best_dec"))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(DimBroadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev_dec").cast("double").as("total_revenue"))
   }
@@ -390,8 +412,14 @@ object RelFaces {
   def dominantSuppliers(s: SparkSession, d: String): DataFrame = {
     val blueParts = Tables.part(s, d).filter(col("p_name").contains("blue"))
       .select(col("p_partkey"))
+    // l_suppkey.isNotNull stated upstream for the same reason as
+    // [[topSupplier]]: the supplier join pushes its IsNotNull into only the
+    // psQty branch, de-canonicalizing the two aggregation subtrees and
+    // breaking exchange reuse (two fact scans instead of one — caught by
+    // the RelFacesSpec single-scan pin)
     val psQty = Tables.lineitem(s, d)
-      .join(broadcast(blueParts), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_suppkey").isNotNull)
+      .join(DimBroadcast(blueParts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec(col("l_quantity"))).as("q_dec"))
     val partTotal = psQty.groupBy(col("l_partkey"))
@@ -405,9 +433,9 @@ object RelFaces {
     // AQE converts the join to broadcast at runtime whenever partTotal is
     // actually small — free at test scale, correct at 100 TB.
     psQty.join(partTotal, Seq("l_partkey"))
-      .filter(col("q_dec") * col("ns") > col("tq_dec") * lit(2))
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nation), col("s_nationkey") === col("supp_nk"))
+      .filter(col("q_dec") * col("ns").cast("decimal(9,0)") > col("tq_dec") * lit(2))
+      .join(DimBroadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(DimBroadcast(nation), col("s_nationkey") === col("supp_nk"))
       .groupBy(col("s_name"), col("n_name"))
       .agg(count(lit(1)).as("n_parts"))
   }

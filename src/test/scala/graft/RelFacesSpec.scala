@@ -49,6 +49,27 @@ class RelFacesSpec extends SparkSpecBase {
       s"q14 scans lineitem more than once per plan:\n$p14")
   }
 
+  test("q11/q15/q20: the re-aggregated global derives from a REUSED fact scan") {
+    // These faces re-aggregate their own grouped result (value vs global
+    // total / max / per-part total), so the LOGICAL plan names lineitem
+    // twice — the one-fact-scan property the scaladocs claim is delivered
+    // physically by exchange reuse. Pin it at the EXECUTED adaptive plan
+    // (ADVICE r11): after running, the second branch must be a reused
+    // exchange/stage, not a second FileScan of the fact.
+    for (name <- Seq("q11_important_value", "q15_top_supplier",
+        "q20_dominant_supplier")) {
+      val df = q(name)
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+      val scans = "Scan parquet[^\\n]*lineitem\\.parquet".r.findAllIn(executed).size
+      assert(scans <= 1,
+        s"$name physically scans lineitem ${scans}x — exchange reuse regressed:\n$executed")
+    }
+  }
+
   test("q9: profit identity holds (revenue - 0.6*retail_cost)") {
     q("q9_profit_nation").collect().foreach { r =>
       val rev = r.getAs[Double]("revenue")
