@@ -565,6 +565,10 @@ object SparkEntry {
     // rank is the only thing that crosses the fusion boundary, so the face
     // is hash-stable wherever the two arms' orders are (see Retrieval doc)
     "q_hybrid_rrf" -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    // the batch sibling: 8 broadcast queries through the SAME two corpus
+    // passes (one postings pass, one embeddings pass), per-query salted
+    // top-k, per-query RRF — the production RAG/eval shape (r11 task 5)
+    "q_hybrid_rrf_batch" -> ((s, d) => Retrieval.hybridRrfBatch(s, d)),
     // trigram-pruned substring search (the pg_trgm / code-search design):
     // posting intersection bounds candidates, exact contains verifies
     "q_substring_search" -> ((s, d) => TextAnalysis.substringSearch(s, d)),
@@ -1223,35 +1227,51 @@ object SparkEntry {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  /** The BM25 CTE chain (mirror of TextAnalysis.bm25Search, terms
-    * 'vector'/'merge', k1=1.2, b=0.75) ending in `bmtop(doc_id, score)` —
-    * the top-`limit` docs by (score DESC, doc_id). Shared by the
-    * `q_bm25_search` oracle (limit 20) and the `q_hybrid_rrf` lexical arm
-    * (limit 50) so the two faces cannot drift apart.
+  /** The shared BM25 tscore expression (mirror of TextAnalysis.bm25Search,
+    * k1=1.2, b=0.75) over a row carrying tf/df/dl and the stats CTE's
+    * n_docs/avgdl. Float constants COMPUTED Scala-side (k1+1) serialize
+    * %.17e so both engines score with the same doubles.
     */
-  private def sqlBm25Ctes(limit: Int): String = {
-    val toks = sqlTokens("text")
+  private def sqlBm25Tscore: String = {
     def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.17e", Double.box(v))
     val (k1, b) = (1.2, 0.75)
+    s"""((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |      * (CAST(tf AS DOUBLE) * ${fm(k1 + 1.0)})
+       |      / (CAST(tf AS DOUBLE)
+       |         + ${fm(k1)} * (${fm(1.0 - b)} + ${fm(b)} * dl / avgdl))""".stripMargin
+  }
+
+  /** The tf/df/dl/stats CTE prefix every BM25-shaped oracle starts from. */
+  private def sqlBm25Base: String = {
+    val toks = sqlTokens("text")
     s"""terms AS (
        |  SELECT doc_id, lower(unnest($toks)) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |dl AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl FROM documents),
        |stats AS (SELECT count(*) AS n_docs,
-       |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)""".stripMargin
+  }
+
+  /** The single-query BM25 CTE chain ending in `bmtop(doc_id, score)` — the
+    * top-`limit` docs by (score DESC, doc_id) for `terms` (defaults shared
+    * with the Scala face via Retrieval.DefaultTerms, r11 ADVICE). Shared by
+    * the `q_bm25_search` oracle (limit 20) and the `q_hybrid_rrf` lexical
+    * arm (limit armK+1) so the two faces cannot drift apart.
+    */
+  private def sqlBm25Ctes(limit: Int,
+      terms: Seq[String] = Retrieval.DefaultTerms): String = {
+    require(terms.length == 2, "two-term fixed-order sum (s_0 + s_1)")
+    s"""$sqlBm25Base,
        |scored AS (
        |  SELECT tf.doc_id, tf.term,
-       |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-       |      * (CAST(tf AS DOUBLE) * ${fm(k1 + 1.0)})
-       |      / (CAST(tf AS DOUBLE)
-       |         + ${fm(k1)} * (${fm(1.0 - b)} + ${fm(b)} * dl / avgdl)) AS tscore
+       |    $sqlBm25Tscore AS tscore
        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-       |  WHERE tf.term IN ('vector', 'merge')),
+       |  WHERE tf.term IN ('${terms(0)}', '${terms(1)}')),
        |bmagg AS (
        |  SELECT doc_id,
-       |    sum(CASE WHEN term = 'vector' THEN tscore END) AS s_0,
-       |    sum(CASE WHEN term = 'merge' THEN tscore END) AS s_1
+       |    sum(CASE WHEN term = '${terms(0)}' THEN tscore END) AS s_0,
+       |    sum(CASE WHEN term = '${terms(1)}' THEN tscore END) AS s_1
        |  FROM scored GROUP BY doc_id),
        |bmtop AS (
        |  SELECT doc_id, coalesce(s_0, 0.0) + coalesce(s_1, 0.0) AS score
@@ -2488,19 +2508,26 @@ object SparkEntry {
     // hybrid retrieval: ranks are the ONLY thing crossing the fusion
     // boundary; absent-arm membership is rank 0 (not NULL) so the int64
     // columns stay int64 under the dtype-strict gate; the RRF weight is one
-    // double division of exact small integers on both engines
-    "q_hybrid_rrf" ->
-      s"""WITH ${sqlBm25Ctes(50)},
+    // double division of exact small integers on both engines. Every
+    // parameter (query id, armK, k, RRF dampening) interpolates from the
+    // SAME Retrieval constants the Scala face defaults to (r11 ADVICE) —
+    // both arms exclude the query's own id (lexical: top armK+1 then drop,
+    // identical to excluding before the limit).
+    "q_hybrid_rrf" -> {
+      val (qid, armK, k, rrfK) = (Retrieval.DefaultQueryVecId,
+        Retrieval.DefaultArmK, Retrieval.DefaultK, Retrieval.RrfK)
+      s"""WITH ${sqlBm25Ctes(armK + 1)},
          |lex AS (SELECT doc_id,
          |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
-         |  FROM bmtop),
+         |  FROM bmtop WHERE doc_id <> $qid
+         |  QUALIFY lex_rank <= $armK),
          |e AS (SELECT vec_id, embedding,
          |        ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
-         |q AS (SELECT embedding AS qv, sqrt(nrm2) AS qn FROM e WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qv, sqrt(nrm2) AS qn FROM e WHERE vec_id = $qid),
          |vs AS (SELECT n.vec_id AS doc_id,
          |         ${sqlDot("qv", "n.embedding")} / (qn * sqrt(n.nrm2)) AS cosine
-         |       FROM e n CROSS JOIN q WHERE n.vec_id <> 0),
-         |vtop AS (SELECT doc_id, cosine FROM vs ORDER BY cosine DESC, doc_id LIMIT 50),
+         |       FROM e n CROSS JOIN q WHERE n.vec_id <> $qid),
+         |vtop AS (SELECT doc_id, cosine FROM vs ORDER BY cosine DESC, doc_id LIMIT $armK),
          |vec AS (SELECT doc_id,
          |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
          |  FROM vtop)
@@ -2508,11 +2535,70 @@ object SparkEntry {
          |  coalesce(lex_rank, 0) AS lex_rank,
          |  coalesce(vec_rank, 0) AS vec_rank,
          |  (CASE WHEN coalesce(lex_rank, 0) > 0
-         |        THEN CAST(1 AS DOUBLE) / (60 + lex_rank) ELSE 0.0 END)
+         |        THEN CAST(1 AS DOUBLE) / ($rrfK + lex_rank) ELSE 0.0 END)
          |  + (CASE WHEN coalesce(vec_rank, 0) > 0
-         |          THEN CAST(1 AS DOUBLE) / (60 + vec_rank) ELSE 0.0 END) AS rrf
+         |          THEN CAST(1 AS DOUBLE) / ($rrfK + vec_rank) ELSE 0.0 END) AS rrf
          |FROM lex FULL OUTER JOIN vec USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
+    },
+
+    // batch hybrid retrieval: the qterms VALUES table, the query-id IN
+    // lists, armK/k/RRF-k all generate from Retrieval.BatchQueries /
+    // constants — the oracle cannot drift from the face's parameters
+    "q_hybrid_rrf_batch" -> {
+      val qs = Retrieval.BatchQueries
+      val (armK, k, rrfK) =
+        (Retrieval.DefaultArmK, Retrieval.DefaultK, Retrieval.RrfK)
+      val qtVals = qs.flatMap { case (q, ts) =>
+        ts.zipWithIndex.map { case (t, i) => s"(CAST($q AS BIGINT), $i, '$t')" }
+      }.mkString(", ")
+      val termIn = qs.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+      val qidIn = qs.map(_._1).mkString(", ")
+      s"""WITH qterms(query_id, ti, term) AS (SELECT * FROM (VALUES $qtVals)),
+         |$sqlBm25Base,
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    $sqlBm25Tscore AS tscore
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  WHERE tf.term IN ($termIn)),
+         |lexagg AS (
+         |  SELECT q.query_id, s.doc_id,
+         |    sum(CASE WHEN q.ti = 0 THEN tscore END) AS s_0,
+         |    sum(CASE WHEN q.ti = 1 THEN tscore END) AS s_1
+         |  FROM scored s JOIN qterms q USING (term)
+         |  WHERE s.doc_id <> q.query_id GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY coalesce(s_0, 0.0) + coalesce(s_1, 0.0) DESC, doc_id) AS lex_rank
+         |  FROM lexagg QUALIFY lex_rank <= $armK),
+         |e AS (SELECT vec_id, embedding,
+         |        ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvec, sqrt(nrm2) AS qn
+         |       FROM e WHERE vec_id IN ($qidIn)),
+         |vs AS (SELECT qv.query_id, n.vec_id AS doc_id,
+         |         ${sqlDot("qvec", "n.embedding")} / (qn * sqrt(n.nrm2)) AS cosine
+         |       FROM e n CROSS JOIN qv WHERE n.vec_id <> qv.query_id),
+         |vec AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS vec_rank
+         |  FROM vs QUALIFY vec_rank <= $armK),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(l.lex_rank, 0) AS lex_rank,
+         |    coalesce(v.vec_rank, 0) AS vec_rank
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, lex_rank, vec_rank,
+         |  (CASE WHEN lex_rank > 0
+         |        THEN CAST(1 AS DOUBLE) / ($rrfK + lex_rank) ELSE 0.0 END)
+         |  + (CASE WHEN vec_rank > 0
+         |          THEN CAST(1 AS DOUBLE) / ($rrfK + vec_rank) ELSE 0.0 END) AS rrf
+         |FROM fused
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf DESC, doc_id) <= $k
+         |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+    },
 
     // exact integer edit distance on both engines over the k²-bounded
     // vocabulary product

@@ -493,7 +493,7 @@ object TextAnalysis {
     * [[graft.sources.Sinks.streamBandIndex]] pattern applies verbatim —
     * bands and postings are the same (key → doc) shape).
     */
-  private def postings(s: SparkSession, d: String): DataFrame =
+  private[operators] def postings(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
