@@ -865,6 +865,23 @@ object SparkEntry {
         .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
     }),
 
+    // the fused features→resize chain: ONE decode per payload feeds both
+    // the pixel features and the bilinear resize (r11 task 7 — composing
+    // the two stages decoded twice). Feature sums share q_media_features'
+    // closed forms; resized dims are closed-form in doc_id (trunc(w·scale),
+    // identical IEEE min/div/mul/trunc tree on both engines).
+    "q_media_pipeline" -> ((s, d) => {
+      val media = graft.multimodal.BinaryPipeline.syntheticRealMedia(s, d)
+      graft.multimodal.BinaryPipeline.featuresAndResize(media, maxDim = 32)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_width"),
+          sum(col("height").cast("long")).as("sum_height"),
+          sum(col("content_sum")).as("content_sum"),
+          sum(col("new_width").cast("long")).as("sum_new_width"),
+          sum(col("new_height").cast("long")).as("sum_new_height"))
+    }),
+
     // perceptual-hash near-dup over decoded media content: SimHash on
     // character 4-grams of the decoded payload, banded like text simhash.
     // The stub decode makes content = the synthetic text, so the oracle
@@ -3152,6 +3169,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind = 'video'
         |    THEN ((clen + 63) // 64 + 3) // 4 ELSE 0 END) AS BIGINT) AS n_frames
         |FROM m GROUP BY kind""".stripMargin,
+
+    // fused single-decode chain: feature closed-forms as q_media_features;
+    // resize closed-form nw = max(1, trunc(w · min(1, 32/max(w,h)))) — the
+    // same IEEE division/multiplication/truncation tree the Scala face
+    // evaluates (audio has no resize: dims 0 on both engines). CASE guards
+    // the division so the audio branch never evaluates 32/0.
+    "q_media_pipeline" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    doc_id % 61 + 4 AS iw, doc_id % 37 + 4 AS ih,
+        |    (doc_id * 37) % 256 + (doc_id * 59) % 256 + (doc_id * 83) % 256 AS prgb,
+        |    doc_id % 800 + 50 AS af, doc_id % 2000 - 1000 AS av,
+        |    doc_id % 640 + 1 AS vw, doc_id % 480 + 1 AS vh
+        |  FROM documents),
+        |r AS (SELECT kind,
+        |    CASE kind WHEN 'image' THEN iw WHEN 'video' THEN vw ELSE 0 END AS w,
+        |    CASE kind WHEN 'image' THEN ih WHEN 'video' THEN vh ELSE 0 END AS h,
+        |    CASE kind WHEN 'image' THEN iw*ih*prgb WHEN 'audio' THEN af*av ELSE 0 END AS csum
+        |  FROM m),
+        |z AS (SELECT kind, w, h, csum,
+        |    CASE WHEN kind = 'audio' THEN 0 ELSE
+        |      greatest(1, CAST(trunc(w * least(CAST(32 AS DOUBLE) / greatest(w, h), 1.0)) AS BIGINT)) END AS nw,
+        |    CASE WHEN kind = 'audio' THEN 0 ELSE
+        |      greatest(1, CAST(trunc(h * least(CAST(32 AS DOUBLE) / greatest(w, h), 1.0)) AS BIGINT)) END AS nh
+        |  FROM r)
+        |SELECT kind, count(*) AS n,
+        |  CAST(sum(w) AS BIGINT) AS sum_width,
+        |  CAST(sum(h) AS BIGINT) AS sum_height,
+        |  CAST(sum(csum) AS BIGINT) AS content_sum,
+        |  CAST(sum(nw) AS BIGINT) AS sum_new_width,
+        |  CAST(sum(nh) AS BIGINT) AS sum_new_height
+        |FROM z GROUP BY kind""".stripMargin,
 
     // both arriving copies of a %6 key are the SAME source row, so the
     // settled target is key-deterministic: exactly the distinct union

@@ -143,6 +143,46 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._2 == 4L), s"unrelated content paired: $pairs")
   }
 
+  test("fused features+resize equals the two-pass path, per column and per byte") {
+    val media = Seq(
+      MediaRecord(1L, "image", MediaCodecs.encodePng(640, 480, 0x405060), "s"),
+      MediaRecord(2L, "image", MediaCodecs.encodePng(100, 400, 0x010203), "s"),
+      MediaRecord(3L, "audio", MediaCodecs.encodeWav(Array[Short](10, 20, -5, 1000)), "s"),
+      MediaRecord(4L, "video", BinaryPipeline.encodeFake(1920, 1080, "vid".getBytes), "s"))
+      .toDS()
+    val fused = BinaryPipeline.featuresAndResize(media, maxDim = 128)
+      .collect().map(r => r.media_id -> r).toMap
+    // every feature column equals the standalone extraction (the fused path
+    // must not drift from the single-purpose stage it replaces in chains)
+    val feats = BinaryPipeline.extractFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    fused.values.foreach { r =>
+      val f = feats(r.media_id)
+      assert((r.kind, r.n_bytes, r.width, r.height, r.frames,
+        r.decoded_bytes, r.content_sum, r.checksum) ==
+        ((f.kind, f.n_bytes, f.width, f.height, f.frames,
+          f.decoded_bytes, f.content_sum, f.checksum)),
+        s"fused features drifted for media ${r.media_id}")
+    }
+    // image/video resized payloads are BYTE-identical to the standalone
+    // resize stage (same raster ops, one decode instead of two)
+    val resized = BinaryPipeline
+      .resizeMedia(media.filter(_.kind != "audio"), maxDim = 128)
+      .collect().map(r => r.media_id -> r).toMap
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(fused(id).resized_payload.sameElements(resized(id).payload),
+        s"fused resize payload differs from two-pass for media $id")
+    }
+    assert((fused(1L).new_width, fused(1L).new_height) == ((128, 96)))
+    // the emitted dims are what the resized payload actually decodes to
+    val (w2, h2, _) = MediaCodecs.decodeImage(fused(2L).resized_payload)
+    assert((w2, h2) == ((fused(2L).new_width, fused(2L).new_height)))
+    // audio has no resize: payload passes through untouched
+    assert(fused(3L).resized_payload.sameElements(
+      MediaCodecs.encodeWav(Array[Short](10, 20, -5, 1000))))
+    assert((fused(3L).new_width, fused(3L).new_height) == ((0, 0)))
+  }
+
   test("mediaNearDup on the corpus is deterministic and hamming-bounded") {
     val a = BinaryPipeline.mediaNearDup(spark, Sf)
       .as[(Long, Long, Long)].collect().toSet
