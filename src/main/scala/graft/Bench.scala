@@ -26,6 +26,13 @@ object Bench {
     val globalBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "3000").toLong
     val spark = Tables.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deployment-sized graph knob (Graphs.broadcastMaxEdgesFor): the 100×
+    // replica run raises the triangle edge-iterator admission cap to what
+    // this single 128 GiB JVM affords; the artifact records the value
+    sys.env.get("SPARK_GRAFT_TRI_BCAST_EDGES").foreach { v =>
+      spark.conf.set("spark.graft.triangle.broadcastMaxEdges", v)
+      System.err.println(s"[bench] triangle broadcastMaxEdges=$v")
+    }
     // warm the session once before timing: executor threads, codegen
     // compiler, parquet footer cache — otherwise the alphabetically-first
     // query absorbs ~5s of one-time JVM cost and distorts its number.
@@ -161,6 +168,15 @@ object Bench {
     val overJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val retriesJson = retried.map { case (n, first, s2, _) =>
       jstr(n) + ":[" + first + "," + s2 + "]" }.mkString("{", ",", "}")
+    // steady-state number per RETRIED query: the min of its runs. The cold
+    // number in `queries` stays the first observation, but co-tenant page-
+    // cache/heap swings inflated four r11 100× headline numbers 2–17× over
+    // their own re-probes (r11 verdict task 3) — recording min-of-runs in
+    // the SAME artifact makes the committed record self-correcting: readers
+    // cite a field, not prose about a separate clean-JVM session.
+    val steadyJson = retried.map { case (n, first, s2, e2) =>
+      jstr(n) + ":" + (if (e2.isEmpty) math.min(first, s2) else first)
+    }.mkString("{", ",", "}")
     // per-phase attribution for instrumented queries (streaming faces):
     // the phase map reflects each query's LAST run in this session (a
     // budget retry overwrites the first run's phases), so a slow face in
@@ -174,7 +190,7 @@ object Bench {
           .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}")
       }
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"phases":$phasesJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries

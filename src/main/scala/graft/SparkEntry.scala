@@ -408,15 +408,35 @@ object SparkEntry {
     //    micro-batch and never holds rows. At 100 TB the dim is whatever
     //    fits a broadcast (the usual case for user/item metadata); a
     //    fact-sized dim would flip to shuffle per batch.
+    //    Two structural choices make this face scale (r11 task 6 — the one
+    //    streaming face the state-partition work could not move, because it
+    //    is STATELESS and therefore gets no parallelism from a state
+    //    exchange):
+    //    1. the dim is MATERIALIZED (eager localCheckpoint) before the
+    //       stream starts — a stream-static join re-evaluates the static
+    //       subtree every micro-batch, so an un-materialized cohort would
+    //       re-aggregate the full events table per batch;
+    //    2. the stream is explicitly hash-repartitioned on the join key:
+    //       each staged slice is ONE unsplittable parquet file, so with
+    //       maxFilesPerTrigger=1 a stateless map-side plan runs the whole
+    //       batch on a single task (r11 100× phases: p_addBatch 78.2 of
+    //       100.9 s ≈ 20 s of serial work per batch). The repartition picks
+    //       up settledStream's volume-derived shuffle width — the same
+    //       batch-volume sizing the stateful faces get from their state
+    //       exchange — trading one narrow-row shuffle per batch for N-way
+    //       join+write parallelism.
     "q_stream_enrich" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       val landing = stagedLanding("enrich_mb", d) { dir =>
         stageEventSlices(s, d, dir, StreamSlices)
       }
-      val cohort = Tables.events(s, d).groupBy(col("user_id"))
-        .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day"))
+      val (cohort, cohortIds) = graft.operators.IterCheckpoint.checkpoint(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day")))
+      graft.operators.IterCheckpoint.supersede(s, "streamEnrichCohort", cohortIds)
       settledStream(s,
         EventStreamJob.readEventStream(s, landing, maxFilesPerTrigger = Some(1))
+          .repartition(col("user_id"))
           .join(broadcast(cohort), Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("cohort_day"),
             col("event_type"), col("value")),
@@ -895,6 +915,10 @@ object SparkEntry {
     //    exchange), hive-partitioned scan (directory pruning), materialized
     //    sketch store (aggregate once, query many)
     "q_bucketed_join" -> ((s, d) => Layouts.bucketedJoinRevenue(s, d)),
+    // the q12 fact-fact lag classification over the SAME co-bucketed
+    // layout: no exchange below the join (r11 task 4 — the plain face was
+    // the slowest relational face at 100×, 26.6 s of orderkey shuffle)
+    "q_ship_lag_bucketed" -> ((s, d) => Layouts.bucketedShipLag(s, d)),
     "q_partition_pruned" -> ((s, d) => Layouts.partitionPrunedDaily(s, d)),
     // small-file compaction: 64-file micro-batch spray rewritten to a
     // byte-targeted layout; the hash vs the source parquet proves lossless
@@ -1239,6 +1263,26 @@ object SparkEntry {
        |        list_transform(list_distinct(${sqlTokens("text")}),
        |          t -> ${sqlMd5Hash60("t", "0")}) AS th
        |      FROM documents)""".stripMargin
+
+  /** q12-class lag classification, shared verbatim by `q12_ship_lag` (plain
+    * scan) and `q_ship_lag_bucketed` (co-bucketed layout) — one oracle, two
+    * physical plans.
+    */
+  private val sqlShipLag: String =
+    """SELECT lag_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                        CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
+      |         WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      |                        CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
+      |         ELSE 'SLOW' END AS lag_class
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |GROUP BY lag_class""".stripMargin
 
   /** Mirror of Similarity: left-fold double dot product over 64-dim floats. */
   private def sqlDot(a: String, b: String): String =
@@ -2892,21 +2936,11 @@ object SparkEntry {
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
-    "q12_ship_lag" ->
-      """SELECT lag_class,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-        |FROM (
-        |  SELECT o_orderpriority,
-        |    CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
-        |                        CAST(l_shipdate AS DATE)) <= 30 THEN 'FAST'
-        |         WHEN date_diff('day', CAST(o_orderdate AS DATE),
-        |                        CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
-        |         ELSE 'SLOW' END AS lag_class
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |GROUP BY lag_class""".stripMargin,
+    "q12_ship_lag" -> sqlShipLag,
+    // identical semantics over the co-bucketed layout: one oracle proves
+    // the layout changes the plan (no exchange below the join), never the
+    // answer
+    "q_ship_lag_bucketed" -> sqlShipLag,
 
     "q14_promo_share" ->
       s"""SELECT

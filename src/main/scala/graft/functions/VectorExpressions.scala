@@ -241,6 +241,82 @@ case class BloomMightContainFile(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_sorted_intersect_n(a, b)` — count of common elements of two
+  * SORTED `array<bigint>` columns via a two-pointer merge, codegen'd.
+  *
+  * The exact-triangle edge-iterator evaluates Σ(od(s)+od(t)) ≈ 2·wedges
+  * element comparisons per run — 536 B at the 100× replica — and
+  * `size(array_intersect(n1, n2))` pays a per-ROW hash-set build of the
+  * left array (Σ od(s) set inserts + boxing) plus an intermediate result
+  * array nobody reads. The adjacency lists arrive `array_sort`ed and
+  * distinct by construction, so the linear merge does the same count with
+  * two primitive cursors inside whole-stage codegen, no allocation.
+  * PRECONDITION: both inputs sorted ascending (duplicates, if present,
+  * count once per matching pair step — the adjacency lists have none).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_n expects bigint arrays, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_intersect_n"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registers graft's native functions on a session via
   * `SparkSessionExtensions` — the standard extension point, so any session
   * (Bench, Verify, tests, a user's own builder) gets them with
@@ -257,6 +333,9 @@ object VectorExpressions {
     (new FunctionIdentifier("graft_hex15"),
       new ExpressionInfo(classOf[Hex15ToLong].getName, "graft_hex15"),
       (args: Seq[Expression]) => Hex15ToLong(args(0))),
+    (new FunctionIdentifier("graft_sorted_intersect_n"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_n"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     // Spark's own runtime-filter Bloom expressions (the machinery behind
     // InjectRuntimeFilter), surfaced as callable functions so
     // [[graft.operators.IngestTransforms.bloomInsertIgnore]] can build the

@@ -67,6 +67,38 @@ object Layouts {
         count(lit(1)).as("n"))
   }
 
+  /** Driver face: [[RelFaces.shipLagPriority]] (TPC-H q12-class) computed
+    * over the co-bucketed layout — the r11 verdict task-4 cut. The plain
+    * face is a full fact⋈fact shuffle on the order key (26.6 s at the 100×
+    * replica, 89% of ceiling — the slowest relational face); on the
+    * bucketed layout the SAME join reads co-located buckets with NO
+    * exchange below the sort-merge join, and the only shuffle left is the
+    * 3-group lag rollup. The bucketed tables are the ones
+    * [[bucketedJoinRevenue]] already stages — one write shuffle amortized
+    * across every orderkey join in the session, which is bucketing's whole
+    * contract. Oracle: identical SQL to `q12_ship_lag` over the PLAIN
+    * parquet — the layout changes the plan, never the answer.
+    */
+  def bucketedShipLag(s: SparkSession, d: String): DataFrame = {
+    val (liT, ordT) = bucketedTables(s, d)
+    val li = s.table(liT).select(col("l_orderkey"), col("l_shipdate"))
+    val ord = s.table(ordT).select(
+      col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .withColumn("lag_class",
+        when(col("lag_days") <= lit(30), "FAST")
+          .when(col("lag_days") <= lit(90), "NORMAL")
+          .otherwise("SLOW"))
+      .groupBy(col("lag_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
   // ---------------------------------------------------------- partitioning
 
   /** events re-laid hive-partitioned by `event_date` (directory per day) —

@@ -26,6 +26,30 @@ class GraphsSpec extends SparkSpecBase {
     assert(count(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) == 1L)
   }
 
+  test("graft_sorted_intersect_n equals size(array_intersect) on sorted distinct arrays") {
+    // the codegen'd two-pointer merge the broadcast triangle path counts
+    // with (r12) must agree with Spark's set-based intersect on every
+    // sorted-distinct input shape, including empty and disjoint sides
+    val df = spark.range(500).select(
+      expr("array_sort(array_distinct(transform(sequence(0, CAST(id % 17 AS INT)), " +
+        "i -> (id * 7 + i * 13) % 50)))").as("a"),
+      expr("array_sort(array_distinct(transform(sequence(0, CAST(id % 23 AS INT)), " +
+        "i -> (id * 11 + i * 5) % 50)))").as("b"))
+    val bad = df.filter(
+      call_function("graft_sorted_intersect_n", col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b"))).cast("long")).count()
+    assert(bad == 0L)
+    val edge = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_n(CAST(array() AS ARRAY<BIGINT>), array(1L, 2L)) AS e1,
+        |  graft_sorted_intersect_n(array(1L, 2L, 3L), array(1L, 2L, 3L)) AS e2,
+        |  graft_sorted_intersect_n(array(1L, 3L, 5L), array(2L, 4L, 6L)) AS e3,
+        |  graft_sorted_intersect_n(array(1L, 9L), CAST(NULL AS ARRAY<BIGINT>)) AS e4
+        |""".stripMargin).head()
+    assert(edge.getLong(0) == 0L && edge.getLong(1) == 3L && edge.getLong(2) == 0L)
+    assert(edge.isNullAt(3))
+  }
+
   test("all three gate paths agree: broadcast, plain-shuffle, Bloom-pruned") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(count(k4) == 4L)                                   // m ≤ cap: broadcast

@@ -34,6 +34,18 @@ class LayoutsSpec extends SparkSpecBase {
       "bucketed layout changed the join result")
   }
 
+  test("bucketed q12 lag face: no shuffle below the join, answer layout-independent") {
+    val df = Layouts.bucketedShipLag(spark, Sf)
+    val smj = rootPlan(df).collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"no SMJ in bucketed ship-lag plan:\n${rootPlan(df)}")
+    assert(smj.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"bucketed ship-lag join still shuffles:\n${smj.get}")
+    val expected = graft.operators.RelFaces.shipLagPriority(spark, Sf)
+      .orderBy("lag_class").collect().toSeq
+    assert(df.orderBy("lag_class").collect().toSeq == expected,
+      "bucketed layout changed the q12 result")
+  }
+
   test("date filter prunes whole day-directories from the partitioned scan") {
     val df = Layouts.partitionPrunedDaily(spark, Sf) // 7 of 30 days
     val scan = rootPlan(df).collectFirst { case s: FileSourceScanExec => s }
