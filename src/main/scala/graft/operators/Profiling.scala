@@ -146,7 +146,12 @@ object Profiling {
     val keys = child.groupBy(col(ckey).cast("long").as("k"))
       .agg(count(lit(1)).as("n"))
     val pKeys = parent.select(col(pkey).cast("long").as("k")).distinct()
-    val orphans = keys.join(if (smallParent) broadcast(pKeys) else pKeys,
+    // `smallParent` marks dimension parents, but the HINT decision rides
+    // the DimBroadcast size gate (r12): a manual true on customer/part is
+    // exactly the unconditional-hint class the gate exists to close — at
+    // SF 10k these parents outgrow executors and the gate falls back to
+    // the shuffled anti join on its own
+    val orphans = keys.join(if (smallParent) DimBroadcast(pKeys) else pKeys,
       Seq("k"), "left_anti")
     keys.agg(sum(col("n")).as("n_child"))
       .crossJoin(orphans.agg(
