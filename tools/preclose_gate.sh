@@ -15,7 +15,7 @@ cd "$(dirname "$0")/.."
 LOG=tools/preclose_gate.log
 HUNDREDX="${SPARK_GRAFT_100X_DIR:-/tmp/sf100x}"
 # the ranking/argmax faces where key collisions decide survivors
-SUBSET="q_changelog_apply,q_global_rank,q_skyline,q_max_concurrency,q_dedup_keep_best,q_sample_topk_group,q_top_customers,q_mode_user,q_scd2_customers,q_co_order_topk,q15_top_supplier,q10_returned_items,q_hybrid_rrf"
+SUBSET="q_changelog_apply,q_global_rank,q_skyline,q_max_concurrency,q_dedup_keep_best,q_sample_topk_group,q_top_customers,q_mode_user,q_scd2_customers,q_co_order_topk,q15_top_supplier,q10_returned_items,q_hybrid_rrf,q_hybrid_rrf_batch"
 fail=0
 
 stamp() { date -u '+%Y-%m-%dT%H:%M:%SZ'; }
