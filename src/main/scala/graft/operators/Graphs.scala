@@ -434,7 +434,12 @@ object Graphs {
       call_function("graft_hex15",
         md5(concat(lit("tri:"), col("u").cast("string"), lit(","),
           col("v").cast("string")))) < lit(keepBound))
-    triangleCountEdges(sampled)
+    // the exact count on the sampled graph honors the SAME deployment-sized
+    // edge-iterator cap as the exact face (r12): without it the 100×
+    // replica's p=1/4 sample (~22.5M edges) fell past the 4M cluster
+    // default onto the bloom-pruned shuffle path — 415.9 s where the
+    // broadcast edge-iterator does wedges/16 of the exact face's work
+    triangleCountEdges(sampled, broadcastMaxEdgesFor(edges.sparkSession))
       .select(
         (col("n_triangles") * scale).as("est_triangles"),
         col("n_triangles").as("n_sampled"),
