@@ -208,64 +208,63 @@ object Graphs {
 
   /** Core over any canonical (`u < v`, distinct) undirected edge list.
     *
-    * TWO eager localCheckpoints, both iteration-invariant:
-    *  - the per-node degree table (one row per node) — read by the node
-    *    count (the overflow-safe scale derivation), the rank seed, AND the
-    *    adjacency build, so the `dir.groupBy` aggregation runs exactly once
-    *    and the scale's count job is over n checkpointed rows instead of the
-    *    round-6 `distinct().count()` over the m-row adjacency (r6 verdict
-    *    What's-wrong #3);
-    *  - the (src, dst, deg) adjacency — consumed by every round; without
-    *    truncation round k's plan embeds the edge-build subtree O(2^k)-fold
-    *    (56 lineitem scans in the 3-round plan at sf0.1 — the
-    *    [[Dedup.clusterLabels]] lesson).
-    * The degree side of the adjacency join broadcasts below [[BroadcastRowCap]]
-    * (checkpoint leaves carry no stats, so the hint is the sizing decision);
-    * beyond it the join shuffles on `src`, the correct at-scale shape.
+    * Checkpoint the SMALL iteration-invariant frames and re-derive the big
+    * cheap ones (r12 — the r11 100× phase lines showed the old shape spent
+    * ~85% of its 232 s materializing checkpoints: 2m directed rows 56–78 s,
+    * the 2m (src, dst, deg) adjacency another 149–168 s, while the three
+    * actual rounds were pennies):
+    *  - the CANONICAL m-row edge list — the expensive subtree (basket
+    *    expansion + distinct) runs once; the 2m directed expansion is a
+    *    map-side union re-derived from it per consumer, never stored;
+    *  - the per-node degree table (n rows) — read by the node count (the
+    *    overflow-safe scale derivation), the rank seed, and every round;
+    *  - each ROUND's rank table (n rows) — truncating per round keeps plan
+    *    depth flat (without it round k embeds the adjacency subtree k-fold
+    *    — the [[Dedup.clusterLabels]] lesson) at the price of n rows, not
+    *    the old 2m-row adjacency materialization.
+    * Below [[BroadcastRowCap]] nodes, deg and rank both broadcast (explicit
+    * hints — checkpoint leaves carry no stats), so a round is ONE map-side
+    * pass over the checkpointed edges with only the n-key contribution sums
+    * shuffling. Beyond the cap the adjacency IS materialized once (the old
+    * shape): there the per-round join shuffles 2m rows regardless, and
+    * paying one adjacency checkpoint beats re-shuffling the degree join
+    * every round — the correct 100 TB plan.
     * Leak contract: a repeat invocation supersedes the previous call's
-    * blocks ([[IterCheckpoint.supersede]]).
+    * blocks ([[IterCheckpoint.supersede]]); each round frees its
+    * predecessor's rank blocks as soon as the successor is materialized.
     */
   def pageRankEdges(edges: DataFrame, iters: Int): DataFrame = {
     val s = edges.sparkSession
-    // the EDGE BUILD (for the co-order graph: a lineitem self-join +
-    // distinct) is the expensive subtree — checkpoint the directed edge
-    // list first so it runs exactly once, then derive degrees and the
-    // adjacency from the checkpointed rows (2m (long, long) rows)
-    val (dirCk, dirIds) = timed("pagerank", "edge_ckpt")(
-      IterCheckpoint.checkpoint(
-        edges.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))))
+    val (edg, edgIds) = timed("pagerank", "edge_ckpt")(
+      IterCheckpoint.checkpoint(edges.select(col("u"), col("v"))))
+    def dir = edg.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edg.select(col("v").as("src"), col("u").as("dst")))
     val (deg, degIds) = timed("pagerank", "degree_ckpt")(
       IterCheckpoint.checkpoint(
-        dirCk.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
+        dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))))
     val nNodes = deg.count()
     val scale = pageRankScale(nNodes)
-    val degSide = if (nNodes <= BroadcastRowCap) broadcast(deg) else deg
-    val (adj, adjIds) = timed("pagerank", "adj_ckpt")(
-      IterCheckpoint.checkpoint(dirCk.join(degSide, Seq("src"))))
-    // dir's blocks are dead once deg+adj are materialized; free them NOW
-    // rather than at the next invocation — only deg (n rows) and adj stay
-    IterCheckpoint.free(s, dirIds)
-    IterCheckpoint.supersede(s, "pageRank", degIds ++ adjIds)
+    val bc = nNodes <= BroadcastRowCap
+    val (adj, adjIds) =
+      if (bc) (dir.join(broadcast(deg), Seq("src")), Set.empty[Int]) // lazy
+      else timed("pagerank", "adj_ckpt")(
+        IterCheckpoint.checkpoint(dir.join(deg, Seq("src"))))
+    val rankSide: DataFrame => DataFrame = if (bc) broadcast else identity
     val r0 = deg.select(col("src").as("node"), lit(scale).as("rank_scaled"))
-    // Each round joins the 2m-row adjacency to the n-row rank table. Ranks
-    // are node-count-sized, so below the cap BROADCAST the rank side: the
-    // adjacency is scanned map-side from its checkpoint and only the
-    // partial contribution sums shuffle (n keys), instead of re-hashing all
-    // 2m adjacency rows per round — at sf0.1 that was ~14 s of the 24 s
-    // wall for 3 rounds over a 24k-node graph. Beyond the cap the join
-    // falls back to the shuffle shape, which is the correct 100 TB plan
-    // (and where per-round state would warrant checkpointed rounds — see
-    // the iteration note above).
-    val rankSide: DataFrame => DataFrame =
-      if (nNodes <= BroadcastRowCap) broadcast else identity
-    (1 to iters).foldLeft(r0) { (rank, _) =>
-      adj.join(rankSide(rank), col("src") === col("node"))
+    var rankIds = Set.empty[Int]
+    val result = (1 to iters).foldLeft(r0) { (rank, i) =>
+      val next = adj.join(rankSide(rank), col("src") === col("node"))
         .select(col("dst"), expr("rank_scaled div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
           (lit(scale * 15L / 100L) + expr("(17 * sc) div 20")).as("rank_scaled"))
+      val (ck, ids) = timed("pagerank", s"round_$i")(IterCheckpoint.checkpoint(next))
+      IterCheckpoint.free(s, rankIds) // predecessor dead once successor lives
+      rankIds = ids
+      ck
     }
+    IterCheckpoint.supersede(s, "pageRank", edgIds ++ degIds ++ adjIds ++ rankIds)
+    result
   }
 
   /** Wedge-to-edge ratio above which the dense path builds the Bloom prune:
