@@ -26,6 +26,13 @@ class GraphsSpec extends SparkSpecBase {
     assert(count(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) == 1L)
   }
 
+  test("triangle edge-iterator cap: cluster-safe default, conf-overridable") {
+    assert(Graphs.broadcastMaxEdgesFor(spark) == Graphs.BroadcastRowCap)
+    spark.conf.set("spark.graft.triangle.broadcastMaxEdges", "123")
+    try assert(Graphs.broadcastMaxEdgesFor(spark) == 123L)
+    finally spark.conf.unset("spark.graft.triangle.broadcastMaxEdges")
+  }
+
   test("graft_sorted_intersect_n equals size(array_intersect) on sorted distinct arrays") {
     // the codegen'd two-pointer merge the broadcast triangle path counts
     // with (r12) must agree with Spark's set-based intersect on every
