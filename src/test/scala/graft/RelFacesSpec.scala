@@ -215,4 +215,25 @@ class RelFacesSpec extends SparkSpecBase {
       assert(r.getAs[Double]("totacctbal") / r.getAs[Long]("numcust") > thr)
     }
   }
+
+  test("dec9Count: in-bound counts cast cleanly, a breach fails LOUDLY, never NULL") {
+    // r12 ADVICE: the bare decimal(9,0) cast NULLs at 1e9+ under non-ANSI
+    // mode, silently emptying q11/q20's dominance predicate — the guard
+    // must turn the breach into a visible failure instead
+    import spark.implicits._
+    val ok = Seq(1L, 999999999L).toDF("n")
+      .select(operators.RelFaces.dec9Count(col("n")).as("d"))
+      .collect()
+    assert(ok.forall(!_.isNullAt(0)), "in-bound count must survive the cast")
+    val breach = intercept[Exception] {
+      Seq(1000000000L).toDF("n")
+        .select(operators.RelFaces.dec9Count(col("n")).as("d"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(breach).exists(_.contains("decimal(9,0)")),
+      s"breach must name the bound: ${messages(breach)}")
+  }
 }
