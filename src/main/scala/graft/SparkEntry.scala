@@ -502,6 +502,11 @@ object SparkEntry {
     "q_simhash" -> (Dedup.simhash _),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(s, d).withColumn("hamming", col("hamming").cast("long"))),
+    // bounded production face of q_simhash_pairs: one row per verified
+    // FINGERPRINT pair (group counts + deterministic least member-pair
+    // sample) — output stays band-join-sized at any duplication density,
+    // where the enumerating face is Θ(Σc²) by contract (r12 task 3)
+    "q_simhash_pair_stats" -> ((s, d) => Dedup.simhashPairStats(s, d)),
     // measured SimHash banding quality: recall per exact hamming distance
     // against ALL distinct-fingerprint pairs (1.0 for hamming<=3 by
     // pigeonhole; 4-6 is where the quarter-banding can miss)
@@ -2208,6 +2213,42 @@ object SparkEntry {
          |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
          |  FROM cand)
          |WHERE hamming <= 6""".stripMargin,
+
+    // Fingerprint-pair stats: same quarter-band candidate join as
+    // q_simhash_pairs but aggregated per fingerprint pair — n_pairs is the
+    // member-pair mass (m_a*m_b cross / m(m-1)/2 intra), sample is the
+    // least member pair (min of each group, canonicalized; intra: the two
+    // smallest members)
+    "q_simhash_pair_stats" ->
+      s"""WITH sh AS ($sqlSimhashDocs),
+         |g AS (
+         |  SELECT simhash, count(*) AS m, min(doc_id) AS id1,
+         |    (list_sort(list(doc_id)))[2] AS id2
+         |  FROM sh GROUP BY simhash),
+         |bands AS (
+         |  SELECT simhash, r.q AS band, substring(simhash, r.q*15+1, 15) AS band_key
+         |  FROM g, range(0, 4) r(q)),
+         |fp AS (
+         |  SELECT DISTINCT a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.simhash < b.simhash),
+         |fph AS (
+         |  SELECT sim_a, sim_b, CAST(len(list_filter(range(1, 61),
+         |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
+         |  FROM fp),
+         |cross_stats AS (
+         |  SELECT f.sim_a, f.sim_b, f.hamming,
+         |    ga.m * gb.m AS n_pairs,
+         |    least(ga.id1, gb.id1) AS sample_a, greatest(ga.id1, gb.id1) AS sample_b
+         |  FROM fph f
+         |  JOIN g ga ON f.sim_a = ga.simhash
+         |  JOIN g gb ON f.sim_b = gb.simhash
+         |  WHERE f.hamming <= 6),
+         |intra_stats AS (
+         |  SELECT simhash AS sim_a, simhash AS sim_b, CAST(0 AS BIGINT) AS hamming,
+         |    m * (m - 1) // 2 AS n_pairs, id1 AS sample_a, id2 AS sample_b
+         |  FROM g WHERE m >= 2)
+         |SELECT * FROM cross_stats UNION ALL SELECT * FROM intra_stats""".stripMargin,
 
     // SimHash banding recall: truth = all DISTINCT-fingerprint pairs with
     // exact hamming in 1..6; found = the quarter-band candidate condition

@@ -788,6 +788,60 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Bounded "production face" of [[simhashPairs]] (r12 verdict task 3):
+    * per-FINGERPRINT-pair statistics plus a deterministic bounded sample of
+    * member doc pairs — the frame a dedup consumer actually joins — instead
+    * of the Θ(Σc²) enumerated pair listing. On the adversarially-densified
+    * 100× replica (every doc in a 100-member dup cluster) the enumerating
+    * face is output-bound by contract (~12M emitted pairs/s, 577.7 s
+    * dedicated-session, SURVEY §16.11); this face emits ONE row per
+    * verified fingerprint pair carrying the exact pair mass (`n_pairs`
+    * sums to the enumerated count — spec-pinned), so its cost is the band
+    * join itself at any duplication density.
+    *
+    * Output row: the two 60-bit fingerprints (bit-string form, the
+    * [[simhash]] face's join key), exact hamming, the member-pair count,
+    * and the lexicographically-least member pair as the sample (cross
+    * pair: canonicalized (min_a, min_b); intra group: its two smallest
+    * members). Member stats avoid arrays entirely — a mega dup group
+    * contributes m ROWS to two hash aggregations (count/min, then a
+    * conditional second-min), never one m-length `collect_list` row,
+    * dropping the bounded-group-size assumption [[simhashExpand]] carries.
+    */
+  def simhashPairStats(s: SparkSession, d: String, maxHamming: Int = 6,
+      hotBandCap: Int = HotBandCap): DataFrame = {
+    val (fps, fIds) = IterCheckpoint.checkpoint(
+      simhashLong(s, d).withColumnRenamed("doc_id", "id"))
+    val base = fps.groupBy(col("h"))
+      .agg(count(lit(1)).as("m"), min(col("id")).as("id1"))
+    // second-smallest member, array-free: re-aggregate the rows above the
+    // group minimum (co-partitioned — base is h-partitioned by its groupBy)
+    val second = fps.join(base.select(col("h"), col("id1")), Seq("h"))
+      .filter(col("id") > col("id1"))
+      .groupBy(col("h")).agg(min(col("id")).as("id2"))
+    val (stats, sIds) = IterCheckpoint.checkpoint(
+      base.join(second, Seq("h"), "left"))
+    supersede(s, "simhashPairStats", fIds ++ sIds)
+    def bits(c: Column): Column =
+      concat((SimHashBits - 1 to 0 by -1).map(b =>
+        when(c.bitwiseAND(lit(1L << b)) =!= 0L, lit("1")).otherwise(lit("0"))): _*)
+    val fpairs = simhashFingerprintPairs(stats.select(col("h")), maxHamming, hotBandCap)
+    val a = stats.select(col("h").as("h_a"), col("m").as("m_a"), col("id1").as("min_a"))
+    val b = stats.select(col("h").as("h_b"), col("m").as("m_b"), col("id1").as("min_b"))
+    val cross = fpairs.join(a, Seq("h_a")).join(b, Seq("h_b"))
+      .select(bits(col("h_a")).as("sim_a"), bits(col("h_b")).as("sim_b"),
+        col("hamming").cast("long").as("hamming"),
+        (col("m_a") * col("m_b")).as("n_pairs"),
+        least(col("min_a"), col("min_b")).as("sample_a"),
+        greatest(col("min_a"), col("min_b")).as("sample_b"))
+    val intra = stats.filter(col("m") >= 2)
+      .select(bits(col("h")).as("sim_a"), bits(col("h")).as("sim_b"),
+        lit(0L).as("hamming"),
+        expr("(m * (m - 1)) div 2").as("n_pairs"),
+        col("id1").as("sample_a"), col("id2").as("sample_b"))
+    cross.unionByName(intra)
+  }
+
   /** MEASURED SimHash banding recall per hamming distance — closes the last
     * approximate face without a quality number (ANN: SURVEY §13.1; MinHash-
     * LSH: [[lshRecall]]; SimHash: this). [[simhashPairs]] is oracle-green

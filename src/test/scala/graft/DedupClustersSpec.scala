@@ -29,6 +29,30 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(split == whole)
   }
 
+  test("simhashPairStats carries the exact pair mass and real member samples") {
+    import org.apache.spark.sql.functions._
+    // the bounded production face must agree with the enumerating face it
+    // replaces at scale: n_pairs sums to the enumerated pair count, and
+    // every (sample_a, sample_b, hamming) row IS an enumerated pair
+    val enumerated = landed(Dedup.simhashPairs(spark, Sf)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long")))
+    val stats = Dedup.simhashPairStats(spark, Sf).collect()
+    assert(stats.map(_.getAs[Long]("n_pairs")).sum == enumerated.values.sum.toLong,
+      "pair mass diverged from the enumerating face")
+    val enumSet = enumerated.keySet
+    stats.foreach { r =>
+      assert(enumSet.contains(Row(r.getAs[Long]("sample_a"),
+        r.getAs[Long]("sample_b"), r.getAs[Long]("hamming"))),
+        s"sample pair not in the enumerated output: $r")
+      assert(r.getAs[Long]("sample_a") < r.getAs[Long]("sample_b"))
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+    }
+    // one row per fingerprint pair — the boundedness that makes it the
+    // production face
+    val keys = stats.map(r => (r.getAs[String]("sim_a"), r.getAs[String]("sim_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("hot-shingle cap never changes the ngram Jaccard pair set") {
     // cap = 2 sub-buckets every (lang, shingle) posting group with df > 2;
     // cap = MaxValue disables splitting. Identical output — including the
