@@ -566,6 +566,13 @@ object SparkEntry {
     // blocking, drop-by-any-smaller-id within a cluster at cosine ≥ 0.2.
     // Oracle is generated (centroid literals) — see oracleSqlDynamic.
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d, 0.2)),
+    // embedding-space decontamination: training vectors within tau of an
+    // eval vector (the paraphrase leak q_contamination's exact n-grams
+    // cannot see), candidates bounded by the trained-IVF cells — eval
+    // probes 4 cells, never corpus x eval brute force. Oracle is generated
+    // (centroid literals) — see oracleSqlDynamic.
+    "q_semantic_contamination" -> ((s, d) =>
+      Similarity.semanticContamination(s, d)),
     "q_embed_norms" -> ((s, d) => Similarity.normHistogram(s, d)),
 
     // -- text analysis
@@ -3663,7 +3670,8 @@ object SparkEntry {
     val groups: Seq[(Seq[String], () => Map[String, String])] = Seq(
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
-      (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index"),
+      (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index",
+        "q_semantic_contamination"),
         () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
@@ -4120,6 +4128,51 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY query_id
            |    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
            |WHERE rnk <= 5""".stripMargin,
+
+      // embedding-space decontamination: same e/c/cn/crossed dataflow over
+      // the SAME fitted model; train side (vec_id >= 50) takes its argmax
+      // cell, eval side (vec_id < 50) probes its 4 nearest, exact cosines
+      // verified at tau = 0.2, rolled up per contaminated training vector
+      "q_semantic_contamination" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+           |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+           |cn AS (SELECT centroid_id, cvec,
+           |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+           |       FROM c),
+           |crossed AS (
+           |  SELECT e.vec_id, cn.centroid_id,
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+           |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+           |  FROM e CROSS JOIN cn),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed
+           |    WHERE vec_id >= 50) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS eval_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn
+           |    FROM crossed WHERE vec_id < 50) WHERE rn <= ${Similarity.IvfProbe}),
+           |hits AS (
+           |  SELECT * FROM (
+           |    SELECT a.vec_id, p.eval_id,
+           |      ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |    FROM probes p
+           |    JOIN assign a ON a.centroid_id = p.centroid_id
+           |    JOIN e q ON q.vec_id = p.eval_id
+           |    JOIN e n ON n.vec_id = a.vec_id)
+           |  WHERE cosine >= 0.2),
+           |sel AS (
+           |  SELECT vec_id, eval_id, cosine,
+           |    count(*) OVER (PARTITION BY vec_id) AS n_eval_hits,
+           |    max(cosine) OVER (PARTITION BY vec_id) AS max_cosine,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, eval_id) AS rn
+           |  FROM hits)
+           |SELECT vec_id, n_eval_hits, max_cosine, eval_id AS nearest_eval_id
+           |FROM sel WHERE rn = 1""".stripMargin,
 
       // the settled streaming index must equal a batch assignment of the
       // whole corpus against the SAME frozen model: same e/c/cn/crossed/

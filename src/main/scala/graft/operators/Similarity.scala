@@ -643,6 +643,68 @@ object Similarity {
         (!coalesce(col("is_dup"), lit(false))).as("keep"))
   }
 
+  /** Embedding-space benchmark decontamination (r12 verdict task 4): the
+    * screen [[graft.operators.TrainingData.contamination]]'s 5-gram hashes
+    * cannot perform — an eval question PARAPHRASED in the training corpus
+    * shares no exact n-gram, but its embedding sits within τ of the eval
+    * embedding, which is why modern pipelines screen in embedding space as
+    * well. Output: each contaminated training vector with how many eval
+    * vectors it hits at cosine ≥ τ, the maximum cosine, and the nearest
+    * eval id (ties → smaller id) — the row a removal/review queue consumes.
+    *
+    * Candidates are bounded by the TRAINED-IVF bucketing, never corpus ×
+    * eval brute force: every training vector is assigned to its single
+    * nearest trained cell (the [[ivfTopKTrained]] corpus dataflow — one
+    * O(nlist) projection per vector, no shuffle), and each eval vector
+    * probes its `nprobe` nearest cells, so exact cosines are computed only
+    * on eval × probed-cell members (≈ nprobe/nlist of the corpus per eval
+    * row). A training pair meets at most one probe (single-cell
+    * assignment), so no dedup pass is needed. Like every banded screen in
+    * the suite the blocking bounds RECALL (a contaminated doc whose cell
+    * the eval never probes escapes); the oracle replicates the same
+    * blocking, and the measured-recall face for this machinery is
+    * `q_ann_recall` (method ivf_trained). Same model memo as the trained
+    * search, so the generated oracle (centroid literals) and this query
+    * see one fitted instance.
+    */
+  def semanticContamination(s: SparkSession, d: String,
+      evalMaxVecId: Long = 50, threshold: Double = 0.2,
+      nprobe: Int = IvfProbe): DataFrame = {
+    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+    val centsLit = array(trained.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val crossed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(centsLit))
+      .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
+      .withColumn("ccos",
+        dot(col("embedding"), col("cvec")) / (col("nrm") * norm(col("cvec"))))
+      .drop("cvec")
+    val assign = crossed.filter(col("vec_id") >= evalMaxVecId)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    val probes = crossed.filter(col("vec_id") < evalMaxVecId)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("eval_id"), col("centroid_id"))
+    val hits = probes
+      .join(assign, Seq("centroid_id"))
+      .join(e.select(col("vec_id").as("eval_id"), col("embedding").as("qvec"),
+        col("nrm").as("qn")), Seq("eval_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("nvec"),
+        col("nrm").as("nn")), Seq("vec_id"))
+      .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .filter(col("cosine") >= threshold)
+    hits.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(col("cosine")).as("max_cosine"),
+        max_by(col("eval_id"),
+          struct(col("cosine"), -col("eval_id"))).as("nearest_eval_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket
     * with cosine above threshold (doc-level near-dup by vector similarity).
     * The bucket count scales with the corpus ([[lshPlanes]]) so the

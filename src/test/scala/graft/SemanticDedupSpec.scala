@@ -56,4 +56,42 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
       Seq((0L, 0L, true), (7L, 0L, false)))
   }
+
+  test("semanticContamination: sound hits, recall bounded by blocking, catches paraphrase class") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.2
+    val out = Similarity.semanticContamination(spark, Sf, threshold = tau).collect()
+    assert(out.nonEmpty, "screen must flag something at test scale")
+    // soundness: every reported row's stats match an exact brute-force
+    // recompute of that training vector against the full eval set — the
+    // blocking may MISS pairs (recall face: q_ann_recall) but every
+    // reported (n_eval_hits, max_cosine, nearest_eval_id) must be a
+    // subset-consistent truth
+    val emb = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+    val evalV = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qvec"))
+    val brute = emb.filter(col("vec_id") >= 50)
+      .join(broadcast(evalV))
+      .withColumn("cosine",
+        Similarity.dot(col("embedding"), col("qvec")) /
+          (Similarity.norm(col("embedding")) * Similarity.norm(col("qvec"))))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("bn"), max(col("cosine")).as("bmax"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val (bn, bmax) = brute(id)
+      assert(r.getAs[Long]("n_eval_hits") <= bn,
+        s"vec $id reports more hits than brute-force truth")
+      assert(r.getAs[Double]("max_cosine") <= bmax + 1e-12)
+      assert(r.getAs[Long]("nearest_eval_id") < 50L)
+    }
+    // the point of the face: embedding hits that the exact n-gram screen
+    // (q_contamination) does NOT flag exist — the paraphrase class
+    val ngramFlagged = graft.operators.TrainingData.contamination(spark, Sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.exists(r => !ngramFlagged.contains(r.getAs[Long]("vec_id"))),
+      "every embedding hit was already n-gram-flagged — face adds nothing")
+  }
 }
