@@ -33,6 +33,25 @@ object Bench {
       spark.conf.set("spark.graft.triangle.broadcastMaxEdges", v)
       System.err.println(s"[bench] triangle broadcastMaxEdges=$v")
     }
+    // streaming state-store provider A/B (r12 verdict task 2): the 100×
+    // phase fields put 834–890 s of summed p_stateUpdates behind the
+    // stream-join faces on the default HDFS-backed store; RocksDB is the
+    // standard production lever for update-bound state. `rocksdb`/`hdfs`
+    // select the built-in providers; any other value passes through as a
+    // provider class name. Session conf — every streaming query started in
+    // this run picks it up at planning time.
+    val stateStore = sys.env.get("SPARK_GRAFT_STATE_STORE").map { v =>
+      val cls = v.toLowerCase match {
+        case "rocksdb" =>
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        case "hdfs" =>
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        case _ => v
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      System.err.println(s"[bench] stateStore=$cls")
+      cls
+    }
     // warm the session once before timing: executor threads, codegen
     // compiler, parquet footer cache — otherwise the alphabetically-first
     // query absorbs ~5s of one-time JVM cost and distorts its number.
@@ -152,6 +171,15 @@ object Bench {
     }
     pool.shutdownNow()
     val retryBySecond = retried.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap
+    // The acceptance WINDOW can sit above the contract ceiling (the 100×
+    // replica runs accept 420 s where the sf0.1 contract is 30 s). r12
+    // verdict task 6: the two thresholds must not share a flag field —
+    // `budget_exceeded` flags only genuine WINDOW breaches (the number a
+    // reader acts on), `over_contract` records contract-ceiling
+    // exceedances informationally, and both thresholds are stamped into
+    // the artifact so the record explains itself.
+    val windowSec = sys.env.get("SPARK_GRAFT_WINDOW_SEC").map(_.toDouble)
+      .getOrElse(ceiling)
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
@@ -163,9 +191,13 @@ object Bench {
           retryBySecond.get(k).forall { case (s2, e2) => s2 > ceiling || e2.nonEmpty } =>
         (k, math.min(v, retryBySecond.get(k).map(_._1).getOrElse(v)))
     }
-    over.foreach { case (k, v) =>
-      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs > ${ceiling}%.0fs ceiling (both runs)") }
-    val overJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val windowOver = over.filter { case (_, v) => v > windowSec }
+    windowOver.foreach { case (k, v) =>
+      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs > ${windowSec}%.0fs window (both runs)") }
+    over.filter { case (_, v) => v <= windowSec }.foreach { case (k, v) =>
+      System.err.println(f"[bench] over contract $k ${v}%.1fs > ${ceiling}%.0fs ceiling (inside ${windowSec}%.0fs window)") }
+    val overJson = windowOver.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val contractJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val retriesJson = retried.map { case (n, first, s2, _) =>
       jstr(n) + ":[" + first + "," + s2 + "]" }.mkString("{", ",", "}")
     // steady-state number per RETRIED query: the min of its runs. The cold
@@ -190,7 +222,8 @@ object Bench {
           .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}")
       }
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"budget_exceeded":$overJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"sf":"$sfDir"}"""
+    val storeJson = stateStore.map(jstr).getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries

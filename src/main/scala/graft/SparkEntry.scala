@@ -896,8 +896,16 @@ object SparkEntry {
           sum(col("frames")).as("sum_frames"),
           sum(col("decoded_bytes")).as("total_decoded_bytes"),
           sum(col("content_sum")).as("content_sum"))
-      // the 1:N frame-sampling stage, driver-checked via its exact count
-      val frames = graft.multimodal.BinaryPipeline.sampleFrames(media)
+      // the 1:N frame-sampling stage, driver-checked via its exact count.
+      // Kind-pruned SOURCE for the second pass (r12 task 5): sampleFrames
+      // only consumes video rows, so re-synthesizing the image/audio
+      // payloads (PNG/WAV encodes — the dominant media cost) for a
+      // post-map filter to drop was a hidden full second encode pass —
+      // measured as the q_media_features 96.3 s vs q_media_pipeline
+      // 63.3 s gap at 100×
+      val videoOnly = graft.multimodal.BinaryPipeline
+        .syntheticRealMedia(s, d, Some("video"))
+      val frames = graft.multimodal.BinaryPipeline.sampleFrames(videoOnly)
         .groupBy(lit("video").as("kind"))
         .agg(count(lit(1)).as("n_frames"))
       feats.join(frames, Seq("kind"), "left")

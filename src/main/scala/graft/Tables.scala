@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver's parquet test tables (`TESTDATA.md`).
   *
@@ -114,7 +114,26 @@ object Tables {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** Integer-id dispatch for the LLM-pipeline tables (r12 verdict task 7 —
+    * the same driver-owned-encoding drift class as `tsAsNtz`): the media
+    * synthesis and the streaming band/vector index fixtures STAGE slices of
+    * these tables and re-read them through a `doc_id LONG` /
+    * `vec_id LONG` asserted stream schema, so a driver regeneration that
+    * narrows the id columns to int32 must canonicalize HERE, before any
+    * slice is written — not surprise the fixture read path. Pass-through
+    * (no cast node) at today's int64 layout; unexpected encodings throw
+    * loudly like the ts and embedding dispatches do.
+    */
+  private def idAsLong(raw: DataFrame, c: String): DataFrame =
+    raw.schema(c).dataType match {
+      case LongType                 => raw
+      case IntegerType | ShortType  => raw.withColumn(c, col(c).cast("long"))
+      case other => throw new IllegalStateException(
+        s"$c has unsupported physical type $other — extend Tables.idAsLong")
+    }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    idAsLong(idAsLong(table(s, d, "documents"), "doc_id"), "n_chars")
   // The similarity operators assume FLOAT elements and the DuckDB oracle
   // computes on the same parquet file's physical type — so dispatch on the
   // actual element type like tsAsNtz does (same drift class as events.ts,
@@ -122,7 +141,7 @@ object Tables {
   // cosine scores diverge from the oracle SUBTLY (float32 rounding on one
   // side only) instead of failing loudly; unexpected encodings throw.
   def embeddings(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "embeddings")
+    val raw = idAsLong(table(s, d, "embeddings"), "vec_id")
     raw.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => raw
       case other => throw new IllegalStateException(

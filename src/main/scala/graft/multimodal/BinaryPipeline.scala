@@ -428,10 +428,32 @@ object BinaryPipeline {
     *   - video (doc_id % 3 == 2): the GRFT stub payload over the document
     *     text (no JDK video codec), dims (id%640+1) × (id%480+1).
     */
-  def syntheticRealMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  def syntheticRealMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    syntheticRealMedia(spark, dir, None)
+
+  /** `onlyKind` prunes the SOURCE SCAN to one kind's doc_id residue before
+    * any payload is synthesized. This closed the r12 verdict's
+    * q_media_features-vs-pipeline gap (task 5): the frame-sampling leg used
+    * to take the FULL synthesized table and filter `_.kind == "video"`
+    * AFTER the typed map — a second full synthesis pass whose PNG/WAV
+    * encodes (the dominant cost; encode ≳ decode for PNG) were built only
+    * to be dropped. A kind-pruned second pass synthesizes ⅓ of the rows,
+    * all of them the cheap stub payloads — and with a REAL media table the
+    * same predicate is a partition/pushdown filter on the `kind` column,
+    * which is why the knob belongs on the source, not after the codec.
+    */
+  def syntheticRealMedia(spark: SparkSession, dir: String,
+      onlyKind: Option[String]): Dataset[MediaRecord] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
+    val residue = onlyKind.map {
+      case "image" => 0L
+      case "audio" => 1L
+      case "video" => 2L
+      case other => throw new IllegalArgumentException(s"unknown kind: $other")
+    }
+    val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
+    residue.map(r => docs.filter(col("doc_id") % 3 === r)).getOrElse(docs)
       .as[(Long, String, String)]
       .mapPartitions { it =>
         // per-partition: ImageIO SPI registry warms once, then row loop

@@ -104,6 +104,21 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(frames.find(_.frame_no == 4).get.frame_bytes.length == 300 - 4 * 64)
   }
 
+  test("kind-pruned synthesis equals the post-map filter it replaced, byte for byte") {
+    // r12 task 5: the frames leg now prunes the SOURCE to the video residue
+    // instead of synthesizing all payloads and filtering after the typed
+    // map — the prune must be invisible to consumers
+    val pruned = BinaryPipeline.syntheticRealMedia(spark, Sf, Some("video"))
+      .collect().map(r => r.media_id -> r).toMap
+    val filtered = BinaryPipeline.syntheticRealMedia(spark, Sf)
+      .filter(_.kind == "video").collect().map(r => r.media_id -> r).toMap
+    assert(pruned.keySet == filtered.keySet && pruned.nonEmpty)
+    pruned.foreach { case (id, r) =>
+      assert(r.kind == "video")
+      assert(java.util.Arrays.equals(r.payload, filtered(id).payload), s"payload $id")
+    }
+  }
+
   test("synthetic real media flows end-to-end: decoded features match the closed form") {
     val media = BinaryPipeline.syntheticRealMedia(spark, Sf)
     val feats = BinaryPipeline.extractFeatures(media).collect()

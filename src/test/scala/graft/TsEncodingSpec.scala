@@ -171,6 +171,57 @@ class TsEncodingSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(results("nanos") == results("ntz") && results("nanos") == results("ltz"))
   }
 
+  test("media/retrieval staged fixtures survive a documents/embeddings re-encode") {
+    // r12 verdict task 7: the media synthesis and streaming-index fixtures
+    // stage slices of documents/embeddings and re-read them through
+    // asserted LONG-id schemas — the exact shape the r7 events.ts
+    // regeneration broke. Re-encode both tables with int32 ids (the
+    // plausible narrowing) and pin the whole staged path: canonical read
+    // schema, identical values, byte-identical synthesized media payloads,
+    // and an identical slice-file stream round-trip.
+    val dir = tempDir("graft_docs_reenc")
+    Tables.documents(spark, Sf)
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, Sf)
+      .withColumn("vec_id", col("vec_id").cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val reDir = dir.toString
+    // canonical logical schema restored from the narrowed physical one
+    val docs = Tables.documents(spark, reDir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    val emb = Tables.embeddings(spark, reDir)
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(docs.orderBy("doc_id").collect().toSeq ==
+      Tables.documents(spark, Sf).orderBy("doc_id").collect().toSeq)
+    assert(emb.select(col("vec_id")).orderBy("vec_id").collect().toSeq ==
+      Tables.embeddings(spark, Sf).select(col("vec_id")).orderBy("vec_id").collect().toSeq)
+    // the media fixture synthesizes identical payload bytes either way
+    import graft.multimodal.BinaryPipeline
+    val canonical = BinaryPipeline.syntheticRealMedia(spark, Sf)
+      .collect().map(r => r.media_id -> r.payload).toMap
+    val reenc = BinaryPipeline.syntheticRealMedia(spark, reDir).collect()
+    assert(reenc.nonEmpty && reenc.length == canonical.size)
+    reenc.foreach(r => assert(
+      java.util.Arrays.equals(r.payload, canonical(r.media_id)), s"payload ${r.media_id}"))
+    // the streaming-index staged read path: a slice file written from the
+    // canonicalized frame re-reads through the asserted LONG schema
+    val landing = tempDir("graft_reenc_landing")
+    docs.select(col("doc_id"), col("text")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/b00.parquet")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/b00.parquet")
+    val q = EventStreamJob.runAvailableNow(stream, "reenc_slices", "append")
+    q.stop()
+    val settled = spark.table("reenc_slices")
+      .as[(Long, String)].collect().toSet
+    spark.catalog.dropTempView("reenc_slices")
+    assert(settled == Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSet)
+  }
+
   test("the driver's actual testdata reads under the dispatch (whatever its current encoding)") {
     val df = Tables.events(spark, Sf)
     assert(df.schema("ts").dataType == TimestampNTZType)
