@@ -675,27 +675,43 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
     val centsLit = array(trained.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val crossed = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(centsLit))
+    // TRAINING side is shuffle-free end to end: the centroids are plan
+    // LITERALS, so the argmax cell is a per-row projection — transform +
+    // array_position of the max, whose first-index-on-exact-ties rule is
+    // identical to the search faces' (ccos DESC, centroid_id ASC) argmax —
+    // not the posexplode → groupBy(vec_id) → re-join-vectors dataflow the
+    // top-k faces use (they need the assignment TABLE for cell-local
+    // ranking; a screen does not). At 100 TB this is the difference
+    // between shuffling the corpus twice (nlist× score rows through an
+    // agg, then every vector through an equi-join) and shuffling only the
+    // HITS: scoring and the probe match are map-side, and the one exchange
+    // left is the final per-contaminated-vector rollup — sized by the
+    // leak, not the corpus. Same IEEE doubles as the generated oracle:
+    // graft_dot_f's strict left fold inside the lambda, centroid norms
+    // folded from the same %.17e literals.
+    val ccosArr = transform(centsLit, c =>
+      dot(col("embedding"), c) / (col("nrm") * sqrt(dot(c, c))))
+    val corpus = e.filter(col("vec_id") >= evalMaxVecId)
+      .withColumn("ccos_arr", ccosArr)
+      .withColumn("centroid_id",
+        (array_position(col("ccos_arr"), array_max(col("ccos_arr"))) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding").as("nvec"), col("nrm").as("nn"),
+        col("centroid_id"))
+    // EVAL side: benchmark-suite sized (nprobe cells per eval vector), and
+    // it CARRIES its vector on the probe row — one broadcast join against
+    // the corpus, no second lookup join
+    val probes = e.filter(col("vec_id") < evalMaxVecId)
+      .select(col("vec_id"), col("embedding"), col("nrm"), posexplode(centsLit))
       .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
       .withColumn("ccos",
         dot(col("embedding"), col("cvec")) / (col("nrm") * norm(col("cvec"))))
-      .drop("cvec")
-    val assign = crossed.filter(col("vec_id") >= evalMaxVecId)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
-    val probes = crossed.filter(col("vec_id") < evalMaxVecId)
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
       .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("eval_id"), col("centroid_id"))
-    val hits = probes
-      .join(assign, Seq("centroid_id"))
-      .join(e.select(col("vec_id").as("eval_id"), col("embedding").as("qvec"),
-        col("nrm").as("qn")), Seq("eval_id"))
-      .join(e.select(col("vec_id"), col("embedding").as("nvec"),
-        col("nrm").as("nn")), Seq("vec_id"))
+      .select(col("vec_id").as("eval_id"), col("centroid_id"),
+        col("embedding").as("qvec"), col("nrm").as("qn"))
+    val hits = corpus
+      .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .filter(col("cosine") >= threshold)
     hits.groupBy(col("vec_id"))

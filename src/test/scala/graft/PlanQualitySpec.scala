@@ -342,6 +342,26 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"non-scalar/string columns in shuffle: $offenders")
   }
 
+  test("semantic contamination: corpus side never shuffles, probes broadcast") {
+    // literal centroids make the argmax cell a per-row projection, so the
+    // TRAINING side must be scan → project → BroadcastHashJoin with the
+    // train-split predicate pushed to the parquet scan; the only shuffles
+    // are the 50-row eval window and the hits rollup — neither may carry
+    // the corpus embedding vectors
+    val df = q("q_semantic_contamination")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(vec_id,50"),
+      s"train-split predicate not pushed to the scan:\n$p")
+    val shuffles = shuffleOutputs(df)
+    assert(shuffles.size <= 2, s"corpus-sized exchange crept in:\n$p")
+    // the rollup shuffle is hits-only scalars; the eval window may carry
+    // its 50 query vectors — corpus vectors (nvec) must ride no exchange
+    val offenders = shuffles.flatMap(out =>
+      out.filter(a => a.name == "nvec" || a.name == "ccos_arr").map(_.name))
+    assert(offenders.isEmpty, s"corpus vectors in a shuffle: $offenders")
+  }
+
   test("large-orders aggregate semi-join broadcasts dims, aggregates partially") {
     val p = plan(q("q_large_orders"))
     assert(p.contains("BroadcastHashJoin"),
