@@ -342,6 +342,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"non-scalar/string columns in shuffle: $offenders")
   }
 
+  test("simhash pair stats: NO array column rides any shuffle") {
+    // the production face's scale claim is that member stats are computed
+    // array-free (count/min + conditional second-min re-aggregation) — so
+    // unlike the enumerating face (whose grouped expansion legitimately
+    // moves member arrays), no exchange anywhere in this plan may carry an
+    // array column, at any duplication density
+    val shuffles = shuffleOutputs(q("q_simhash_pair_stats"))
+    assert(shuffles.nonEmpty)
+    val offenders = shuffles.filter(out => arrayCols(out).nonEmpty)
+    assert(offenders.isEmpty,
+      s"arrays in the stats-face shuffle: ${offenders.map(arrayCols)}")
+  }
+
   test("semantic contamination: corpus side never shuffles, probes broadcast") {
     // literal centroids make the argmax cell a per-row projection, so the
     // TRAINING side must be scan → project → BroadcastHashJoin with the
