@@ -178,7 +178,17 @@ object Bench {
     // reader acts on), `over_contract` records contract-ceiling
     // exceedances informationally, and both thresholds are stamped into
     // the artifact so the record explains itself.
+    // clamped to >= ceiling: `over` below only collects ceiling breaches,
+    // so a window UNDER the ceiling would silently drop genuine window
+    // breaches from both flag fields (r13 review finding) — and a window
+    // tighter than the contract is a contradiction anyway (lower the
+    // ceiling instead)
     val windowSec = sys.env.get("SPARK_GRAFT_WINDOW_SEC").map(_.toDouble)
+      .map { w =>
+        if (w < ceiling) System.err.println(
+          f"[bench] WINDOW_SEC $w%.0f < ceiling $ceiling%.0f — clamped to the ceiling")
+        math.max(w, ceiling)
+      }
       .getOrElse(ceiling)
 
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

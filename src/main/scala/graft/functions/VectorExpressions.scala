@@ -251,13 +251,18 @@ case class BloomMightContainFile(left: Expression, right: Expression)
   * array nobody reads. The adjacency lists arrive `array_sort`ed and
   * distinct by construction, so the linear merge does the same count with
   * two primitive cursors inside whole-stage codegen, no allocation.
-  * PRECONDITION: both inputs sorted ascending — on UNSORTED input the
-  * two-pointer merge undercounts silently (documented in the registry
-  * usage string; r12 ADVICE). Duplicates are legal: on a match both
-  * cursors advance past the whole equal run, so each distinct common
-  * value counts ONCE — exactly `size(array_intersect(a, b))`'s set
-  * semantics, making the function a drop-in for it on any sorted input,
-  * not just the internal distinct adjacency path.
+  * PRECONDITION: both inputs sorted ascending with nulls LAST (exactly
+  * `array_sort` order) — on UNSORTED input the two-pointer merge
+  * undercounts silently (documented in the registry usage string; r12
+  * ADVICE). Duplicates are legal: on a match both cursors advance past
+  * the whole equal run, so each distinct common value counts ONCE.
+  * Null ELEMENTS are legal too (r13 review): `array_intersect` treats
+  * null as a value ([1,null]∩[null] = [null], size 1), so the merge
+  * stops at each side's null tail and adds one when BOTH sides carry a
+  * null — exactly `size(array_intersect(a, b))` on any array_sort-ed
+  * input. The null handling is emitted only when a side's element type
+  * is nullable, so the triangle adjacency path (containsNull=false by
+  * construction) keeps the branch-free hot loop.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -277,23 +282,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_sorted_intersect_n"
 
+  /** Either input's element type admits nulls (static plan knowledge, so
+    * codegen can skip the null branches entirely for non-null inputs). */
+  private def anyNullableElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
     var (i, j) = (0, 0)
     var c = 0L
-    while (i < nx && j < ny) {
+    // sorted nulls-last: the first null ends a side's comparable prefix
+    while (i < nx && j < ny && !x.isNullAt(i) && !y.isNullAt(j)) {
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv == yv) {
         c += 1
-        while (i < nx && x.getLong(i) == xv) i += 1
-        while (j < ny && y.getLong(j) == yv) j += 1
+        while (i < nx && !x.isNullAt(i) && x.getLong(i) == xv) i += 1
+        while (j < ny && !y.isNullAt(j) && y.getLong(j) == yv) j += 1
       }
       else if (xv < yv) i += 1
       else j += 1
     }
+    // array_intersect treats null as a value: one match when both carry one
+    if (nx > 0 && ny > 0 && x.isNullAt(nx - 1) && y.isNullAt(ny - 1)) c += 1
     c
   }
 
@@ -306,23 +321,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
-      s"""
-         |final int $nx = $a.numElements();
-         |final int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; long $c = 0L;
-         |while ($i < $nx && $j < $ny) {
-         |  final long $xv = $a.getLong($i);
-         |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) {
-         |    $c++;
-         |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
-         |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
-         |  }
-         |  else if ($xv < $yv) { $i++; }
-         |  else { $j++; }
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
+      if (!anyNullableElements) {
+        // containsNull=false on both sides: the branch-free hot loop the
+        // triangle edge-iterator runs 2·wedges times
+        s"""
+           |final int $nx = $a.numElements();
+           |final int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $nx && $j < $ny) {
+           |  final long $xv = $a.getLong($i);
+           |  final long $yv = $b.getLong($j);
+           |  if ($xv == $yv) {
+           |    $c++;
+           |    while ($i < $nx && $a.getLong($i) == $xv) { $i++; }
+           |    while ($j < $ny && $b.getLong($j) == $yv) { $j++; }
+           |  }
+           |  else if ($xv < $yv) { $i++; }
+           |  else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      } else {
+        // nullable elements: sorted nulls-last, so the first null ends the
+        // comparable prefix; null∩null counts once (array_intersect parity)
+        s"""
+           |final int $nx = $a.numElements();
+           |final int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $nx && $j < $ny && !$a.isNullAt($i) && !$b.isNullAt($j)) {
+           |  final long $xv = $a.getLong($i);
+           |  final long $yv = $b.getLong($j);
+           |  if ($xv == $yv) {
+           |    $c++;
+           |    while ($i < $nx && !$a.isNullAt($i) && $a.getLong($i) == $xv) { $i++; }
+           |    while ($j < $ny && !$b.isNullAt($j) && $b.getLong($j) == $yv) { $j++; }
+           |  }
+           |  else if ($xv < $yv) { $i++; }
+           |  else { $j++; }
+           |}
+           |if ($nx > 0 && $ny > 0 && $a.isNullAt($nx - 1) && $b.isNullAt($ny - 1)) { $c++; }
+           |${ev.value} = $c;
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(
@@ -354,9 +394,10 @@ object VectorExpressions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
         "graft_sorted_intersect_n",
         "_FUNC_(a, b) - Count of DISTINCT common elements of two array<bigint> " +
-          "inputs that MUST each be sorted ascending (two-pointer merge; " +
-          "unsorted input undercounts silently). Equals " +
-          "size(array_intersect(a, b)) on sorted inputs, duplicates included.",
+          "inputs that MUST each be sorted ascending with nulls last, i.e. " +
+          "array_sort order (two-pointer merge; unsorted input undercounts " +
+          "silently). Equals size(array_intersect(a, b)) on such inputs, " +
+          "duplicates and null elements included.",
         ""),
       (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
     // Spark's own runtime-filter Bloom expressions (the machinery behind

@@ -822,9 +822,9 @@ object Dedup {
     val (stats, sIds) = IterCheckpoint.checkpoint(
       base.join(second, Seq("h"), "left"))
     supersede(s, "simhashPairStats", fIds ++ sIds)
-    def bits(c: Column): Column =
-      concat((SimHashBits - 1 to 0 by -1).map(b =>
-        when(c.bitwiseAND(lit(1L << b)) =!= 0L, lit("1")).otherwise(lit("0"))): _*)
+    // packed nonnegative 60-bit long -> the q_simhash bit-string form; two
+    // builtins, not 60 when/concat branches (r13 review simplification)
+    def bits(c: Column): Column = lpad(bin(c), SimHashBits, "0")
     val fpairs = simhashFingerprintPairs(stats.select(col("h")), maxHamming, hotBandCap)
     val a = stats.select(col("h").as("h_a"), col("m").as("m_a"), col("id1").as("min_a"))
     val b = stats.select(col("h").as("h_b"), col("m").as("m_b"), col("id1").as("min_b"))

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.functions.broadcast
 
@@ -54,17 +56,34 @@ object DimBroadcast {
   /** Estimated-bytes cap under which a dim hint is emitted. */
   val ByteCap: Long = 128L << 20
 
-  /** Join-aware size walk over the optimized plan: Join → max of child
-    * estimates (the size-only visitor's product is meaningless bytes² —
-    * see header), any other branching or leaf node → Catalyst's own
-    * estimate, unary chains (Filter/Project/Aggregate) → recurse, so a
-    * filter-atop-join frame is judged by the join's children, exactly as
-    * the planner's own `canBroadcastBySize` would judge each side.
+  /** Join-aware size walk over the optimized plan. Per node:
+    *  - LeftSemi/LeftAnti Join → the LEFT child's estimate (output rows are
+    *    a subset of the left side by definition);
+    *  - Inner Join WITH an equality conjunct → max of child estimates (the
+    *    size-only visitor's product is meaningless bytes² — see header).
+    *    This is exact for the key-restriction shapes the gate fronts and an
+    *    UNDER-estimate for a genuinely many-to-many equi-join — callers
+    *    wrapping a row-expanding join own that bound, same as they own the
+    *    "this is a dim" claim the hint itself asserts;
+    *  - any other Join (cross, outer, non-equi) → Catalyst's own estimate:
+    *    no structural bound exists, and the product-scaled number refuses
+    *    the hint at any realistic cap — the safe default;
+    *  - unary nodes → min(own estimate, child walk): keeps Catalyst's
+    *    TIGHTER estimates where it has them (Project width pruning, global-
+    *    aggregate one-row, Limit) while discarding a product-poisoned
+    *    estimate inherited from a Join below (r13 review finding — a bare
+    *    child recursion silently lost Project pruning and over-refused);
+    *  - leaves / other branching nodes → Catalyst's estimate.
     */
   private def dimBytes(plan: LogicalPlan): BigInt = plan match {
-    case j: Join                  => j.children.map(dimBytes).max
-    case u if u.children.size == 1 => dimBytes(u.children.head)
-    case other                    => other.stats.sizeInBytes
+    case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+      dimBytes(j.left)
+    case j: Join if j.joinType == Inner &&
+        j.condition.exists(_.exists(_.isInstanceOf[EqualTo])) =>
+      j.children.map(dimBytes).max
+    case u if u.children.size == 1 =>
+      u.stats.sizeInBytes.min(dimBytes(u.children.head))
+    case other => other.stats.sizeInBytes
   }
 
   def apply(df: DataFrame, capBytes: Long = ByteCap): DataFrame =

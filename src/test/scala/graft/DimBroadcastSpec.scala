@@ -77,6 +77,45 @@ class DimBroadcastSpec extends SparkSpecBase {
     assert(hintCount(refused) === 0)
   }
 
+  test("a Project-pruned dim is judged by its PRUNED width, not the full leaf") {
+    // r13 review: the unary walk must keep Catalyst's tighter estimates —
+    // a 2-of-7-column supplier projection sized at full leaf width would
+    // lose its hint at replicas where the projection still broadcasts
+    val pruned = Tables.supplier(spark, Sf).select(col("s_suppkey"), col("s_nationkey"))
+    val projEst = pruned.queryExecution.optimizedPlan.stats.sizeInBytes
+    val leafEst = pruned.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).max
+    assert(projEst < leafEst, s"precondition lost: proj=$projEst leaf=$leafEst")
+    // a cap between the two must KEEP the hint
+    val cap = ((projEst + leafEst) / 2).toLong
+    val gated = Tables.lineitem(spark, Sf)
+      .join(DimBroadcast(pruned, capBytes = cap),
+        col("l_suppkey") === col("s_suppkey"))
+    assert(hintCount(gated) === 1,
+      "projection-pruned dim was sized at full leaf width")
+  }
+
+  test("a non-equi join-rooted frame falls back to Catalyst's estimate (refuses)") {
+    // r13 review: max-of-children is only sound for key-restriction joins —
+    // a join with no equality conjunct has no structural bound, so the
+    // gate must refuse at any realistic cap rather than force a broadcast
+    val theta = Tables.nation(spark, Sf).select(col("n_nationkey"))
+      .join(Tables.region(spark, Sf).select(col("r_regionkey")),
+        col("n_nationkey") > col("r_regionkey"))
+    val product = theta.queryExecution.optimizedPlan.stats.sizeInBytes
+    val childMax = theta.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).max
+    // a cap that max-of-children WOULD admit but the product refuses —
+    // the fallback to Catalyst's estimate is what must decide
+    val cap = (childMax * 2).toLong
+    assert(product > BigInt(cap), s"precondition lost: product=$product cap=$cap")
+    val gated = Tables.supplier(spark, Sf)
+      .join(DimBroadcast(theta, capBytes = cap),
+        col("s_nationkey") === col("n_nationkey"))
+    assert(hintCount(gated) === 0,
+      "non-equi join-rooted frame must not get the max-of-children bound")
+  }
+
   test("every relational face still plans at least one broadcast dim at test scale") {
     // the gate must be invisible at tested replicas: spot-check the faces
     // the r11 verdict named (customer/supplier hint sites) + the

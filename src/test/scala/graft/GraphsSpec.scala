@@ -80,6 +80,21 @@ class GraphsSpec extends SparkSpecBase {
       call_function("graft_sorted_intersect_n", col("a"), col("b")) =!=
         size(array_intersect(col("a"), col("b"))).cast("long")).count()
     assert(bad == 0L)
+    // null ELEMENTS (r13 review): array_intersect treats null as a value,
+    // so array_sort-ed inputs with null tails must agree too
+    val nulls = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_n(array_sort(array(1L, CAST(NULL AS BIGINT))),
+        |                           array_sort(array(CAST(NULL AS BIGINT)))) AS n1,
+        |  graft_sorted_intersect_n(array(1L), array(CAST(NULL AS BIGINT))) AS n2,
+        |  graft_sorted_intersect_n(array_sort(array(NULL, 1L, 2L)),
+        |                           array_sort(array(NULL, NULL, 2L))) AS n3,
+        |  graft_sorted_intersect_n(CAST(array(NULL) AS ARRAY<BIGINT>),
+        |                           CAST(array(NULL) AS ARRAY<BIGINT>)) AS n4
+        |""".stripMargin).head()
+    // [1,null]∩[null]={null}, [1]∩[null]={}, [null,1,2]∩[null,null,2]={2,null}
+    assert(nulls.getLong(0) == 1L && nulls.getLong(1) == 0L &&
+      nulls.getLong(2) == 2L && nulls.getLong(3) == 1L)
     // and the registry usage string carries the sorted-input precondition
     val usage = spark.sessionState.catalog
       .lookupFunctionInfo(org.apache.spark.sql.catalyst.FunctionIdentifier(
