@@ -573,6 +573,11 @@ object SparkEntry {
     // (centroid literals) — see oracleSqlDynamic.
     "q_semantic_contamination" -> ((s, d) =>
       Similarity.semanticContamination(s, d)),
+    // measured recall of that screen's cell blocking vs brute-force truth,
+    // per cosine band (the suite's every-approximate-face-ships-with-its-
+    // quality-number rule). Oracle is generated (centroid literals).
+    "q_semantic_contamination_recall" -> ((s, d) =>
+      Similarity.semanticContaminationRecall(s, d)),
     "q_embed_norms" -> ((s, d) => Similarity.normHistogram(s, d)),
 
     // -- text analysis
@@ -3679,7 +3684,7 @@ object SparkEntry {
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
       (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index",
-        "q_semantic_contamination"),
+        "q_semantic_contamination", "q_semantic_contamination_recall"),
         () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
@@ -4181,6 +4186,58 @@ object SparkEntry {
            |  FROM hits)
            |SELECT vec_id, n_eval_hits, max_cosine, eval_id AS nearest_eval_id
            |FROM sel WHERE rn = 1""".stripMargin,
+
+      // blocking recall of that screen: truth = brute-force train x eval
+      // pairs at tau (no cells), found = the same blocked pair set the
+      // screen verifies, banded by exact cosine
+      "q_semantic_contamination_recall" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+           |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+           |cn AS (SELECT centroid_id, cvec,
+           |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+           |       FROM c),
+           |crossed AS (
+           |  SELECT e.vec_id, cn.centroid_id,
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+           |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+           |  FROM e CROSS JOIN cn),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed
+           |    WHERE vec_id >= 50) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS eval_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn
+           |    FROM crossed WHERE vec_id < 50) WHERE rn <= ${Similarity.IvfProbe}),
+           |found AS (
+           |  SELECT vec_id, eval_id FROM (
+           |    SELECT a.vec_id, p.eval_id,
+           |      ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |    FROM probes p
+           |    JOIN assign a ON a.centroid_id = p.centroid_id
+           |    JOIN e q ON q.vec_id = p.eval_id
+           |    JOIN e n ON n.vec_id = a.vec_id)
+           |  WHERE cosine >= 0.2),
+           |truth AS (
+           |  SELECT * FROM (
+           |    SELECT n.vec_id, q.vec_id AS eval_id,
+           |      ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |    FROM e n CROSS JOIN e q
+           |    WHERE n.vec_id >= 50 AND q.vec_id < 50)
+           |  WHERE cosine >= 0.2),
+           |banded AS (
+           |  SELECT CASE WHEN t.cosine >= 0.4 THEN '0.40+'
+           |              WHEN t.cosine >= 0.3 THEN '0.30-0.40'
+           |              ELSE '0.20-0.30' END AS band,
+           |    CASE WHEN f.vec_id IS NOT NULL THEN 1 END AS hit
+           |  FROM truth t LEFT JOIN found f
+           |    ON t.vec_id = f.vec_id AND t.eval_id = f.eval_id)
+           |SELECT band, count(*) AS n_true, count(hit) AS n_found,
+           |  CAST(count(hit) AS DOUBLE) / count(*) AS recall
+           |FROM banded GROUP BY band""".stripMargin,
 
       // the settled streaming index must equal a batch assignment of the
       // whole corpus against the SAME frozen model: same e/c/cn/crossed/

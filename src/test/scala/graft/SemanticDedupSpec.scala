@@ -94,4 +94,21 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(out.exists(r => !ngramFlagged.contains(r.getAs[Long]("vec_id"))),
       "every embedding hit was already n-gram-flagged — face adds nothing")
   }
+
+  test("semanticContaminationRecall: bands partition truth, found is a subset, faces agree") {
+    import org.apache.spark.sql.functions._
+    val rec = Similarity.semanticContaminationRecall(spark, Sf).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      val (t, f) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"))
+      assert(f <= t, s"found exceeds truth in ${r.getAs[String]("band")}")
+      assert(math.abs(r.getAs[Double]("recall") - f.toDouble / t) < 1e-15)
+    }
+    // cross-face consistency: the recall face's found mass IS the screen's
+    // verified pair mass (both read the same hits implementation)
+    val screenPairs = Similarity.semanticContamination(spark, Sf)
+      .agg(sum(col("n_eval_hits"))).collect()(0).getLong(0)
+    assert(rec.map(_.getAs[Long]("n_found")).sum == screenPairs,
+      "recall face and screen disagree on the blocked pair mass")
+  }
 }
