@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.functions.broadcast
@@ -51,10 +51,38 @@ import org.apache.spark.sql.functions.broadcast
   * count instead: checkpoint leaves carry no Catalyst stats at all, so the
   * graph operators must pay a count job where this gate reads metadata.
   */
-object DimBroadcast {
+object DimBroadcast extends PredicateHelper {
 
   /** Estimated-bytes cap under which a dim hint is emitted. */
   val ByteCap: Long = 128L << 20
+
+  /** Session-conf override of the cap — the deployment knob (a 64 GB-
+    * executor cluster can afford a larger build side than the conservative
+    * default assumes) and the test seam: DimBroadcastSpec plans the REAL
+    * `q_comments_of_yesterday_posts` query under two injected caps and
+    * asserts the hint flips (r13 verdict task 5 — the two-regime evidence
+    * lives in a spec that survives refactors, not in a round narrative).
+    * Conf wins over the call-site cap when set: the call-site value is the
+    * operator author's default, the conf is the deployment's sizing
+    * decision, and sizing belongs to whoever owns the executors.
+    */
+  val CapConfKey = "spark.graft.dimBroadcast.byteCap"
+
+  /** True iff `e` is an equality conjunct joining the two sides — at least
+    * one attribute from each child, no attribute crossing (r13 ADVICE: the
+    * old ANY-EqualTo-anywhere test let `a.x = b.y OR a.z > b.w` — whose
+    * output is NOT bounded by either child — and even the same-side
+    * `a.x = 5 OR …` qualify for the max-of-children bound).
+    */
+  private def bridgesChildren(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      j: Join): Boolean = e match {
+    case EqualTo(l, r) =>
+      val (lr, rr) = (l.references, r.references)
+      lr.nonEmpty && rr.nonEmpty &&
+        ((lr.subsetOf(j.left.outputSet) && rr.subsetOf(j.right.outputSet)) ||
+         (lr.subsetOf(j.right.outputSet) && rr.subsetOf(j.left.outputSet)))
+    case _ => false
+  }
 
   /** Join-aware size walk over the optimized plan. Per node:
     *  - LeftSemi/LeftAnti Join → the LEFT child's estimate (output rows are
@@ -79,15 +107,19 @@ object DimBroadcast {
     case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
       dimBytes(j.left)
     case j: Join if j.joinType == Inner &&
-        j.condition.exists(_.exists(_.isInstanceOf[EqualTo])) =>
+        j.condition.exists(c =>
+          splitConjunctivePredicates(c).exists(bridgesChildren(_, j))) =>
       j.children.map(dimBytes).max
     case u if u.children.size == 1 =>
       u.stats.sizeInBytes.min(dimBytes(u.children.head))
     case other => other.stats.sizeInBytes
   }
 
-  def apply(df: DataFrame, capBytes: Long = ByteCap): DataFrame =
-    if (dimBytes(df.queryExecution.optimizedPlan) <= BigInt(capBytes))
+  def apply(df: DataFrame, capBytes: Long = ByteCap): DataFrame = {
+    val cap = df.sparkSession.conf.getOption(CapConfKey)
+      .map(_.toLong).getOrElse(capBytes)
+    if (dimBytes(df.queryExecution.optimizedPlan) <= BigInt(cap))
       broadcast(df)
     else df
+  }
 }

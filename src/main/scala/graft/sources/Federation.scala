@@ -79,8 +79,21 @@ object Federation {
     * aggregates, so `df.count()` would drag every row across the wire —
     * the one cost a federated read exists to avoid).
     */
-  private def jdbcRowCount(url: String, table: String): Long = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  private def jdbcRowCount(url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Long = {
+    // same Properties the spark.read.jdbc path uses — the embedded Derby URL
+    // carries no credentials, but the moment the federated store does, the
+    // count connection must not silently diverge from the read connection
+    // (r13 ADVICE). The table string stays RAW on purpose: it is the same
+    // `dbtable` value handed to spark.read/write.jdbc, and Spark's contract
+    // for that option is raw interpolation into FROM (unquoted names
+    // case-fold per the database; `(SELECT …) t` subqueries are legal) —
+    // dialect-quoting here would make the count resolve a DIFFERENT object
+    // than the read (verified: Derby stores the unquoted create as
+    // ORDERS_DIM; a quoted lowercase count then fails to resolve). Callers
+    // own the dbtable string's provenance exactly as they do for the Spark
+    // read it parameterizes.
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val rs = conn.createStatement()
         .executeQuery(s"SELECT COUNT(*) FROM $table")
@@ -96,8 +109,9 @@ object Federation {
     * free to re-convert from runtime sizes.
     */
   private[graft] def gatedDimBroadcast(df: DataFrame, url: String,
-      table: String, rowCap: Long = graft.operators.Graphs.BroadcastRowCap): DataFrame =
-    if (jdbcRowCount(url, table) <= rowCap) broadcast(df) else df
+      table: String, rowCap: Long = graft.operators.Graphs.BroadcastRowCap,
+      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    if (jdbcRowCount(url, table, props) <= rowCap) broadcast(df) else df
 
   /** Driver face: revenue by status over parquet lineitem joined to the
     * JDBC dimension. The oracle recomputes from the parquet orders the

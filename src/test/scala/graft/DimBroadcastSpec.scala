@@ -116,6 +116,54 @@ class DimBroadcastSpec extends SparkSpecBase {
       "non-equi join-rooted frame must not get the max-of-children bound")
   }
 
+  test("the production month-window face flips its hint under injected caps (two-regime pin)") {
+    // r13 verdict task 5: the hints=1-at-sf0.01 / hints=0-at-100× evidence
+    // for q_comments_of_yesterday_posts lived in the round narrative; this
+    // pins the REAL production query's two-regime behavior via cap
+    // injection (DimBroadcast.CapConfKey — the deployment sizing knob), so
+    // it needs no 100× data and survives any refactor that re-roots the
+    // query: the spec resolves it by name from SparkEntry.queries.
+    val q = "q_comments_of_yesterday_posts"
+    try {
+      spark.conf.set(DimBroadcast.CapConfKey, Long.MaxValue.toString)
+      assert(hintCount(SparkEntry.queries(q)(spark, Sf)) === 1,
+        "under an unbounded cap the month-window build side must carry its hint")
+      spark.conf.set(DimBroadcast.CapConfKey, "1")
+      assert(hintCount(SparkEntry.queries(q)(spark, Sf)) === 0,
+        "under a 1-byte cap (the 100-TB regime in miniature) the hint must " +
+          "NOT be forced — the planner falls back to shuffle + AQE")
+    } finally spark.conf.unset(DimBroadcast.CapConfKey)
+  }
+
+  test("an OR-of-equalities join condition does NOT qualify for max-of-children") {
+    // r13 ADVICE: `a.x = b.y OR a.z > b.w` is row-expanding — its output is
+    // not bounded by either child — yet the old ANY-EqualTo-anywhere test
+    // admitted it to the max-of-children bound. The gate must fall back to
+    // Catalyst's (product-scaled, refusing) estimate for such frames.
+    val disj = Tables.nation(spark, Sf).select(col("n_nationkey"), col("n_regionkey"))
+      .join(Tables.region(spark, Sf).select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey") || col("n_nationkey") > col("r_regionkey"))
+    val childMax = disj.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).max
+    val product = disj.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = (childMax * 2).toLong
+    assert(product > BigInt(cap), s"precondition lost: product=$product cap=$cap")
+    val gated = Tables.supplier(spark, Sf)
+      .join(DimBroadcast(disj, capBytes = cap),
+        col("s_nationkey") === col("n_nationkey"))
+    assert(hintCount(gated) === 0,
+      "an OR-of-equalities condition must not ride the max-of-children bound")
+    // while a genuine equality CONJUNCT alongside extra disjuncts still does
+    val conj = Tables.nation(spark, Sf).select(col("n_nationkey"), col("n_regionkey"))
+      .join(Tables.region(spark, Sf).select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey") && col("n_nationkey") >= lit(0))
+    val gated2 = Tables.supplier(spark, Sf)
+      .join(DimBroadcast(conj, capBytes = cap),
+        col("s_nationkey") === col("n_nationkey"))
+    assert(hintCount(gated2) === 1,
+      "a real equality conjunct must keep the max-of-children bound")
+  }
+
   test("every relational face still plans at least one broadcast dim at test scale") {
     // the gate must be invisible at tested replicas: spot-check the faces
     // the r11 verdict named (customer/supplier hint sites) + the

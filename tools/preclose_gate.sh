@@ -46,4 +46,9 @@ else
   echo "[$(stamp)] SKIP  determinism sweep 100x subset ($HUNDREDX missing)" | tee -a "$LOG"
 fi
 echo "[$(stamp)] preclose gate exit=$fail" | tee -a "$LOG"
+# the raw log is gitignored (r13 ADVICE: 7 MB/round of history bloat); the
+# COMMITTED artifact is this stage-status summary — every PASS/FAIL/SKIP
+# line plus the exit status, nothing else
+grep -E '^\[[0-9TZ:-]+\] (PASS|FAIL|SKIP|preclose gate exit)' "$LOG" \
+  | tail -40 > tools/preclose_gate_summary.txt
 exit $fail
