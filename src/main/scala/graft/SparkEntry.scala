@@ -569,8 +569,9 @@ object SparkEntry {
     // embedding-space decontamination: training vectors within tau of an
     // eval vector (the paraphrase leak q_contamination's exact n-grams
     // cannot see), candidates bounded by the trained-IVF cells — eval
-    // probes 4 cells, never corpus x eval brute force. Oracle is generated
-    // (centroid literals) — see oracleSqlDynamic.
+    // probes ContamProbe cells (default justified by the sweep face),
+    // never corpus x eval brute force. Oracle is generated (centroid
+    // literals) — see oracleSqlDynamic.
     "q_semantic_contamination" -> ((s, d) =>
       Similarity.semanticContamination(s, d)),
     // measured recall of that screen's cell blocking vs brute-force truth,
@@ -578,6 +579,12 @@ object SparkEntry {
     // quality-number rule). Oracle is generated (centroid literals).
     "q_semantic_contamination_recall" -> ((s, d) =>
       Similarity.semanticContaminationRecall(s, d)),
+    // the recall-vs-cost FRONTIER behind the screen's nprobe default (r13
+    // verdict task 1): the real blocking run at each swept nprobe, per-band
+    // recall + scored-pair cost vs one brute-force truth pass. Oracle is
+    // generated (centroid literals).
+    "q_semantic_contamination_sweep" -> ((s, d) =>
+      Similarity.semanticContaminationSweep(s, d)),
     "q_embed_norms" -> ((s, d) => Similarity.normHistogram(s, d)),
 
     // -- text analysis
@@ -3684,7 +3691,8 @@ object SparkEntry {
       (Seq("q_pagerank"), () => pageRankOracle(s, d)),
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
       (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index",
-        "q_semantic_contamination", "q_semantic_contamination_recall"),
+        "q_semantic_contamination", "q_semantic_contamination_recall",
+        "q_semantic_contamination_sweep"),
         () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
@@ -4167,7 +4175,7 @@ object SparkEntry {
            |  SELECT vec_id AS eval_id, centroid_id FROM (
            |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
            |      ORDER BY ccos DESC, centroid_id) AS rn
-           |    FROM crossed WHERE vec_id < 50) WHERE rn <= ${Similarity.IvfProbe}),
+           |    FROM crossed WHERE vec_id < 50) WHERE rn <= ${Similarity.ContamProbe}),
            |hits AS (
            |  SELECT * FROM (
            |    SELECT a.vec_id, p.eval_id,
@@ -4211,7 +4219,7 @@ object SparkEntry {
            |  SELECT vec_id AS eval_id, centroid_id FROM (
            |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
            |      ORDER BY ccos DESC, centroid_id) AS rn
-           |    FROM crossed WHERE vec_id < 50) WHERE rn <= ${Similarity.IvfProbe}),
+           |    FROM crossed WHERE vec_id < 50) WHERE rn <= ${Similarity.ContamProbe}),
            |found AS (
            |  SELECT vec_id, eval_id FROM (
            |    SELECT a.vec_id, p.eval_id,
@@ -4238,6 +4246,64 @@ object SparkEntry {
            |SELECT band, count(*) AS n_true, count(hit) AS n_found,
            |  CAST(count(hit) AS DOUBLE) / count(*) AS recall
            |FROM banded GROUP BY band""".stripMargin,
+
+      // the recall-vs-cost frontier behind ContamProbe: same e/c/cn/crossed
+      // dataflow, probes keep their rank, a VALUES list enumerates the
+      // swept nprobe points; per (nprobe, band) recall vs the brute truth
+      // plus the scored-candidate count (the cost axis)
+      "q_semantic_contamination_sweep" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),
+           |c AS (SELECT CAST(r.i - 1 AS INTEGER) AS centroid_id, m.cents[r.i] AS cvec
+           |      FROM (SELECT $centsLit AS cents) m, range(1, ${cents.length + 1}) r(i)),
+           |cn AS (SELECT centroid_id, cvec,
+           |         list_reduce(list_transform(range(1, 65), i -> cvec[i] * cvec[i]), (x, y) -> x + y) AS cnrm2
+           |       FROM c),
+           |crossed AS (
+           |  SELECT e.vec_id, cn.centroid_id,
+           |    list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * cn.cvec[i]), (x, y) -> x + y)
+           |      / (sqrt(e.nrm2) * sqrt(cn.cnrm2)) AS ccos
+           |  FROM e CROSS JOIN cn),
+           |assign AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ccos DESC, centroid_id) AS rn FROM crossed
+           |    WHERE vec_id >= 50) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS eval_id, centroid_id, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           |  FROM crossed WHERE vec_id < 50),
+           |nps AS (SELECT * FROM (VALUES ${Similarity.ContamSweepProbes
+                .map(n => s"($n)").mkString(", ")}) v(nprobe)),
+           |cand AS (
+           |  SELECT np.nprobe, a.vec_id, p.eval_id,
+           |    ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |  FROM probes p
+           |  JOIN assign a ON a.centroid_id = p.centroid_id
+           |  JOIN e q ON q.vec_id = p.eval_id
+           |  JOIN e n ON n.vec_id = a.vec_id
+           |  CROSS JOIN nps np
+           |  WHERE p.rn <= np.nprobe),
+           |cost AS (SELECT nprobe, count(*) AS n_scored FROM cand GROUP BY nprobe),
+           |truth AS (
+           |  SELECT * FROM (
+           |    SELECT n.vec_id, q.vec_id AS eval_id,
+           |      ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.nrm2) * sqrt(n.nrm2)) AS cosine
+           |    FROM e n CROSS JOIN e q
+           |    WHERE n.vec_id >= 50 AND q.vec_id < 50)
+           |  WHERE cosine >= 0.2),
+           |banded AS (
+           |  SELECT np.nprobe,
+           |    CASE WHEN t.cosine >= 0.4 THEN '0.40+'
+           |         WHEN t.cosine >= 0.3 THEN '0.30-0.40'
+           |         ELSE '0.20-0.30' END AS band,
+           |    CASE WHEN f.vec_id IS NOT NULL THEN 1 END AS hit
+           |  FROM truth t CROSS JOIN nps np
+           |  LEFT JOIN (SELECT nprobe, vec_id, eval_id FROM cand WHERE cosine >= 0.2) f
+           |    ON f.nprobe = np.nprobe AND f.vec_id = t.vec_id AND f.eval_id = t.eval_id)
+           |SELECT b.nprobe, b.band, count(*) AS n_true, count(hit) AS n_found,
+           |  CAST(count(hit) AS DOUBLE) / count(*) AS recall, c2.n_scored
+           |FROM banded b JOIN cost c2 ON c2.nprobe = b.nprobe
+           |GROUP BY b.nprobe, b.band, c2.n_scored""".stripMargin,
 
       // the settled streaming index must equal a batch assignment of the
       // whole corpus against the SAME frozen model: same e/c/cn/crossed/
