@@ -816,6 +816,37 @@ object SparkEntry {
           min(col("vec_id")).as("min_vec_id"))
     }),
 
+    //    the decontamination screen run WHERE it runs in production —
+    //    over incremental corpus ingestion: training-vector batches (with
+    //    cross-batch duplicate deliveries) are screened against the frozen
+    //    eval probes as they land, hit pairs append replay-safe; the
+    //    settled store's rollup must equal the batch screen over the whole
+    //    corpus (same generated oracle as q_semantic_contamination)
+    "q_stream_semantic_contam" -> ((s, d) => {
+      val cents = Similarity.trainedCentroids(s, d)
+      val probes = Similarity.contaminationEvalProbes(s, d)
+      val root = stagedLanding("semcontam_mb", d) { dir =>
+        java.nio.file.Files.createDirectory(dir.resolve("landing"))
+        val corpus = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") >= 50)
+        val base = System.currentTimeMillis()
+        for (i <- 0 until StreamSlices) {
+          val own = corpus.filter(pmod(col("vec_id"), lit(StreamSlices)) === i)
+          val dup = corpus.filter(
+            pmod(col("vec_id"), lit(StreamSlices)) === (i + StreamSlices - 1) % StreamSlices &&
+              col("vec_id") % 16 === 0)
+          writeSliceFile(own.unionByName(dup),
+            dir.resolve("landing"), f"b$i%02d.parquet", base + i * 2000L)
+        }
+      }
+      val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
+      BenchPhases.settle(graft.sources.Sinks.streamSemanticContamination(
+        stream, cents, probes, 0.2, s"$root/store", s"$root/ckpt"))
+      Similarity.contaminationRollup(s.read.parquet(s"$root/store"))
+    }),
+
     //    streaming-maintained daily rollup MV: batches land in an
     //    insert-ignore landing (the 1-hour overlap replays re-offer rows —
     //    the anti-join must drop them), then only the touched days are
@@ -3692,7 +3723,7 @@ object SparkEntry {
       (Seq("q_ann_lsh", "q_ann_multiprobe", "q_embed_neardup"), () => lshOracles(s, d)),
       (Seq("q_ann_ivf_trained", "q_semantic_dedup", "q_stream_vector_index",
         "q_semantic_contamination", "q_semantic_contamination_recall",
-        "q_semantic_contamination_sweep"),
+        "q_semantic_contamination_sweep", "q_stream_semantic_contam"),
         () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
@@ -4112,7 +4143,7 @@ object SparkEntry {
     val centsLit = cents.map(_.map(v =>
         String.format(java.util.Locale.ROOT, "%.17e", Double.box(v)))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    Map(
+    val base = Map(
       // mirror of Similarity.ivfTopKTrained: literal trained centroids, then
       // the exact q_ann_ivf search dataflow (assign all vectors via
       // ccos-desc/centroid-asc argmax, probe 4 cells per query, exact-cosine
@@ -4360,5 +4391,9 @@ object SparkEntry {
            |SELECT m.vec_id, CAST(m.centroid_id AS BIGINT) AS cluster_id,
            |  (dr.vec_id IS NULL) AS keep
            |FROM m LEFT JOIN dropped dr ON m.vec_id = dr.vec_id""".stripMargin)
+    // the settled streaming screen must equal the batch screen over the
+    // same corpus — ONE oracle checks both (the q_stream_vector_index
+    // precedent: streaming is a delivery mechanism, not new semantics)
+    base + ("q_stream_semantic_contam" -> base("q_semantic_contamination"))
   }
 }

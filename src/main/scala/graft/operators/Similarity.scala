@@ -690,8 +690,16 @@ object Similarity {
   def semanticContamination(s: SparkSession, d: String,
       evalMaxVecId: Long = 50, threshold: Double = 0.2,
       nprobe: Int = ContamProbe): DataFrame =
-    semanticContaminationHits(s, d, evalMaxVecId, threshold, nprobe)
-      .groupBy(col("vec_id"))
+    contaminationRollup(
+      semanticContaminationHits(s, d, evalMaxVecId, threshold, nprobe))
+
+  /** Per-contaminated-vector rollup over (vec_id, eval_id, cosine) hit
+    * pairs — the row a removal/review queue consumes. Shared by the batch
+    * face and the streaming face's settled-store read, so both answer the
+    * same generated oracle.
+    */
+  private[graft] def contaminationRollup(hits: DataFrame): DataFrame =
+    hits.groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_hits"),
         max(col("cosine")).as("max_cosine"),
         max_by(col("eval_id"),
@@ -716,36 +724,27 @@ object Similarity {
   private def semanticContaminationCandidates(s: SparkSession, d: String,
       evalMaxVecId: Long, nprobe: Int): DataFrame = {
     val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= evalMaxVecId)
+    screenCandidates(corpus, trained,
+      contaminationEvalProbes(s, d, evalMaxVecId, nprobe))
+  }
+
+  /** EVAL side of the screen: each eval vector's `nprobe` nearest trained
+    * cells, CARRYING its vector on the probe row — one broadcast join
+    * against the corpus, no second lookup join. Benchmark-suite sized
+    * (rows = evals × nprobe) and a pure function of the frozen model, so
+    * the STREAMING face reuses it verbatim as its static side.
+    */
+  private[graft] def contaminationEvalProbes(s: SparkSession, d: String,
+      evalMaxVecId: Long = 50, nprobe: Int = ContamProbe): DataFrame = {
+    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
     val centsLit = array(trained.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    // TRAINING side is shuffle-free end to end: the centroids are plan
-    // LITERALS, so the argmax cell is a per-row projection — transform +
-    // array_position of the max, whose first-index-on-exact-ties rule is
-    // identical to the search faces' (ccos DESC, centroid_id ASC) argmax —
-    // not the posexplode → groupBy(vec_id) → re-join-vectors dataflow the
-    // top-k faces use (they need the assignment TABLE for cell-local
-    // ranking; a screen does not). At 100 TB this is the difference
-    // between shuffling the corpus twice (nlist× score rows through an
-    // agg, then every vector through an equi-join) and shuffling only the
-    // HITS: scoring and the probe match are map-side, and the one exchange
-    // left is the final per-contaminated-vector rollup — sized by the
-    // leak, not the corpus. Same IEEE doubles as the generated oracle:
-    // graft_dot_f's strict left fold inside the lambda, centroid norms
-    // folded from the same %.17e literals.
-    val ccosArr = transform(centsLit, c =>
-      dot(col("embedding"), c) / (col("nrm") * sqrt(dot(c, c))))
-    val corpus = e.filter(col("vec_id") >= evalMaxVecId)
-      .withColumn("ccos_arr", ccosArr)
-      .withColumn("centroid_id",
-        (array_position(col("ccos_arr"), array_max(col("ccos_arr"))) - 1).cast("int"))
-      .select(col("vec_id"), col("embedding").as("nvec"), col("nrm").as("nn"),
-        col("centroid_id"))
-    // EVAL side: benchmark-suite sized (nprobe cells per eval vector), and
-    // it CARRIES its vector on the probe row — one broadcast join against
-    // the corpus, no second lookup join
-    val probes = e.filter(col("vec_id") < evalMaxVecId)
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", norm(col("embedding")))
+      .filter(col("vec_id") < evalMaxVecId)
       .select(col("vec_id"), col("embedding"), col("nrm"), posexplode(centsLit))
       .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
       .withColumn("ccos",
@@ -755,7 +754,39 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("eval_id"), col("centroid_id"),
         col("embedding").as("qvec"), col("nrm").as("qn"))
+  }
+
+  /** CORPUS side + probe match over an arbitrary (vec_id, embedding) frame:
+    * shuffle-free end to end — the centroids are plan LITERALS, so the
+    * argmax cell is a per-row projection — transform + array_position of
+    * the max, whose first-index-on-exact-ties rule is identical to the
+    * search faces' (ccos DESC, centroid_id ASC) argmax — not the
+    * posexplode → groupBy(vec_id) → re-join-vectors dataflow the top-k
+    * faces use (they need the assignment TABLE for cell-local ranking; a
+    * screen does not). At 100 TB this is the difference between shuffling
+    * the corpus twice (nlist× score rows through an agg, then every vector
+    * through an equi-join) and shuffling only the HITS: scoring and the
+    * probe match are map-side, and the one exchange left is the final
+    * per-contaminated-vector rollup — sized by the leak, not the corpus.
+    * Same IEEE doubles as the generated oracle: graft_dot_f's strict left
+    * fold inside the lambda, centroid norms folded from the same %.17e
+    * literals. Row-local per vec_id (each output row derives from that
+    * vector's input row and the static probe side), which is exactly the
+    * sketched-sink `expand` contract the streaming face rides.
+    */
+  private[graft] def screenCandidates(corpus: DataFrame,
+      centroids: Array[Array[Double]], probes: DataFrame): DataFrame = {
+    val centsLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val ccosArr = transform(centsLit, c =>
+      dot(col("embedding"), c) / (col("nrm") * sqrt(dot(c, c))))
     corpus
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("ccos_arr", ccosArr)
+      .withColumn("centroid_id",
+        (array_position(col("ccos_arr"), array_max(col("ccos_arr"))) - 1).cast("int"))
+      .select(col("vec_id"), col("embedding").as("nvec"), col("nrm").as("nn"),
+        col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .select(col("vec_id"), col("eval_id"), col("cosine"))

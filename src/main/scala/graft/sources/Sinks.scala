@@ -726,6 +726,46 @@ object Sinks {
       .trigger(trigger)
       .start()
 
+  /** Streaming semantic-contamination screen — the decontamination twin of
+    * [[streamVectorIndex]], because incremental corpus ingestion is exactly
+    * where a screen runs in production: each micro-batch of (vec_id,
+    * embedding) TRAINING rows is screened against the frozen eval probe set
+    * ([[graft.operators.Similarity.contaminationEvalProbes]] — evals ×
+    * nprobe rows, a pure function of the frozen model), and the verified
+    * hit PAIRS (vec_id, eval_id, cosine) land append-only. The screen is
+    * [[graft.operators.Similarity.screenCandidates]] — the batch face's own
+    * blocking (argmax cell as a per-row projection over centroid literals,
+    * so it is map-side and streaming-safe) — run as the sketched sink's
+    * `expand`, i.e. once, over novel rows only, inside the single write
+    * action. Row-local per vec_id, so filter-then-expand ≡
+    * expand-then-filter (the `expand` contract).
+    *
+    * Replay safety: keyed on vec_id via [[appendInsertIgnoreSketchedRows]]
+    * (a hit vector's pair rows land atomically in its batch's append — key
+    * presence ⇒ the full row group); a vector with NO hits appends nothing
+    * and simply re-screens to nothing on a replay — idempotent both ways.
+    * The settled store's rollup equals the batch face over the same corpus
+    * (SinksSpec pins it), which is what lets one generated oracle check
+    * both.
+    */
+  def streamSemanticContamination(stream: DataFrame,
+      centroids: Array[Array[Double]], evalProbes: DataFrame,
+      threshold: Double, storePath: String, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendInsertIgnoreSketchedRows(batch, storePath, "vec_id",
+          expand = b => graft.operators.Similarity
+            .screenCandidates(b, centroids, evalProbes)
+            .filter(org.apache.spark.sql.functions.col("cosine") >= threshold))
+        postAppendHook(batchId)
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming maintenance of the MinHash-LSH band index
     * ([[graft.operators.Dedup]]): each micro-batch of (doc_id, text) docs
     * lands its per-doc (doc_id, skey, band, band_key) rows append-only —

@@ -431,6 +431,50 @@ class SinksSpec extends SparkSpecBase {
     assert(torn == settled, s"replay changed the index: $torn -> $settled")
   }
 
+  test("streamSemanticContamination: torn batch replays identically; settled rollup equals the batch screen") {
+    import graft.operators.Similarity
+    val cents = Similarity.trainedCentroids(spark, Sf)
+    val probes = Similarity.contaminationEvalProbes(spark, Sf)
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") >= 50)
+    val landing = Files.createTempDirectory("graft_scsrc")
+    val base = System.currentTimeMillis()
+    // two slices + a duplicate-delivery sliver of slice 0 inside slice 1 —
+    // the anti-join must drop the re-offer, not double-count its hits
+    SparkEntry.writeSliceFile(corpus.filter(col("vec_id") % 2 === 0),
+      landing, "b00.parquet", base)
+    SparkEntry.writeSliceFile(
+      corpus.filter(col("vec_id") % 2 === 1)
+        .unionByName(corpus.filter(col("vec_id") % 16 === 0)),
+      landing, "b01.parquet", base + 2000L)
+    val store = Files.createTempDirectory("graft_sctgt").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_scck").toString
+    def start() = Sinks.streamSemanticContamination(
+      spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString),
+      cents, probes, 0.2, store, ckpt)
+    def state = spark.read.parquet(store)
+      .select("vec_id", "eval_id").as[(Long, Long)].collect().sorted.toSeq
+    try {
+      Sinks.postAppendHook = id =>
+        if (id == 1) throw new RuntimeException("torn screen batch")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        start().awaitTermination()
+      }
+    } finally Sinks.postAppendHook = _ => ()
+    val torn = state
+    start().awaitTermination()
+    assert(torn == state, s"replay changed the hit store: $torn -> $state")
+    // settled-state equality vs the batch face — streaming is a delivery
+    // mechanism, not new semantics, so both answer one generated oracle
+    val streamed = Similarity.contaminationRollup(spark.read.parquet(store))
+      .orderBy("vec_id").collect().toSeq
+    val batch = Similarity.semanticContamination(spark, Sf)
+      .orderBy("vec_id").collect().toSeq
+    assert(streamed == batch,
+      s"settled screen diverged from the batch face:\n$streamed\nvs\n$batch")
+  }
+
   test("streamBandIndex: torn batch replays to an identical index; probe equals batch face") {
     import graft.operators.Dedup
     val landing = Files.createTempDirectory("graft_bisrc")
