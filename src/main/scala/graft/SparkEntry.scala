@@ -907,6 +907,13 @@ object SparkEntry {
     "q_triangle_approx" -> ((s, d) => Graphs.triangleCountApprox(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
     "q_co_order_topk" -> ((s, d) => Graphs.coOrderTopK(s, d)),
+    // the exact face's scale lever (r13 verdict task 3): sampled candidate
+    // stage, exact re-count of survivors behind a partkey IN-filter pushed
+    // to the scan — oracle-green because the output counts are exact
+    "q_co_order_heavy_topk" -> ((s, d) => Graphs.coOrderHeavyTopK(s, d)),
+    // the lever's measured quality face: candidate-stage recall per true
+    // pair count (tie-free), doubling as the field-shape record
+    "q_co_order_heavy_recall" -> ((s, d) => Graphs.coOrderHeavyRecall(s, d)),
 
     // -- Bloom-filter semi-join-reduced insert-ignore: same result as the
     //    plain anti-join (no false negatives), existing side probed via a
@@ -3269,6 +3276,50 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, u, v
         |LIMIT 20""".stripMargin,
+
+    // approximate heavy pairs: deterministic half-sample of baskets picks
+    // the 100 heaviest sampled pairs, whose EXACT counts decide the top-k;
+    // (ns DESC, u, v) and (n_orders DESC, u, v) tiebreaks keep both LIMITs
+    // deterministic
+    "q_co_order_heavy_topk" ->
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |cand AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.pk AS u, b.pk AS v, count(*) AS ns
+         |    FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |    WHERE a.ok % ${Graphs.HeavyPairSampleMod} = 0
+         |    GROUP BY 1, 2
+         |    ORDER BY ns DESC, u, v
+         |    LIMIT ${Graphs.HeavyPairCandidates}))
+         |SELECT c.u, c.v, count(*) AS n_orders
+         |FROM cand c
+         |JOIN inc a ON a.pk = c.u
+         |JOIN inc b ON b.pk = c.v AND b.ok = a.ok
+         |GROUP BY 1, 2
+         |ORDER BY n_orders DESC, u, v
+         |LIMIT 20""".stripMargin,
+
+    // candidate-stage recall per TRUE pair count (tie-free: "does a pair
+    // of weight c survive the half-sample?"), plus the field-shape record
+    // (n_pairs per count)
+    "q_co_order_heavy_recall" ->
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |exact AS (
+         |  SELECT a.pk AS u, b.pk AS v, count(*) AS n_orders
+         |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.pk AS u, b.pk AS v, count(*) AS ns
+         |    FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |    WHERE a.ok % ${Graphs.HeavyPairSampleMod} = 0
+         |    GROUP BY 1, 2
+         |    ORDER BY ns DESC, u, v
+         |    LIMIT ${Graphs.HeavyPairCandidates}))
+         |SELECT e.n_orders, count(*) AS n_pairs, count(c.u) AS n_cand,
+         |  CAST(count(c.u) AS DOUBLE) / count(*) AS recall
+         |FROM exact e LEFT JOIN cand c ON e.u = c.u AND e.v = c.v
+         |GROUP BY 1""".stripMargin,
 
     // the Bloom pre-filter is exact by the no-false-negative property, so
     // the oracle is the plain set-difference semantics

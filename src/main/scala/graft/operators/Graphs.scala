@@ -63,8 +63,15 @@ object Graphs {
     * whole-stage codegen. Sortedness of `ps` gives `u < v` for free.
     */
   private def coOrderPairs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
+    coOrderPairsOf(Tables.lineitem(s, d))
+
+  /** The basket-local pair expansion over an arbitrary lineitem-shaped
+    * frame — parameterized so the sampled candidate stage of
+    * [[coOrderHeavyTopK]] expands a FRACTION of the baskets through the
+    * identical dataflow.
+    */
+  private def coOrderPairsOf(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
       .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
       .select(col("u"),
@@ -122,6 +129,93 @@ object Graphs {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("u"), col("v"))
       .limit(k)
+
+  /** Deterministic basket-sampling rate (1/mod of orders by key residue)
+    * and candidate-pool size for the approximate heavy-pair face. mod = 2
+    * is chosen AGAINST the measured field, not for the cost win: the
+    * co-order pair counts here are near-uniform (max 3 at sf0.1 — see
+    * [[coOrderHeavyRecall]]), and a count-c pair needs ≥ 2 sampled
+    * occurrences to be detectable, so any rate much under 1/2 has nothing
+    * to detect (measured: candidate-stage top-k recall 0.25 at mod 2,
+    * 0.0 at mod 4). On a Zipfian basket field — where heavy-pair mining
+    * earns its keep — the same machinery runs at mod 100+ because the
+    * heavy pairs' counts dwarf 1/rate; the recall face is what tells a
+    * deployment which regime its data is in.
+    */
+  val HeavyPairSampleMod = 2
+  val HeavyPairCandidates = 100
+
+  /** Approximate "frequently bought together" — [[coOrderTopK]]'s scale
+    * lever (r13 verdict task 3). The exact face's floor is the Σ|basket|²
+    * pair expansion plus a pair-keyed shuffle of the whole stream; this
+    * face expands only a 1/[[HeavyPairSampleMod]] deterministic basket
+    * sample (orderkey residue — oracle-replicable, no RNG), takes the
+    * [[HeavyPairCandidates]] heaviest sampled pairs as candidates, and
+    * then counts ONLY those candidates exactly: the candidate part keys
+    * (≤ 2·candidates longs — a collected, limit-bounded model plane, the
+    * centroid-literal precedent) become an IN filter PUSHED TO THE SCAN,
+    * so the re-count reads a few hundred parts' rows, never the full pair
+    * stream. Output = exact counts, so the face is oracle-checkable even
+    * where the sampled stage misses truth; what sampling costs in RECALL
+    * is a separate measured face ([[coOrderHeavyRecall]]), per the
+    * suite's every-approximate-face-ships-its-quality-number rule.
+    */
+  def coOrderHeavyTopK(s: SparkSession, d: String, k: Int = 20,
+      sampleMod: Int = HeavyPairSampleMod,
+      candidates: Int = HeavyPairCandidates): DataFrame = {
+    val cand = heavyPairCandidates(s, d, sampleMod, candidates).collect()
+    val partKeys = cand.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+    val pairKeys = cand.map(r => (r.getLong(0) << 32) | r.getLong(1)).toSeq
+    if (cand.isEmpty) return s.emptyDataFrame
+      .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("n_orders"))
+    val inc = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey").isInCollection(partKeys))
+      .distinct()
+    inc.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(inc.select(col("l_orderkey"), col("l_partkey").as("v")),
+        Seq("l_orderkey"))
+      .filter(col("u") < col("v") &&
+        (shiftleft(col("u"), 32).bitwiseOR(col("v"))).isInCollection(pairKeys))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** The sampled candidate stage: heaviest [[HeavyPairCandidates]] pairs
+    * of the basket sample, totally ordered (sampled count desc, then the
+    * pair) so the collected candidate set is deterministic.
+    */
+  private def heavyPairCandidates(s: SparkSession, d: String,
+      sampleMod: Int, candidates: Int): DataFrame =
+    coOrderPairsOf(Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % sampleMod === 0))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("n_sampled").desc, col("u"), col("v"))
+      .limit(candidates)
+
+  /** MEASURED recall of [[coOrderHeavyTopK]]'s candidate stage, reported
+    * per TRUE pair count rather than against the tie-broken top-k (on a
+    * near-uniform field the exact top-k is mostly tie-break noise among
+    * thousands of equal-count pairs — per-count recall is the tie-free
+    * question "does a pair of weight c survive sampling?"). Truth = the
+    * exact face's full pair aggregation, which is what makes this a truth
+    * face in the [[coOrderTopK]] cost class; the row set doubles as the
+    * field-shape record (n_pairs per count — the no-heavy-hitters fact
+    * that sizes [[HeavyPairSampleMod]]).
+    */
+  def coOrderHeavyRecall(s: SparkSession, d: String,
+      sampleMod: Int = HeavyPairSampleMod,
+      candidates: Int = HeavyPairCandidates): DataFrame = {
+    val exact = coOrderPairs(s, d)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+    val cand = heavyPairCandidates(s, d, sampleMod, candidates)
+      .select(col("u"), col("v"), lit(1).as("hit"))
+    exact.join(broadcast(cand), Seq("u", "v"), "left_outer")
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_cand"),
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+  }
 
   /** Fixed-point PageRank over the undirected co-order graph: every edge
     * carries rank in both directions, damping 0.85, a fixed iteration count.

@@ -224,4 +224,40 @@ class GraphsSpec extends SparkSpecBase {
       assert(fast == naive && fast > 0L)
     } finally edges.unpersist()
   }
+
+  test("heavy-pair face: output counts are EXACT and the re-count scan is IN-pruned") {
+    // the approximate face may MISS heavy pairs (the recall face owns that
+    // number); what it must never do is report a wrong count for a pair it
+    // returns — exactness of survivors is what makes it oracle-checkable
+    val approx = Graphs.coOrderHeavyTopK(spark, Sf)
+    val exact = Graphs.coOrderTopK(spark, Sf, k = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = approx.collect()
+    assert(rows.nonEmpty, "sampled candidate stage found nothing at spec scale")
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.get(key).contains(r.getLong(2)),
+        s"pair $key: approx count ${r.getLong(2)} != exact ${exact.get(key)}")
+    }
+    // the re-count must read a part-restricted scan, not the full fact:
+    // the candidate part keys arrive at the parquet scan as a pushed In
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(l_partkey"),
+      s"candidate part keys not pushed to the re-count scan:\n$plan")
+  }
+
+  test("heavy-pair recall face: per-count rows are a partition of the exact pair set") {
+    val recall = Graphs.coOrderHeavyRecall(spark, Sf).collect()
+    val totalPairs = recall.map(_.getAs[Long]("n_pairs")).sum
+    val exactPairs = Graphs.coOrderTopK(spark, Sf, k = Int.MaxValue).count()
+    assert(totalPairs === exactPairs, "recall bands must partition the pair set")
+    val totalCand = recall.map(_.getAs[Long]("n_cand")).sum
+    assert(totalCand <= Graphs.HeavyPairCandidates,
+      s"candidate stage leaked past its pool bound: $totalCand")
+    recall.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0 &&
+        r.getAs[Long]("n_cand") <= r.getAs[Long]("n_pairs"))
+    }
+  }
 }
