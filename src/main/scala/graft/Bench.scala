@@ -163,11 +163,25 @@ object Bench {
     // breach, and the minimum is reported (the best observed = the bound
     // on what the code itself needs).
     val ceiling = sys.env.getOrElse("SPARK_GRAFT_BUDGET_CEILING_SEC", "30").toDouble
-    val retried = results.collect { case (name, v, None, fn) if v > ceiling =>
-      val (second, err2) = runOne(name, fn)
-      System.err.println(
-        f"[bench] RETRY (first ${v}%.1fs > ${ceiling}%.0fs) $name%-30s ${second}%8.2fs ${err2.getOrElse("ok")}")
-      (name, v, second, err2)
+    // SPARK_GRAFT_RERUN=q_a,q_b — faces that get an unconditional second
+    // timed run, with min-of-runs landing in `steady` exactly like ceiling
+    // retries. Why (r13 verdict task 2): sub-ceiling faces get a single
+    // cold run per session, so a 1.5–1.7× round-over-round swing in the
+    // committed artifact is indistinguishable from co-tenant noise. The
+    // launcher passes the faces whose cold time moved >1.5× against the
+    // previous round's artifact (tools/swing.py computes the list; the
+    // policy is written in BENCH_BUDGET.md) and the artifact then carries
+    // its own noise floor for exactly the faces a reader would question.
+    val rerun = sys.env.get("SPARK_GRAFT_RERUN")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val retried = results.collect {
+      case (name, v, None, fn) if v > ceiling || rerun(name) =>
+        val why = if (v > ceiling) f"first ${v}%.1fs > ${ceiling}%.0fs" else "rerun-requested"
+        val (second, err2) = runOne(name, fn)
+        System.err.println(
+          f"[bench] RETRY ($why) $name%-30s ${second}%8.2fs ${err2.getOrElse("ok")}")
+        (name, v, second, err2)
     }
     pool.shutdownNow()
     val retryBySecond = retried.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Diff two bench artifacts and print the swing faces.
+
+Usage: swing.py PREV.json CURR.json [ratio]
+
+Prints (stdout, one line) the comma-separated list of queries whose cold
+time moved more than `ratio` (default 1.5) in EITHER direction between the
+two artifacts — the list the next 100x run passes as SPARK_GRAFT_RERUN so
+the committed artifact carries a steady (min-of-2) number for exactly the
+faces a round-over-round reader would question (r13 verdict task 2; the
+policy is recorded in BENCH_BUDGET.md). Details go to stderr.
+
+Both artifacts may be either the raw bench JSON line or the driver wrapper
+with a `tail` field; queries missing from either side, or erroring in
+either, are skipped (they have no comparable cold number).
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # driver wrapper with a truncated tail: find the last full JSON line
+        doc = None
+        for line in reversed(text.splitlines()):
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    doc = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+        if doc is None:
+            sys.exit(f"no parseable JSON in {path}")
+    if "queries" not in doc and "tail" in doc and isinstance(doc["tail"], str):
+        for line in reversed(doc["tail"].splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                doc = json.loads(line)
+                break
+    return doc
+
+
+def main():
+    prev, curr = load(sys.argv[1]), load(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    pq, cq = prev["queries"], curr["queries"]
+    perr, cerr = prev.get("errors", {}), curr.get("errors", {})
+    swings = []
+    for name in sorted(set(pq) & set(cq)):
+        if name in perr or name in cerr:
+            continue
+        a, b = pq[name], cq[name]
+        if a <= 0 or b <= 0:
+            continue
+        r = b / a
+        if r > ratio or r < 1.0 / ratio:
+            swings.append((name, a, b, r))
+            print(f"[swing] {name:32s} {a:8.1f}s -> {b:8.1f}s  x{r:.2f}",
+                  file=sys.stderr)
+    print(",".join(n for n, *_ in swings))
+
+
+if __name__ == "__main__":
+    main()
