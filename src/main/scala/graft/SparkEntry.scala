@@ -499,6 +499,10 @@ object SparkEntry {
     // measured LSH quality: recall of the banding scheme per true-Jaccard
     // band against the exact inverted-index pairs (the dedup q_ann_recall)
     "q_dedup_recall" -> (Dedup.lshRecall _),
+    // the banding frontier behind Bands=8x2 (r14): every tiling of the one
+    // 16-hash signature, per-Jaccard-band recall + candidate-pair cost vs
+    // the exact inverted-index truth, at distinct-set level
+    "q_dedup_banding_sweep" -> ((s, d) => Dedup.lshBandingSweep(s, d)),
     "q_simhash" -> (Dedup.simhash _),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(s, d).withColumn("hamming", col("hamming").cast("long"))),
@@ -2260,6 +2264,74 @@ object SparkEntry {
          |SELECT jband, count(*) AS n_true, count(hit) AS n_found,
          |  CAST(count(hit) AS DOUBLE) / count(*) AS recall
          |FROM binned GROUP BY jband""".stripMargin,
+
+    // the banding sweep: same signature/band-key/truth mirrors as the
+    // minhash and recall oracles, a VALUES list enumerating the tilings;
+    // candidates recomputed UNCAPPED (cap sub-bucketing is recall-exact,
+    // so the DISTINCT pair set is identical); truth mapped to distinct-set
+    // representatives, same-set pairs dropped (nothing for banding to
+    // decide — identical sets collide in every band of every config)
+    "q_dedup_banding_sweep" ->
+      s"""WITH sh AS ($sqlShingles),
+         |keyed AS (
+         |  SELECT doc_id, lang, sset, len(sset) AS n, list_sort(sset) AS kset
+         |  FROM sh WHERE len(sset) > 0),
+         |reps AS (SELECT kset, min(doc_id) AS rid FROM keyed GROUP BY kset),
+         |sig AS (
+         |  SELECT rid, list_transform(range(0, ${Dedup.NumHashes}), k ->
+         |    list_min(list_transform(kset, s -> ${sqlMd5Hash60("s", "k")}))) AS sig
+         |  FROM reps),
+         |cfg AS (SELECT * FROM (VALUES ${Dedup.BandingSweepConfigs
+              .map { case (b, r) => s"($b, $r)" }.mkString(", ")}) v(bands, rows_per_band)),
+         |bandrows AS (
+         |  SELECT c.bands, c.rows_per_band, g.rid, r.b AS band,
+         |    md5(array_to_string(list_transform(range(0, c.rows_per_band),
+         |      j -> CAST(sig[r.b * c.rows_per_band + j + 1] AS VARCHAR)), ',')) AS band_key
+         |  FROM sig g, cfg c, range(0, ${Dedup.NumHashes}) r(b)
+         |  WHERE r.b < c.bands),
+         |cand AS (
+         |  SELECT DISTINCT a.bands, a.rows_per_band, a.rid AS rid_a, b.rid AS rid_b
+         |  FROM bandrows a JOIN bandrows b
+         |    ON a.bands = b.bands AND a.rows_per_band = b.rows_per_band
+         |   AND a.band = b.band AND a.band_key = b.band_key AND a.rid < b.rid),
+         |cost AS (
+         |  SELECT bands, rows_per_band, count(*) AS n_cand_pairs
+         |  FROM cand GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc_a, doc_b, jaccard FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+         |        (a.n + b.n - len(list_intersect(a.sset, b.sset))) AS jaccard
+         |    FROM keyed a JOIN keyed b
+         |      ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |     AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4)
+         |  WHERE jaccard >= 0.35),
+         |truthrep AS (
+         |  SELECT DISTINCT least(ra.rid, rb.rid) AS rid_a,
+         |    greatest(ra.rid, rb.rid) AS rid_b, t.jaccard
+         |  FROM truth t
+         |  JOIN keyed ka ON ka.doc_id = t.doc_a
+         |  JOIN reps ra ON ra.kset = ka.kset
+         |  JOIN keyed kb ON kb.doc_id = t.doc_b
+         |  JOIN reps rb ON rb.kset = kb.kset
+         |  WHERE ra.rid <> rb.rid),
+         |binned AS (
+         |  SELECT c.bands, c.rows_per_band,
+         |    CASE WHEN t.jaccard >= 0.9 THEN '0.90-1.00'
+         |         WHEN t.jaccard >= 0.7 THEN '0.70-0.90'
+         |         WHEN t.jaccard >= 0.5 THEN '0.50-0.70'
+         |         ELSE '0.35-0.50' END AS jband,
+         |    CASE WHEN cd.rid_a IS NOT NULL THEN 1 END AS hit
+         |  FROM truthrep t CROSS JOIN cfg c
+         |  LEFT JOIN cand cd ON cd.bands = c.bands
+         |    AND cd.rows_per_band = c.rows_per_band
+         |    AND cd.rid_a = t.rid_a AND cd.rid_b = t.rid_b)
+         |SELECT b.bands, b.rows_per_band, b.jband, count(*) AS n_true,
+         |  count(hit) AS n_found,
+         |  CAST(count(hit) AS DOUBLE) / count(*) AS recall, c2.n_cand_pairs
+         |FROM binned b JOIN cost c2 ON c2.bands = b.bands
+         |  AND c2.rows_per_band = b.rows_per_band
+         |GROUP BY b.bands, b.rows_per_band, b.jband, c2.n_cand_pairs""".stripMargin,
 
     "q_simhash" -> sqlSimhashDocs,
 

@@ -68,7 +68,14 @@ object Dedup {
       1)
 
   val NumHashes = 16
-  val Bands = 8 // 2 rows per band → LSH threshold ≈ (1/8)^(1/2) ≈ 0.35
+  /** 2 rows per band → LSH threshold ≈ (1/8)^(1/2) ≈ 0.35. The measured
+    * justification is [[lshBandingSweep]] (`q_dedup_banding_sweep`): among
+    * the tilings of the 16-hash signature, 8×2 keeps full recall on the
+    * driver corpus at ~2% of the 16×1 tiling's candidate-verification
+    * cost, while 4×4/2×8 start missing mid-Jaccard pairs (controlled-
+    * corpus floors pinned in LshRecallSpec).
+    */
+  val Bands = 8
 
   /** Per-doc MinHash signature as 16 columns h0..h15: explode shingles to
     * postings, hash each once per seed, take per-doc minima in ONE aggregation.
@@ -155,6 +162,29 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
+  /** Distinct candidate pairs of a (rid, band, band_key) band table via the
+    * population-capped self-join — the hot-band sub-bucketing shared by
+    * [[minhashLshPairs]] and the banding sweep (identical construction to
+    * [[simhashPairs]]'s): oversized (band, band_key) groups split into g
+    * sub-buckets, one side hashed, the other replicated ×g, so no reducer
+    * sees more than ~cap×m candidate rows. Recall-exact: every colliding
+    * pair still meets in exactly the sub-bucket the hashed side landed in.
+    */
+  private[graft] def cappedBandPairs(banded: DataFrame,
+      hotBandCap: Int): DataFrame = {
+    val popln = Window.partitionBy(col("band"), col("band_key"))
+    val sized = banded
+      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
+    val a = sized.select(col("band"), col("band_key"),
+      pmod(xxhash64(col("rid")), col("g")).cast("int").as("ba"), col("rid").as("rid_a"))
+    val b = sized.select(col("band"), col("band_key"), col("rid").as("rid_b"),
+      explode(sequence(lit(0), col("g") - 1)).as("ba"))
+    a.join(b, Seq("band", "band_key", "ba"))
+      .filter(col("rid_a") < col("rid_b"))
+      .select(col("rid_a"), col("rid_b"))
+      .distinct()
+  }
+
   /** (doc_id, sset, skey) for a (doc_id, text) frame: distinct 3-shingle
     * set + its order-normalized exact identity key. The shared front of
     * every minhash face (shingles never contain NUL, so skey is
@@ -206,18 +236,7 @@ object Dedup {
         .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset")))
     supersede(s, "minhashLshPairs", keyedIds ++ repIds)
     val banded = repBands(reps)
-    // population cap — identical construction to [[simhashPairs]]'s
-    val popln = Window.partitionBy(col("band"), col("band_key"))
-    val sized = banded
-      .withColumn("g", ceil(count(lit(1)).over(popln) / lit(hotBandCap)).cast("int"))
-    val a = sized.select(col("band"), col("band_key"),
-      pmod(xxhash64(col("rid")), col("g")).cast("int").as("ba"), col("rid").as("rid_a"))
-    val b = sized.select(col("band"), col("band_key"), col("rid").as("rid_b"),
-      explode(sequence(lit(0), col("g") - 1)).as("ba"))
-    val cand = a.join(b, Seq("band", "band_key", "ba"))
-      .filter(col("rid_a") < col("rid_b"))
-      .select(col("rid_a"), col("rid_b"))
-      .distinct()
+    val cand = cappedBandPairs(banded, hotBandCap)
     // verify on representative sets; carry both skeys for the expansion
     val repPairs = cand
       .join(reps.select(col("rid").as("rid_a"), col("skey").as("skey_a"),
@@ -540,6 +559,97 @@ object Dedup {
       .groupBy(col("jband"))
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
         (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+  }
+
+  /** The (bands × rows-per-band) points swept by [[lshBandingSweep]] —
+    * hierarchical tilings of the ONE [[NumHashes]]-hash signature: each
+    * coarser band key concatenates two finer ones, so a coarse collision
+    * implies both constituent fine collisions and the candidate sets are
+    * NESTED along the list, cand(2,8) ⊆ cand(4,4) ⊆ cand(8,2) ⊆
+    * cand(16,1). One constant so the Scala face and the oracle's VALUES
+    * list enumerate the same frontier.
+    */
+  val BandingSweepConfigs: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** Recall-vs-cost FRONTIER of the MinHash-LSH banding — the dedup analog
+    * of the semantic screen's nprobe sweep, and the measured justification
+    * for the shipped [[Bands]] = 8 × 2 (r14; the r13 pattern "every
+    * approximate default cites a frontier face" applied to the suite's
+    * other banded family). For each banding of the SAME 16-hash signature
+    * it reports, per true-Jaccard band: truth pairs, candidate-surfaced
+    * pairs, recall, and `n_cand_pairs` — the verification workload that
+    * banding generates, the frontier's cost axis. Theory says catch
+    * probability 1-(1-J^r)^b: more, shorter bands buy recall at the
+    * low-Jaccard end by flooding the verifier with near-random collisions
+    * (a 1-hash band collides at rate J for EVERY pair); fewer, longer
+    * bands starve the verifier but miss borderline pairs. The measured
+    * table is where a deployment picks its point against its own τ.
+    *
+    * Measured at REP level (distinct shingle sets) on purpose: identical
+    * sets have identical signatures and collide in every band of every
+    * config, so doc-level recall would dilute the curve with structural
+    * 1.0s in proportion to the corpus's exact-duplication — the banding
+    * DECISION only ever sees set values. Truth = the exact inverted-index
+    * pairs ([[ngramJaccardPairs]] ≥ τ — lang/size-blocked, like
+    * [[lshRecall]]'s), mapped to set representatives; same-set pairs drop
+    * (nothing for banding to decide). The signature table is checkpointed
+    * ONCE and feeds all four band joins; each join is the same
+    * population-capped self-join the production face runs
+    * ([[cappedBandPairs]] — cap sub-bucketing is recall-exact, so the
+    * DISTINCT pair set the oracle recomputes uncapped is identical).
+    * Replication-invariant by the distinct-set collapse, so the 100× cost
+    * is the truth face's, not the banding's.
+    */
+  def lshBandingSweep(s: SparkSession, d: String, threshold: Double = 0.35,
+      configs: Seq[(Int, Int)] = BandingSweepConfigs): DataFrame = {
+    val (keyed, keyedIds) = IterCheckpoint.checkpoint(
+      keyedShingles(Tables.documents(s, d)))
+    val (reps, repIds) = IterCheckpoint.checkpoint(
+      keyed.groupBy(col("skey"))
+        .agg(min(col("doc_id")).as("rid"),
+          min_by(col("sset"), col("doc_id")).as("sset")))
+    val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
+      .repartition(col("rid"))
+    val minsAgg = (0 until NumHashes).map(k =>
+      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+    val (sigs, sigIds) = IterCheckpoint.checkpoint(
+      postings.groupBy(col("rid")).agg(minsAgg.head, minsAgg.tail: _*))
+    supersede(s, "lshBandingSweep", keyedIds ++ repIds ++ sigIds)
+    val candAll = configs.map { case (b, r) =>
+      val banded = sigs.select(col("rid"),
+        posexplode(array((0 until b).map(i =>
+          md5(concat_ws(",",
+            (0 until r).map(j => col(s"h${i * r + j}").cast("string")): _*))): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_key")
+      cappedBandPairs(banded, HotBandCap)
+        .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
+    }.reduce(_.unionByName(_))
+    val cost = candAll.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_cand_pairs"))
+    val docRid = keyed.select(col("doc_id"), col("skey"))
+      .join(reps.select(col("skey"), col("rid")), Seq("skey"))
+    val truthRep = ngramJaccardPairs(s, d, threshold)
+      .join(docRid.select(col("doc_id").as("doc_a"), col("rid").as("ra")), Seq("doc_a"))
+      .join(docRid.select(col("doc_id").as("doc_b"), col("rid").as("rb")), Seq("doc_b"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("rid_a"),
+        greatest(col("ra"), col("rb")).as("rid_b"), col("jaccard"))
+      .distinct()
+    import s.implicits._
+    truthRep.crossJoin(broadcast(configs.toDF("bands", "rows_per_band")))
+      .join(candAll.withColumn("hit", lit(1)),
+        Seq("bands", "rows_per_band", "rid_a", "rid_b"), "left_outer")
+      .withColumn("jband",
+        when(col("jaccard") >= 0.9, lit("0.90-1.00"))
+          .when(col("jaccard") >= 0.7, lit("0.70-0.90"))
+          .when(col("jaccard") >= 0.5, lit("0.50-0.70"))
+          .otherwise(lit("0.35-0.50")))
+      .groupBy(col("bands"), col("rows_per_band"), col("jband"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+      .join(cost, Seq("bands", "rows_per_band"))
   }
 
   val SimHashBits = 60

@@ -87,6 +87,47 @@ class LshRecallSpec extends SparkSpecBase with BeforeAndAfterAll {
     }
   }
 
+  test("banding sweep: nested tilings order recall and cost; theory holds at both ends") {
+    // candidate sets are NESTED along (16,1) ⊇ (8,2) ⊇ (4,4) ⊇ (2,8) — a
+    // coarse band key concatenates two finer ones — so per-band found
+    // counts and the candidate cost must be non-increasing along the list,
+    // EXACTLY (not statistically); the controlled corpus then pins the
+    // frontier's two ends: 1-hash bands catch essentially all J≈0.43 pairs
+    // (1-(1-J)^16 ≈ 0.9999) at a candidate cost 8-hash bands never pay,
+    // and 8-hash bands catch essentially none (≈ 2·J⁸ ≈ 0.002).
+    val order = Dedup.BandingSweepConfigs
+    assert(order.contains((Dedup.Bands, Dedup.NumHashes / Dedup.Bands)),
+      "the shipped banding must be a swept point")
+    val rows = Dedup.lshBandingSweep(spark, dir.toString).collect()
+    val bykey = rows.map(r => ((r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band")),
+      r.getAs[String]("jband")) ->
+      (r.getAs[Long]("n_true"), r.getAs[Long]("n_found"),
+        r.getAs[Double]("recall"), r.getAs[Long]("n_cand_pairs"))).toMap
+    val jbands = rows.map(_.getAs[String]("jband")).distinct
+    assert(jbands.toSet == Targets.map(_._1).toSet, s"bands present: $jbands")
+    for (jb <- jbands) {
+      val byCfg = order.map(c => bykey((c, jb)))
+      assert(byCfg.map(_._1).distinct.size === 1,
+        s"$jb: n_true must not depend on the banding")
+      byCfg.map(_._2).sliding(2).foreach {
+        case Seq(coarse, fine) => assert(coarse >= fine,
+          s"$jb: nestedness violated — finer tiling found MORE pairs")
+        case _ => ()
+      }
+    }
+    val costs = order.map(c => bykey((c, jbands.head))._4)
+    costs.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"cost not ordered by tiling: $costs")
+      case _ => ()
+    }
+    assert(costs.head > costs.last,
+      s"the frontier must actually trade cost for recall: $costs")
+    info(s"candidate cost along ${order.mkString(",")}: ${costs.mkString(",")}")
+    assert(bykey(((16, 1), "0.35-0.50"))._3 >= 0.99, "1-hash bands must catch J≈0.43")
+    assert(bykey(((2, 8), "0.35-0.50"))._3 <= 0.05, "8-hash bands must miss J≈0.43")
+    assert(bykey(((8, 2), "0.35-0.50"))._3 >= 0.65, "shipped banding below its theory floor")
+  }
+
   test("driver-corpus face: every band present is fully recalled (near-exact dups)") {
     val rows = SparkEntry.queries("q_dedup_recall")(spark, Sf).collect()
     // the driver corpus's true pairs are all near-exact — whatever bands
