@@ -172,6 +172,11 @@ object Bench {
     // previous round's artifact (tools/swing.py computes the list; the
     // policy is written in BENCH_BUDGET.md) and the artifact then carries
     // its own noise floor for exactly the faces a reader would question.
+    // Caveat (r14 review): faces with in-JVM memos — staged stream
+    // landings, settled checkpoints, the JDBC staging — rerun WARM (a
+    // settled stream replays zero batches), so their steady is a lower
+    // bound, not a cold re-measurement; swing.py flags them, and they get
+    // dedicated sessions instead.
     val rerun = sys.env.get("SPARK_GRAFT_RERUN")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])

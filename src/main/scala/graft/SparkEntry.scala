@@ -652,6 +652,13 @@ object SparkEntry {
     // split-leakage audit: val/test docs whose near-dup cluster contains
     // train members — the contamination mode the n-gram screen misses
     "q_split_leakage" -> ((s, d) => TrainingData.splitLeakage(s, d)),
+    // the FIX for what q_split_leakage measures: split keyed on the
+    // near-dup cluster id, so no cluster straddles splits (structural)
+    "q_cluster_split" -> ((s, d) => TrainingData.clusterSplit(s, d)),
+    // decontamination closure: a hit (or an eval member) disqualifies its
+    // whole near-dup cluster — the removal set a pipeline actually deletes
+    "q_contamination_closure" -> ((s, d) =>
+      TrainingData.contaminationClosure(s, d)),
     // per-source mixture weights: uniqueness x length-quality, exact-int +
     // one floor'd double division (ppm) so both engines agree bit-for-bit
     "q_domain_mix" -> ((s, d) => TrainingData.domainMixWeights(s, d)),
@@ -795,20 +802,9 @@ object SparkEntry {
       val cents = Similarity.trainedCentroids(s, d)
       val root = stagedLanding("vecidx_mb", d) { dir =>
         java.nio.file.Files.createDirectory(dir.resolve("landing"))
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val base = System.currentTimeMillis()
-        for (i <- 0 until StreamSlices) {
-          // slice i, plus a duplicate-delivery sliver of the neighboring
-          // slice (assignment is value-deterministic, so whichever batch
-          // lands a vec first writes the same row; the anti-join drops
-          // the re-offer)
-          val own = e.filter(pmod(col("vec_id"), lit(StreamSlices)) === i)
-          val dup = e.filter(
-            pmod(col("vec_id"), lit(StreamSlices)) === (i + StreamSlices - 1) % StreamSlices &&
-              col("vec_id") % 16 === 0)
-          writeSliceFile(own.unionByName(dup),
-            dir.resolve("landing"), f"b$i%02d.parquet", base + i * 2000L)
-        }
+        stageVecSlices(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          dir.resolve("landing"))
       }
       val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
@@ -831,18 +827,11 @@ object SparkEntry {
       val probes = Similarity.contaminationEvalProbes(s, d)
       val root = stagedLanding("semcontam_mb", d) { dir =>
         java.nio.file.Files.createDirectory(dir.resolve("landing"))
-        val corpus = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-          .filter(col("vec_id") >= 50)
-        val base = System.currentTimeMillis()
-        for (i <- 0 until StreamSlices) {
-          val own = corpus.filter(pmod(col("vec_id"), lit(StreamSlices)) === i)
-          val dup = corpus.filter(
-            pmod(col("vec_id"), lit(StreamSlices)) === (i + StreamSlices - 1) % StreamSlices &&
-              col("vec_id") % 16 === 0)
-          writeSliceFile(own.unionByName(dup),
-            dir.resolve("landing"), f"b$i%02d.parquet", base + i * 2000L)
-        }
+        stageVecSlices(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding"))
+            .filter(col("vec_id") >= 50),
+          dir.resolve("landing"))
       }
       val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
@@ -1095,6 +1084,24 @@ object SparkEntry {
     withPathStream(java.nio.file.Files.walk(tmp))(
       _.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p)))
+  }
+
+  /** Stage a (vec_id, embedding)-shaped frame as [[StreamSlices]] slice
+    * files, each carrying a duplicate-delivery SLIVER of the neighboring
+    * slice (vec_id % 16 == 0) — replay-safe sinks must drop the re-offer.
+    * Shared by the embedding stream faces (vector index, semantic screen)
+    * so the dup-sliver arithmetic cannot silently diverge between them.
+    */
+  private def stageVecSlices(frame: DataFrame, landing: java.nio.file.Path): Unit = {
+    val base = System.currentTimeMillis()
+    for (i <- 0 until StreamSlices) {
+      val own = frame.filter(pmod(col("vec_id"), lit(StreamSlices)) === i)
+      val dup = frame.filter(
+        pmod(col("vec_id"), lit(StreamSlices)) === (i + StreamSlices - 1) % StreamSlices &&
+          col("vec_id") % 16 === 0)
+      writeSliceFile(own.unionByName(dup), landing,
+        f"b$i%02d.parquet", base + i * 2000L)
+    }
   }
 
   /** Stage the events table as `k` time-RANGE slice files with strictly
@@ -2619,6 +2626,73 @@ object SparkEntry {
          |SELECT j.doc_id, j.split, j.cluster_id, tr.n_train_dups
          |FROM j JOIN tr ON j.cluster_id = tr.cluster_id
          |WHERE j.split <> 'train'""".stripMargin,
+
+    // the leakage FIX: same recursive cluster labels, split hashed on the
+    // CLUSTER id with the q_hash_split boundary scheme — a cluster cannot
+    // straddle splits by construction
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE pairs AS ($sqlMinhashPairs),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |clu AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, u,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < 0.9 + 0.05 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        CAST(${sqlMd5Hash60("CAST(cluster_id AS VARCHAR)", "0")} AS DOUBLE)
+         |          / 1152921504606846976.0 AS u
+         |      FROM clu)""".stripMargin,
+
+    // decontamination closure: the q_contamination hit set (plus clusters
+    // containing an eval doc) expanded through the recursive cluster
+    // labels to every training member
+    "q_contamination_closure" -> {
+      val t = sqlTokens("text")
+      val gram5 = "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+      s"""WITH RECURSIVE pairs AS ($sqlMinhashPairs),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |clu AS (
+         |  SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |    CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |tok AS (SELECT doc_id, $t AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct(list_transform(range(1, len(t) - 3),
+         |          i -> ${sqlMd5Hash60(gram5, "0")}))) AS gh
+         |      FROM tok WHERE len(t) >= 5),
+         |hits AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM g tr
+         |  JOIN (SELECT gh FROM g WHERE doc_id < 50) ev ON tr.gh = ev.gh
+         |  WHERE tr.doc_id >= 50),
+         |hitclusters AS (
+         |  SELECT DISTINCT c.cluster_id FROM clu c
+         |  WHERE c.doc_id < 50 OR c.doc_id IN (SELECT doc_id FROM hits))
+         |SELECT c.doc_id, c.cluster_id, (h.doc_id IS NOT NULL) AS direct_hit
+         |FROM clu c
+         |JOIN hitclusters hc ON c.cluster_id = hc.cluster_id
+         |LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |WHERE c.doc_id >= 50""".stripMargin
+    },
 
     // mixture weights: exact ints + one floor'd double division per row —
     // floor (not CAST) because DuckDB's double->BIGINT cast rounds while

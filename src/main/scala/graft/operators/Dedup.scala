@@ -615,17 +615,21 @@ object Dedup {
       min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
     val (sigs, sigIds) = IterCheckpoint.checkpoint(
       postings.groupBy(col("rid")).agg(minsAgg.head, minsAgg.tail: _*))
-    supersede(s, "lshBandingSweep", keyedIds ++ repIds ++ sigIds)
-    val candAll = configs.map { case (b, r) =>
-      val banded = sigs.select(col("rid"),
-        posexplode(array((0 until b).map(i =>
-          md5(concat_ws(",",
-            (0 until r).map(j => col(s"h${i * r + j}").cast("string")): _*))): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_key")
-      cappedBandPairs(banded, HotBandCap)
-        .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
-    }.reduce(_.unionByName(_))
+    // candAll feeds two consumers (the cost aggregate and the truth join);
+    // checkpointed so the four band self-joins run once, not twice (r14
+    // review) — candidate pairs are rep-level and tiny
+    val (candAll, candIds) = IterCheckpoint.checkpoint(
+      configs.map { case (b, r) =>
+        val banded = sigs.select(col("rid"),
+          posexplode(array((0 until b).map(i =>
+            md5(concat_ws(",",
+              (0 until r).map(j => col(s"h${i * r + j}").cast("string")): _*))): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_key")
+        cappedBandPairs(banded, HotBandCap)
+          .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
+      }.reduce(_.unionByName(_)))
+    supersede(s, "lshBandingSweep", keyedIds ++ repIds ++ sigIds ++ candIds)
     val cost = candAll.groupBy(col("bands"), col("rows_per_band"))
       .agg(count(lit(1)).as("n_cand_pairs"))
     val docRid = keyed.select(col("doc_id"), col("skey"))

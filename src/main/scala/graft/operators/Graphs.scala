@@ -163,20 +163,24 @@ object Graphs {
   def coOrderHeavyTopK(s: SparkSession, d: String, k: Int = 20,
       sampleMod: Int = HeavyPairSampleMod,
       candidates: Int = HeavyPairCandidates): DataFrame = {
+    import s.implicits._
     val cand = heavyPairCandidates(s, d, sampleMod, candidates).collect()
-    val partKeys = cand.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
-    val pairKeys = cand.map(r => (r.getLong(0) << 32) | r.getLong(1)).toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val partKeys = cand.flatMap(p => Seq(p._1, p._2)).distinct
     if (cand.isEmpty) return s.emptyDataFrame
       .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("n_orders"))
     val inc = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
       .filter(col("l_partkey").isInCollection(partKeys))
       .distinct()
+    // pair membership via a broadcast join on BOTH key columns, not a
+    // packed (u << 32) | v long: partkeys exceed 2^32 at the 100 TB
+    // target, where packing stops being injective and a colliding
+    // non-candidate could silently pass the filter (r14 review)
     inc.select(col("l_orderkey"), col("l_partkey").as("u"))
       .join(inc.select(col("l_orderkey"), col("l_partkey").as("v")),
         Seq("l_orderkey"))
-      .filter(col("u") < col("v") &&
-        (shiftleft(col("u"), 32).bitwiseOR(col("v"))).isInCollection(pairKeys))
+      .join(broadcast(cand.toDF("u", "v")), Seq("u", "v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("u"), col("v"))
       .limit(k)

@@ -738,7 +738,17 @@ object Similarity {
     * the STREAMING face reuses it verbatim as its static side.
     */
   private[graft] def contaminationEvalProbes(s: SparkSession, d: String,
-      evalMaxVecId: Long = 50, nprobe: Int = ContamProbe): DataFrame = {
+      evalMaxVecId: Long = 50, nprobe: Int = ContamProbe): DataFrame =
+    contaminationEvalProbesRanked(s, d, evalMaxVecId)
+      .filter(col("rn") <= nprobe).drop("rn")
+
+  /** [[contaminationEvalProbes]] over ALL cells, keeping each probe row's
+    * rank — the sweep's form: one screen pass at the maximum swept nprobe
+    * then yields every smaller nprobe's candidate set as `rn <= np` (the
+    * probe-rank filter distributes over the candidate join).
+    */
+  private def contaminationEvalProbesRanked(s: SparkSession, d: String,
+      evalMaxVecId: Long): DataFrame = {
     val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
     val centsLit = array(trained.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
@@ -751,9 +761,8 @@ object Similarity {
         dot(col("embedding"), col("cvec")) / (col("nrm") * norm(col("cvec"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("centroid_id"))))
-      .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("eval_id"), col("centroid_id"),
-        col("embedding").as("qvec"), col("nrm").as("qn"))
+        col("embedding").as("qvec"), col("nrm").as("qn"), col("rn"))
   }
 
   /** CORPUS side + probe match over an arbitrary (vec_id, embedding) frame:
@@ -780,6 +789,9 @@ object Similarity {
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
     val ccosArr = transform(centsLit, c =>
       dot(col("embedding"), c) / (col("nrm") * sqrt(dot(c, c))))
+    // a ranked probe side (the sweep) keeps its `rn` on the output row
+    val out = Seq(col("vec_id"), col("eval_id"), col("cosine")) ++
+      (if (probes.columns.contains("rn")) Seq(col("rn")) else Nil)
     corpus
       .withColumn("nrm", norm(col("embedding")))
       .withColumn("ccos_arr", ccosArr)
@@ -789,7 +801,7 @@ object Similarity {
         col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-      .select(col("vec_id"), col("eval_id"), col("cosine"))
+      .select(out: _*)
   }
 
   /** The cosine band spine shared by the contamination recall faces. */
@@ -803,8 +815,10 @@ object Similarity {
     * was inherited from the SEARCH face, where a missed neighbor costs
     * relevance; here it costs eval integrity, and the r13 recall face
     * measured 0.50–0.69 recall at that inherited default. This face runs
-    * the REAL screen ([[semanticContaminationCandidates]] — the production
-    * blocking, not a scheme formula) at each swept nprobe and reports, per
+    * the REAL screen ([[screenCandidates]] — the production blocking, not
+    * a scheme formula) once at the maximum swept nprobe with each
+    * candidate carrying its probe rank (every smaller nprobe's candidate
+    * set is exactly `rn <= np`) and reports, per
     * (nprobe, cosine band): truth pairs, found pairs, recall, and
     * `n_scored` — the exact-cosine computations the screen at that nprobe
     * pays, the frontier's cost axis. Truth = one brute-force train × eval
@@ -829,14 +843,27 @@ object Similarity {
   def semanticContaminationSweep(s: SparkSession, d: String,
       evalMaxVecId: Long = 50, threshold: Double = 0.2,
       nprobes: Seq[Int] = ContamSweepProbes): DataFrame = {
-    val cands = nprobes.map { np =>
-      semanticContaminationCandidates(s, d, evalMaxVecId, np)
-        .withColumn("nprobe", lit(np))
-    }.reduce(_.unionByName(_))
-    val cost = cands.groupBy(col("nprobe"))
+    import s.implicits._
+    // ONE screen pass at the maximum swept nprobe, each candidate carrying
+    // its probe rank: nprobe-np's candidate set is exactly `rn <= np`
+    // (the probe-rank filter distributes over the candidate join), so the
+    // sweep costs one corpus pass, not one per swept point (r14 review);
+    // SemanticContaminationSweepSpec pins screen-vs-sweep equality at the
+    // shipped default empirically.
+    val corpus = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= evalMaxVecId)
+    val ranked = screenCandidates(corpus,
+      trainedCentroids(s, d, IvfCentroids, iters = 3),
+      contaminationEvalProbesRanked(s, d, evalMaxVecId)
+        .filter(col("rn") <= nprobes.max))
+    val spine = broadcast(nprobes.toDF("nprobe"))
+    val cost = ranked.crossJoin(spine)
+      .filter(col("rn") <= col("nprobe"))
+      .groupBy(col("nprobe"))
       .agg(count(lit(1)).as("n_scored"))
-    val found = cands.filter(col("cosine") >= threshold)
-      .select(col("nprobe"), col("vec_id"), col("eval_id"), lit(1).as("hit"))
+    val found = ranked.filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("eval_id"), col("rn"))
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("nrm", norm(col("embedding")))
     val evalV = e.filter(col("vec_id") < evalMaxVecId)
@@ -848,9 +875,9 @@ object Similarity {
         dot(col("qvec"), col("embedding")) / (col("qn") * col("nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id"), col("eval_id"), col("cosine"))
-    import s.implicits._
-    truth.crossJoin(broadcast(nprobes.toDF("nprobe")))
-      .join(found, Seq("nprobe", "vec_id", "eval_id"), "left_outer")
+    truth.join(found, Seq("vec_id", "eval_id"), "left_outer")
+      .crossJoin(spine)
+      .withColumn("hit", when(col("rn") <= col("nprobe"), lit(1)))
       .withColumn("band", contaminationBand(col("cosine")))
       .groupBy(col("nprobe"), col("band"))
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),

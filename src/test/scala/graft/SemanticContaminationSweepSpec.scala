@@ -45,11 +45,16 @@ class SemanticContaminationSweepSpec extends SparkSpecBase {
       assert(rows.map(_._6).distinct.size === 1, s"n_scored not constant at nprobe=$np")
       (np, rows.head._6)
     }.toSeq.sortBy(_._1)
+    // adjacent points are >= (a marginal probe cell CAN be empty of
+    // assigned corpus vectors at spec scale — superset probing only
+    // guarantees non-decreasing); end to end the frontier must move
     costs.sliding(2).foreach {
       case Seq((p1, c1), (p2, c2)) =>
-        assert(c2 > c1, s"scored candidates must grow with nprobe: $c1@$p1 vs $c2@$p2")
+        assert(c2 >= c1, s"scored candidates shrank with nprobe: $c1@$p1 vs $c2@$p2")
       case _ => ()
     }
+    assert(costs.last._2 > costs.head._2,
+      s"the cost axis never moved across the sweep: $costs")
     // truth is a property of the data, not of the screen's knob
     sweep.groupBy(_._2).foreach { case (band, rows) =>
       assert(rows.map(_._3).distinct.size === 1, s"n_true varies with nprobe in $band")

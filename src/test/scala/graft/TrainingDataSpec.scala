@@ -302,6 +302,59 @@ class TrainingDataSpec extends SparkSpecBase {
     assert(got == expected, s"mismatch: got ${got.size}, expected ${expected.size}")
   }
 
+  test("clusterSplit: zero leakage by construction; fixes what splitLeakage measures") {
+    val rows = TrainingData.clusterSplit(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.nonEmpty)
+    // structural: split is a function of cluster_id — one split per cluster
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.size === 1,
+        s"cluster $cl straddles splits: ${members.map(_._3).distinct}")
+    }
+    // every document is assigned exactly once
+    assert(rows.map(_._1).distinct.length ===
+      Tables.documents(spark, Sf).count())
+    // and the hashSplit leakage this face fixes actually EXISTS here — the
+    // corpus where the fix is vacuous wouldn't test anything
+    assert(TrainingData.splitLeakage(spark, Sf).count() > 0,
+      "sf0.001 must exhibit per-doc-split leakage for this pin to bite")
+  }
+
+  test("contaminationClosure: hits expand to whole clusters; closure-only rows are flagged false") {
+    import graft.operators.Dedup
+    val closure = TrainingData.contaminationClosure(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val hits = TrainingData.contamination(spark, Sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.dedupClusters(spark, Sf, Dedup.minhashLshPairs(spark, Sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every direct hit is in the closure, flagged direct
+    val byDoc = closure.map(r => r._1 -> r._3).toMap
+    hits.foreach(h => assert(byDoc.get(h).contains(true), s"direct hit $h missing/unflagged"))
+    // closure members carry their cluster's label and that cluster is
+    // genuinely contaminated (contains a hit or an eval doc)
+    val contaminated = clusters.collect {
+      case (doc, cl) if hits(doc) || doc < 50 => cl
+    }.toSet
+    closure.foreach { case (doc, cl, direct) =>
+      assert(clusters(doc) === cl)
+      assert(contaminated(cl), s"doc $doc in uncontaminated cluster $cl")
+      assert(doc >= 50, "closure must only list training docs")
+      assert(direct === hits(doc))
+    }
+    // completeness: every training member of a contaminated cluster is out
+    val expected = clusters.collect {
+      case (doc, cl) if contaminated(cl) && doc >= 50 => doc
+    }.toSet
+    assert(closure.map(_._1).toSet === expected)
+    // closure-only removals (direct_hit = false) are the face's value-add;
+    // at sf0.001 the dup clusters happen to be fully hit-covered, so this
+    // is informational here — the sf0.01 oracle face exercises the
+    // closure-only rows (completeness above proves the zero is consistent:
+    // every training member of every contaminated cluster IS a hit)
+    info(s"closure-only removals at spec scale: ${closure.count(!_._3)}")
+  }
+
   test("weightedSample matches a driver-side A-ES reimplementation exactly") {
     val got = TrainingData.weightedSample(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet

@@ -13,6 +13,9 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=tools/preclose_gate.log
+# the log is append-only across invocations; remember where THIS run
+# starts so the committed summary contains only this run's stage lines
+LOG_START=$( [ -f "$LOG" ] && wc -l < "$LOG" || echo 0 )
 HUNDREDX="${SPARK_GRAFT_100X_DIR:-/tmp/sf100x}"
 # the ranking/argmax faces where key collisions decide survivors
 SUBSET="q_changelog_apply,q_global_rank,q_skyline,q_max_concurrency,q_dedup_keep_best,q_sample_topk_group,q_top_customers,q_mode_user,q_scd2_customers,q_co_order_topk,q15_top_supplier,q10_returned_items,q_hybrid_rrf,q_hybrid_rrf_batch"
@@ -48,7 +51,9 @@ fi
 echo "[$(stamp)] preclose gate exit=$fail" | tee -a "$LOG"
 # the raw log is gitignored (r13 ADVICE: 7 MB/round of history bloat); the
 # COMMITTED artifact is this stage-status summary — every PASS/FAIL/SKIP
-# line plus the exit status, nothing else
-grep -E '^\[[0-9TZ:-]+\] (PASS|FAIL|SKIP|preclose gate exit)' "$LOG" \
-  | tail -40 > tools/preclose_gate_summary.txt
+# line plus the exit status, from THIS invocation only (r14 review: a
+# whole-log grep mixed stale lines from prior runs under the new exit)
+tail -n +$((LOG_START + 1)) "$LOG" \
+  | grep -E '^\[[0-9TZ:-]+\] (PASS|FAIL|SKIP|preclose gate exit)' \
+  > tools/preclose_gate_summary.txt
 exit $fail

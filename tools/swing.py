@@ -39,9 +39,16 @@ def load(path):
     if "queries" not in doc and "tail" in doc and isinstance(doc["tail"], str):
         for line in reversed(doc["tail"].splitlines()):
             line = line.strip()
-            if line.startswith("{"):
-                doc = json.loads(line)
-                break
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    inner = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "queries" in inner:
+                    doc = inner
+                    break
+    if "queries" not in doc:
+        sys.exit(f"no queries map found in {path}")
     return doc
 
 
@@ -60,7 +67,15 @@ def main():
         r = b / a
         if r > ratio or r < 1.0 / ratio:
             swings.append((name, a, b, r))
-            print(f"[swing] {name:32s} {a:8.1f}s -> {b:8.1f}s  x{r:.2f}",
+            note = ""
+            if name.startswith("q_stream_") or name.startswith("q_jdbc_"):
+                # staged-landing/checkpoint memos make an in-JVM rerun of
+                # these faces a warm restart (settled stream replays zero
+                # batches), so their min-of-2 steady is a LOWER BOUND, not
+                # a cold re-measurement — adjudicate them with a dedicated
+                # session instead
+                note = "  [staged face: rerun steady = warm lower bound]"
+            print(f"[swing] {name:32s} {a:8.1f}s -> {b:8.1f}s  x{r:.2f}{note}",
                   file=sys.stderr)
     print(",".join(n for n, *_ in swings))
 
