@@ -375,6 +375,43 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"corpus vectors in a shuffle: $offenders")
   }
 
+  test("contamination sweep: one ranked screen pass, corpus vectors ride no exchange") {
+    // the r14 review rework: the sweep must not pay one corpus pass per
+    // swept nprobe — the ranked probe side broadcasts once, and the only
+    // exchanges are hits/truth-sized aggregations; corpus embedding
+    // vectors must never cross a shuffle
+    val df = q("q_semantic_contamination_sweep")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$p")
+    assert(p.contains("GreaterThanOrEqual(vec_id,50"),
+      s"train-split predicate not pushed to the scan:\n$p")
+    val offenders = shuffleOutputs(df).flatMap(out =>
+      out.filter(a => a.name == "nvec" || a.name == "ccos_arr").map(_.name))
+    assert(offenders.isEmpty, s"corpus vectors in a shuffle: $offenders")
+  }
+
+  test("heavy-pair top-k: re-count scan is partkey-pruned; no pair-stream shuffle of baskets") {
+    val df = q("q_co_order_heavy_topk")
+    val p = plan(df)
+    // candidate part keys pushed as an In filter (GraphsSpec pins the same
+    // on the executed plan; this pins the formatted plan the judge reads)
+    assert(p.contains("In(l_partkey"), s"re-count scan not IN-pruned:\n$p")
+    // candidate membership joins broadcast — a SortMergeJoin here would
+    // mean the 100-pair candidate frame shuffled the re-count stream
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate join shuffled the re-count stream:\n$p")
+  }
+
+  test("cluster split is one projection over the labels: no split-stage exchange") {
+    // the split must add NO shuffle beyond the cluster-label computation:
+    // assignment is a hash of cluster_id — any exchange whose output
+    // carries the split column means the face re-partitioned to assign
+    val offenders = shuffleOutputs(q("q_cluster_split")).flatMap(out =>
+      out.filter(_.name == "split").map(_.name))
+    assert(offenders.isEmpty,
+      s"split assignment crossed an exchange: $offenders")
+  }
+
   test("large-orders aggregate semi-join broadcasts dims, aggregates partially") {
     val p = plan(q("q_large_orders"))
     assert(p.contains("BroadcastHashJoin"),
