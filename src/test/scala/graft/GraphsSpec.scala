@@ -246,6 +246,20 @@ class GraphsSpec extends SparkSpecBase {
       s"candidate part keys not pushed to the re-count scan:\n$plan")
   }
 
+  test("heavy-pair face degenerates to the exact face at sample rate 1") {
+    // sampleMod = 1 samples every basket, so the candidate stage sees true
+    // counts and (given a candidate pool >= the distinct pair count at
+    // spec scale... bounded instead by pool >= k with true ordering) the
+    // re-counted top-k must equal the exact top-k row for row — the
+    // structural anchor that the approximation IS sampling, nothing else
+    val k = 10
+    val exact = Graphs.coOrderTopK(spark, Sf, k).collect().map(_.toSeq).toSeq
+    val degenerate = Graphs.coOrderHeavyTopK(spark, Sf, k, sampleMod = 1,
+      candidates = 100).collect().map(_.toSeq).toSeq
+    assert(degenerate === exact,
+      s"rate-1 sampling diverged from the exact face:\n$degenerate\nvs\n$exact")
+  }
+
   test("heavy-pair recall face: per-count rows are a partition of the exact pair set") {
     val recall = Graphs.coOrderHeavyRecall(spark, Sf).collect()
     val totalPairs = recall.map(_.getAs[Long]("n_pairs")).sum
