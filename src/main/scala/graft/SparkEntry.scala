@@ -3446,26 +3446,34 @@ object SparkEntry {
          |LIMIT 20""".stripMargin,
 
     // candidate-stage recall per TRUE pair count (tie-free: "does a pair
-    // of weight c survive the half-sample?"), plus the field-shape record
-    // (n_pairs per count)
+    // of weight c survive sampling at rate 1/mod?") swept over the sample
+    // rates, plus the field-shape record (n_pairs per count); mod = 1
+    // isolates the pool-cap component from the sampling loss
     "q_co_order_heavy_recall" ->
       s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |mods AS (SELECT * FROM (VALUES ${Graphs.HeavyPairSweepMods
+              .map(m => s"($m)").mkString(", ")}) v(sample_mod)),
          |exact AS (
          |  SELECT a.pk AS u, b.pk AS v, count(*) AS n_orders
          |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
          |  GROUP BY 1, 2),
          |cand AS (
-         |  SELECT u, v FROM (
-         |    SELECT a.pk AS u, b.pk AS v, count(*) AS ns
-         |    FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
-         |    WHERE a.ok % ${Graphs.HeavyPairSampleMod} = 0
-         |    GROUP BY 1, 2
-         |    ORDER BY ns DESC, u, v
-         |    LIMIT ${Graphs.HeavyPairCandidates}))
-         |SELECT e.n_orders, count(*) AS n_pairs, count(c.u) AS n_cand,
+         |  SELECT sample_mod, u, v FROM (
+         |    SELECT m.sample_mod, a.pk AS u, b.pk AS v, count(*) AS ns,
+         |      row_number() OVER (PARTITION BY m.sample_mod
+         |        ORDER BY count(*) DESC, a.pk, b.pk) AS rn
+         |    FROM mods m
+         |    JOIN inc a ON a.ok % m.sample_mod = 0
+         |    JOIN inc b ON b.ok = a.ok AND a.pk < b.pk
+         |    GROUP BY 1, 2, 3)
+         |  WHERE rn <= ${Graphs.HeavyPairCandidates})
+         |SELECT m.sample_mod, e.n_orders, count(*) AS n_pairs,
+         |  count(c.u) AS n_cand,
          |  CAST(count(c.u) AS DOUBLE) / count(*) AS recall
-         |FROM exact e LEFT JOIN cand c ON e.u = c.u AND e.v = c.v
-         |GROUP BY 1""".stripMargin,
+         |FROM exact e CROSS JOIN mods m
+         |LEFT JOIN cand c ON c.sample_mod = m.sample_mod
+         |  AND c.u = e.u AND c.v = e.v
+         |GROUP BY 1, 2""".stripMargin,
 
     // the Bloom pre-filter is exact by the no-false-negative property, so
     // the oracle is the plain set-difference semantics

@@ -198,25 +198,41 @@ object Graphs {
       .orderBy(col("n_sampled").desc, col("u"), col("v"))
       .limit(candidates)
 
-  /** MEASURED recall of [[coOrderHeavyTopK]]'s candidate stage, reported
-    * per TRUE pair count rather than against the tie-broken top-k (on a
+  /** The sample rates the recall face sweeps — 1/mod of baskets; rate 1
+    * is the no-sampling anchor (its candidate stage sees true counts, so
+    * any recall below 1.0 there is the POOL cap, isolating the two causes
+    * a reader must not conflate). One constant so the Scala face and the
+    * oracle's VALUES list enumerate the same frontier.
+    */
+  val HeavyPairSweepMods: Seq[Int] = Seq(1, 2, 4)
+
+  /** MEASURED recall of [[coOrderHeavyTopK]]'s candidate stage, per TRUE
+    * pair count AND per swept sample rate — the r14 frontier discipline
+    * (nprobe sweep, banding sweep) applied to the third approximate
+    * family. Per-count rather than against the tie-broken top-k: on a
     * near-uniform field the exact top-k is mostly tie-break noise among
     * thousands of equal-count pairs — per-count recall is the tie-free
-    * question "does a pair of weight c survive sampling?"). Truth = the
-    * exact face's full pair aggregation, which is what makes this a truth
-    * face in the [[coOrderTopK]] cost class; the row set doubles as the
+    * question "does a pair of weight c survive sampling at rate 1/mod?".
+    * Truth = the exact face's full pair aggregation, computed ONCE for
+    * all swept rates (this is what makes the sweep cost ≈ the old
+    * single-rate face: truth dominates); the row set doubles as the
     * field-shape record (n_pairs per count — the no-heavy-hitters fact
-    * that sizes [[HeavyPairSampleMod]]).
+    * that sizes [[HeavyPairSampleMod]]), and the mod = 1 rows expose the
+    * pool-cap component of recall separately from the sampling loss.
     */
   def coOrderHeavyRecall(s: SparkSession, d: String,
-      sampleMod: Int = HeavyPairSampleMod,
+      mods: Seq[Int] = HeavyPairSweepMods,
       candidates: Int = HeavyPairCandidates): DataFrame = {
+    import s.implicits._
     val exact = coOrderPairs(s, d)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
-    val cand = heavyPairCandidates(s, d, sampleMod, candidates)
-      .select(col("u"), col("v"), lit(1).as("hit"))
-    exact.join(broadcast(cand), Seq("u", "v"), "left_outer")
-      .groupBy(col("n_orders"))
+    val cands = mods.map { m =>
+      heavyPairCandidates(s, d, m, candidates)
+        .select(col("u"), col("v"), lit(m).as("sample_mod"), lit(1).as("hit"))
+    }.reduce(_.unionByName(_))
+    exact.crossJoin(broadcast(mods.toDF("sample_mod")))
+      .join(broadcast(cands), Seq("sample_mod", "u", "v"), "left_outer")
+      .groupBy(col("sample_mod"), col("n_orders"))
       .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_cand"),
         (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
   }

@@ -260,18 +260,32 @@ class GraphsSpec extends SparkSpecBase {
       s"rate-1 sampling diverged from the exact face:\n$degenerate\nvs\n$exact")
   }
 
-  test("heavy-pair recall face: per-count rows are a partition of the exact pair set") {
+  test("heavy-pair recall sweep: per-mod rows partition the pair set; rate 1 anchors the pool cap") {
     val recall = Graphs.coOrderHeavyRecall(spark, Sf).collect()
-    val totalPairs = recall.map(_.getAs[Long]("n_pairs")).sum
+      .map(r => (r.getAs[Int]("sample_mod"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_cand"),
+        r.getAs[Double]("recall")))
     val exactPairs = Graphs.coOrderTopK(spark, Sf, k = Int.MaxValue).count()
-    assert(totalPairs === exactPairs, "recall bands must partition the pair set")
-    val totalCand = recall.map(_.getAs[Long]("n_cand")).sum
-    assert(totalCand <= Graphs.HeavyPairCandidates,
-      s"candidate stage leaked past its pool bound: $totalCand")
-    recall.foreach { r =>
-      val rec = r.getAs[Double]("recall")
-      assert(rec >= 0.0 && rec <= 1.0 &&
-        r.getAs[Long]("n_cand") <= r.getAs[Long]("n_pairs"))
+    assert(recall.map(_._1).distinct.sorted.toSeq === Graphs.HeavyPairSweepMods.sorted)
+    recall.groupBy(_._1).foreach { case (mod, rows) =>
+      assert(rows.map(_._3).sum === exactPairs,
+        s"mod $mod: recall bands must partition the pair set")
+      assert(rows.map(_._4).sum <= Graphs.HeavyPairCandidates,
+        s"mod $mod: candidate stage leaked past its pool bound")
+      rows.foreach { case (_, _, nPairs, nCand, rec) =>
+        assert(rec >= 0.0 && rec <= 1.0 && nCand <= nPairs)
+      }
+    }
+    // the no-sampling anchor: at mod = 1 the candidate stage ranks TRUE
+    // counts, so counting down from the heaviest band, every band that
+    // fits inside the pool must be FULLY recalled — recall below 1.0 at
+    // rate 1 can only be the pool cap, never sampling
+    val anchor = recall.filter(_._1 == 1).sortBy(-_._2)
+    var cum = 0L
+    anchor.foreach { case (_, n, nPairs, nCand, _) =>
+      if (cum + nPairs <= Graphs.HeavyPairCandidates)
+        assert(nCand === nPairs, s"rate-1 pool had room for count=$n but missed pairs")
+      cum += nPairs
     }
   }
 }
