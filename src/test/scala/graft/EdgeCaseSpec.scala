@@ -109,4 +109,28 @@ class EdgeCaseSpec extends SparkSpecBase {
       .withColumn("ts", timestamp_micros(col("us")))
     assert(EventWindows.rollingAnomaliesFrame(tiny, 3).isEmpty)
   }
+
+  test("semanticContaminationSweep: an empty eval set yields empty truth, no crash") {
+    import graft.operators.Similarity
+    // evalMaxVecId = 0 -> no eval vectors, no probes, no truth pairs; the
+    // sweep must plan and execute to an empty frame, not blow up on an
+    // empty broadcast side or a null aggregate
+    assert(Similarity.semanticContaminationSweep(spark, Sf, evalMaxVecId = 0)
+      .isEmpty)
+  }
+
+  test("coOrderHeavyTopK: a candidate pool of zero returns the typed empty frame") {
+    import graft.operators.Graphs
+    val out = Graphs.coOrderHeavyTopK(spark, Sf, candidates = 0)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq === Seq("u", "v", "n_orders"),
+      "empty result must keep the face's schema")
+  }
+
+  test("contaminationClosure: an eval horizon beyond the corpus removes nothing") {
+    import graft.operators.TrainingData
+    // every doc is "eval" -> no training docs to flag; empty, not an error
+    assert(TrainingData.contaminationClosure(spark, Sf,
+      evalMaxDocId = Long.MaxValue).isEmpty)
+  }
 }
