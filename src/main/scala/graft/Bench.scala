@@ -210,7 +210,20 @@ object Bench {
       }
       .getOrElse(ceiling)
 
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — same contract as Verify's writer. Found live at a 300× probe: a
+    // disk-full SparkException carries newlines and tabs, and the old
+    // backslash+quote-only escape emitted an unparseable artifact — the
+    // one failure mode an errors field exists to record.
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
