@@ -19,6 +19,25 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   * stderr as they land, and the final JSON prints no matter what failed.
   */
 object Bench {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — same contract as Verify's writer. Found live at a 300× probe
+    * (r14): a disk-full SparkException carries newlines and tabs, and the
+    * old backslash+quote-only escape emitted an unparseable artifact —
+    * the one failure mode an `errors` field exists to record. Extracted
+    * from the writer so BenchPhasesSpec can pin the contract.
+    */
+  private[graft] def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -210,20 +229,7 @@ object Bench {
       }
       .getOrElse(ceiling)
 
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — same contract as Verify's writer. Found live at a 300× probe: a
-    // disk-full SparkException carries newlines and tabs, and the old
-    // backslash+quote-only escape emitted an unparseable artifact — the
-    // one failure mode an errors field exists to record.
-    def jstr(s: String) = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => "\\u%04x".format(c.toInt)
-      case c => c.toString
-    } + "\""
+    def jstr(s: String) = Bench.jsonString(s)
     val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")

@@ -58,4 +58,16 @@ class BenchPhasesSpec extends AnyFunSuite {
     assert(BenchPhases.snapshot("q_spec_worker").get("staging") == 3.0)
     assert(BenchPhases.snapshot("q_spec_main").get("staging") == 7.0)
   }
+
+  test("bench JSON strings survive control characters (the disk-full exception class)") {
+    // r14: a multi-line SparkException in the errors field made the whole
+    // artifact unparseable — the writer must escape every control char
+    val nasty = "Job aborted:\n\tjava.io.IOException: No space left\rend\"q\\p"
+    val json = s"""{"errors":{"q_x":${Bench.jsonString(nasty)}}}"""
+    // strict round-trip through a real JSON parser (Spark's Jackson)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(json)
+    assert(tree.get("errors").get("q_x").asText() === nasty,
+      "escape must be lossless under a strict parser")
+  }
 }
