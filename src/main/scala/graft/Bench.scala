@@ -191,22 +191,36 @@ object Bench {
     // previous round's artifact (tools/swing.py computes the list; the
     // policy is written in BENCH_BUDGET.md) and the artifact then carries
     // its own noise floor for exactly the faces a reader would question.
-    // Caveat (r14 review): faces with in-JVM memos — staged stream
-    // landings, settled checkpoints, the JDBC staging — rerun WARM (a
-    // settled stream replays zero batches), so their steady is a lower
-    // bound, not a cold re-measurement; swing.py flags them, and they get
-    // dedicated sessions instead.
+    // Every retry starts from a WarmState.resetForColdRerun(): staged
+    // landings, settled checkpoints, Derby dbs, bucketed tables and trained
+    // models are all dropped, so the second run re-stages/replays/re-trains
+    // inside its own timed window. That gives `steady` ONE semantics — the
+    // min of two cold-equivalent runs — for every face class (r14 verdict
+    // task 5: staged faces used to rerun WARM, making their steady a lower
+    // bound that swing.py had to annotate); the artifact stamps the policy
+    // in `rerun_staging`.
     val rerun = sys.env.get("SPARK_GRAFT_RERUN")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     val retried = results.collect {
       case (name, v, None, fn) if v > ceiling || rerun(name) =>
         val why = if (v > ceiling) f"first ${v}%.1fs > ${ceiling}%.0fs" else "rerun-requested"
+        try WarmState.resetForColdRerun()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-state reset failed (rerun may be warm): $e") }
         val (second, err2) = runOne(name, fn)
         System.err.println(
           f"[bench] RETRY ($why) $name%-30s ${second}%8.2fs ${err2.getOrElse("ok")}")
         (name, v, second, err2)
     }
+    // a misspelled SPARK_GRAFT_RERUN name, or a face that errored on its
+    // first run, is silently absent from `retried` — without this diff an
+    // operator can believe a steady number was recorded when it was not
+    // (r14 ADVICE)
+    val notRetried = rerun -- retried.map(_._1).toSet
+    if (notRetried.nonEmpty) System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_RERUN faces NOT retried (unknown name, " +
+        s"filtered out, or errored on first run): ${notRetried.toSeq.sorted.mkString(",")}")
     pool.shutdownNow()
     val retryBySecond = retried.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap
     // The acceptance WINDOW can sit above the contract ceiling (the 100×
@@ -271,7 +285,7 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val storeJson = stateStore.map(jstr).getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"rerun_staging":"cold-reset","sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries
@@ -280,6 +294,18 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // compact SECOND line, kept well under ~500 chars: the driver stores a
+    // 2000-char stdout TAIL, and at 192 queries the full artifact above is
+    // ~15 kB — so BENCH_r{10..14}.json all carried "parsed": null and the
+    // driver never saw a headline number (r14 verdict task 2; the judge
+    // reconstructed rounds from bench_last.json). Printed LAST so any tail
+    // window ends with a complete, parseable JSON line; schema mirrors the
+    // driver contract (metric/value/unit/sf) plus counts and the slowest
+    // three faces, and points at the on-disk full artifact.
+    val slowest = results.sortBy(-_._2).take(3)
+      .map { case (k, v, _, _) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.nonEmpty)},"n_budget_exceeded":${windowOver.size},"n_over_contract":${over.size},"slowest":$slowest,"full_artifact":"bench_last.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

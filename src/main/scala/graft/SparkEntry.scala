@@ -1022,6 +1022,19 @@ object SparkEntry {
   private val stagedLandings =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** Delete every staged streaming landing — including its checkpoint and
+    * settled target dirs, which live INSIDE the staged dir — and forget it,
+    * so a rerun re-stages, replays every micro-batch, and re-settles from
+    * nothing: cold-equivalent (r14 verdict task 5 — a settled checkpoint
+    * made stream-face reruns replay ZERO batches, giving `steady` a second,
+    * warm-lower-bound semantics that swing.py had to annotate away).
+    * Called by [[graft.WarmState.resetForColdRerun]] from Bench only.
+    */
+  private[graft] def resetStagedLandings(): Unit =
+    stagedLandings.keys.foreach(k =>
+      stagedLandings.remove(k).foreach(
+        graft.sources.WarmDirs.deleteRecursively))
+
   /** Symlink a parquet table into a landing dir. The driver's testdata
     * tables are single files, but Spark-written tables (e.g. `ScaleUp`
     * replicas) are DIRECTORIES of part files — and the file-stream source
@@ -2577,13 +2590,18 @@ object SparkEntry {
          |FROM g""".stripMargin
     },
 
-    // 0.9 + 0.05 is COMPUTED in both engines (IEEE addition is deterministic,
-    // and the Scala default params sum the same way) — a 0.95 literal would
-    // sit one ulp off the Spark boundary
+    // the val/test boundary is COMPUTED as a DOUBLE sum in both engines:
+    // Spark evaluates the Scala default params' `trainFrac + valFrac` in
+    // IEEE double, but DuckDB parses bare 0.9/0.05 as DECIMAL, whose exact
+    // 0.95 promotes to a double ~2 ulp BELOW Spark's 0.9+0.05 — a u landing
+    // in that window would flip val/test between engines (r14 ADVICE). The
+    // explicit CASTs force DuckDB through the identical double addition,
+    // so both engines compare against the same bit pattern. (A 0.95
+    // literal would be wrong the same way.)
     "q_hash_split" ->
       s"""SELECT doc_id, u,
          |  CASE WHEN u < 0.9 THEN 'train'
-         |       WHEN u < 0.9 + 0.05 THEN 'val'
+         |       WHEN u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE) THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id,
          |        CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "0")} AS DOUBLE)
@@ -2611,7 +2629,7 @@ object SparkEntry {
          |sp AS (
          |  SELECT doc_id,
          |    CASE WHEN u < 0.9 THEN 'train'
-         |         WHEN u < 0.9 + 0.05 THEN 'val'
+         |         WHEN u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE) THEN 'val'
          |         ELSE 'test' END AS split
          |  FROM (SELECT doc_id,
          |          CAST(${sqlMd5Hash60("CAST(doc_id AS VARCHAR)", "0")} AS DOUBLE)
@@ -2647,7 +2665,7 @@ object SparkEntry {
          |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
          |SELECT doc_id, cluster_id, u,
          |  CASE WHEN u < 0.9 THEN 'train'
-         |       WHEN u < 0.9 + 0.05 THEN 'val'
+         |       WHEN u < CAST(0.9 AS DOUBLE) + CAST(0.05 AS DOUBLE) THEN 'val'
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, cluster_id,
          |        CAST(${sqlMd5Hash60("CAST(cluster_id AS VARCHAR)", "0")} AS DOUBLE)

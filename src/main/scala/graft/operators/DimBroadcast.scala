@@ -62,9 +62,13 @@ object DimBroadcast extends PredicateHelper {
     * `q_comments_of_yesterday_posts` query under two injected caps and
     * asserts the hint flips (r13 verdict task 5 — the two-regime evidence
     * lives in a spec that survives refactors, not in a round narrative).
-    * Conf wins over the call-site cap when set: the call-site value is the
-    * operator author's default, the conf is the deployment's sizing
-    * decision, and sizing belongs to whoever owns the executors.
+    * Precedence (r14 ADVICE): the conf overrides call sites that use the
+    * DEFAULT cap — the deployment's sizing decision beats the operator
+    * author's generic default — but an EXPLICIT non-default `capBytes` is a
+    * deliberate per-call bound (a test seam, or an operator that knows its
+    * build side's expansion factor) and keeps precedence over the conf. A
+    * malformed conf value logs a warning and falls back to the default
+    * instead of throwing NumberFormatException at plan time.
     */
   val CapConfKey = "spark.graft.dimBroadcast.byteCap"
 
@@ -116,8 +120,15 @@ object DimBroadcast extends PredicateHelper {
   }
 
   def apply(df: DataFrame, capBytes: Long = ByteCap): DataFrame = {
-    val cap = df.sparkSession.conf.getOption(CapConfKey)
-      .map(_.toLong).getOrElse(capBytes)
+    val cap =
+      if (capBytes != ByteCap) capBytes // explicit per-call cap wins (header)
+      else df.sparkSession.conf.getOption(CapConfKey).flatMap { v =>
+        val parsed = scala.util.Try(v.toLong).toOption
+        if (parsed.isEmpty) System.err.println(
+          s"[graft.dimBroadcast] ignoring malformed $CapConfKey='$v' " +
+            s"(not a long); using default cap $ByteCap")
+        parsed
+      }.getOrElse(capBytes)
     if (dimBytes(df.queryExecution.optimizedPlan) <= BigInt(cap))
       broadcast(df)
     else df

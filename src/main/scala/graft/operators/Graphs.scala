@@ -303,6 +303,12 @@ object Graphs {
     * Bench are one-shot processes, so the assumption holds by construction.
     */
   private val scaleCache = TrieMap.empty[String, Long]
+
+  /** Drop the memoized scale (one node-count job re-paid) — cold-rerun
+    * uniformity, see [[graft.WarmState]]. Derivation is deterministic, so
+    * the re-derived constant is identical. */
+  private[graft] def resetScaleCache(): Unit = scaleCache.clear()
+
   def rankScaleFor(s: SparkSession, d: String): Long =
     scaleCache.getOrElseUpdate(d, {
       val e = coOrderEdges(s, d)

@@ -29,6 +29,20 @@ object Layouts {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
   private val tableSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Drop the staged bucketed tables (catalog entry + warehouse files) and
+    * forget them, so the next bucketed face re-pays its write shuffle inside
+    * its own timed window — cold-rerun uniformity, see [[graft.WarmState]].
+    * The partitioned/z-ordered/compacted layouts live in [[graft.sources
+    * .StagedDirs]] and are reset there.
+    */
+  private[graft] def resetStaged(): Unit =
+    stagedBucketed.keys.foreach { k =>
+      stagedBucketed.remove(k).foreach { case (li, ord) =>
+        if (!k._1.sparkContext.isStopped)
+          Seq(li, ord).foreach(t => k._1.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   // ------------------------------------------------------------- bucketing

@@ -100,6 +100,20 @@ object Similarity {
   def lshPlanes(s: SparkSession, d: String): Int =
     planesFor(corpusSizes.getOrElseUpdate(d, Tables.embeddings(s, d).count()))
 
+  /** Drop every corpus-derived memo (trained IVF centroids, PQ codebooks,
+    * corpus-size counts) so the next call re-trains from the data. Bench
+    * calls this before each requested rerun ([[graft.WarmState]]): a
+    * `steady` min-of-2 entry must be the min of two COLD-equivalent runs —
+    * r14's artifact had two steady semantics by face class (r15 verdict
+    * task 5). Training is order-deterministic, so a re-trained model is
+    * bit-identical to the dropped one; only the cost is re-paid, which is
+    * the point. (The [[planeMatrix]] memo stays: it derives from constants
+    * on the driver in microseconds — no corpus state, nothing to re-pay.)
+    */
+  private[graft] def resetModelMemos(): Unit = {
+    trainedModels.clear(); trainedPqModels.clear(); corpusSizes.clear()
+  }
+
   /** Deterministic pseudo-random hyperplane matrix, md5-derived (same formula
     * as [[Dedup.md5Hash60]] on "plane{p}~{i}" seed 0, scaled to [-1, 1)) —
     * precomputed ONCE on the driver and shipped as literals. The per-row md5
@@ -436,8 +450,17 @@ object Similarity {
   private val trainedModels =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Array[Double]]]
   def trainedCentroids(s: SparkSession, d: String, nlist: Int = IvfCentroids,
-      iters: Int = 3): Array[Array[Double]] =
-    trainedModels.getOrElseUpdate((d, nlist, iters), {
+      iters: Int = 3): Array[Array[Double]] = {
+    // model warm/cold stamp (r14 verdict task 6): a face that REUSES the
+    // memoized model is structurally cheaper than the one that trained it,
+    // and the 300× ladder's two "outlier" ratios were exactly this
+    // asymmetry explained in prose. Stamping `model_train` (timed) vs
+    // `model_warm` (a count) into the face's phase map makes every bench
+    // record self-interpreting. No-op outside a Bench scope.
+    if (trainedModels.contains((d, nlist, iters)))
+      graft.BenchPhases.add("model_warm", 1.0)
+    trainedModels.getOrElseUpdate((d, nlist, iters),
+      graft.BenchPhases.timed("model_train") {
       val emb = Tables.embeddings(s, d)
       // k-means needs ~hundreds of samples per centroid, not the corpus:
       // train on a deterministic (seeded) sample capped at 200·nlist
@@ -449,6 +472,7 @@ object Similarity {
       val frac = math.min(1.0, 200.0 * nlist / math.max(1L, n))
       trainIvfCentroids(emb, nlist, iters, frac)
     })
+  }
 
   /** Nearest-trained-cell assignment for an arbitrary (id, embedding)
     * frame — the per-row core of [[ivfTopKTrained]]'s index side, opened
@@ -1035,13 +1059,18 @@ object Similarity {
   private val trainedPqModels =
     scala.collection.concurrent.TrieMap.empty[(String, Int), Array[Array[Array[Double]]]]
   def trainedPqCodebooks(s: SparkSession, d: String,
-      iters: Int = 3): Array[Array[Array[Double]]] =
-    trainedPqModels.getOrElseUpdate((d, iters), {
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    // warm/cold stamp — see trainedCentroids (r14 verdict task 6)
+    if (trainedPqModels.contains((d, iters)))
+      graft.BenchPhases.add("model_warm", 1.0)
+    trainedPqModels.getOrElseUpdate((d, iters),
+      graft.BenchPhases.timed("model_train") {
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
       val frac = math.min(1.0, 200.0 * PqK / math.max(1L, n))
       trainPqCodebooks(emb, iters, frac)
     })
+  }
 
   /** PQ top-k by ASYMMETRIC distance (ADC): the query keeps its raw vector;
     * every corpus vector is represented only by its 8 codes, scored via the

@@ -47,6 +47,15 @@ object Federation {
         .foreach(k => cache.remove(k).foreach(dropDb))
     }
 
+  /** Drop EVERY staged Derby db and forget it, so the next federated face
+    * re-stages inside its own timed window — cold-rerun uniformity, see
+    * [[graft.WarmState]] (r14 verdict task 5: the JDBC landings were one of
+    * the two face classes whose in-JVM rerun was warm). */
+  private[graft] def resetStaged(): Unit =
+    Seq(staged, stagedFact).foreach { cache =>
+      cache.keys.foreach(k => cache.remove(k).foreach(dropDb))
+    }
+
   /** The federated dimension table name inside the staged database. */
   val DimTable = "orders_dim"
 

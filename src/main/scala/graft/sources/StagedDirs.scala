@@ -27,4 +27,29 @@ private[graft] object StagedDirs {
       build(dir.toString)
       dir.toString
     })
+
+  /** Delete every staged dir and forget it, so the next face re-stages
+    * inside its own timed window — cold-rerun uniformity, see
+    * [[graft.WarmState]]. */
+  def reset(): Unit = {
+    dirs.keys.foreach(k => dirs.remove(k).foreach(WarmDirs.deleteRecursively))
+  }
+}
+
+/** Recursive temp-dir delete shared by the staging resets. Refuses paths
+  * whose basename lacks the `graft_` temp prefix — every staged dir is
+  * created via `createTempDirectory("graft_…")`, so the guard turns a
+  * bookkeeping bug into a no-op instead of an arbitrary-path delete.
+  */
+private[graft] object WarmDirs {
+  def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (!p.getFileName.toString.startsWith("graft_")) return
+    if (!java.nio.file.Files.exists(p)) return
+    val st = java.nio.file.Files.walk(p)
+    try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    catch { case _: java.io.IOException => () } // best-effort: a vanished file is fine
+    finally st.close()
+  }
 }

@@ -25,15 +25,22 @@ def load(path):
         doc = json.loads(text)
     except json.JSONDecodeError:
         # driver wrapper with a truncated tail: find the last full JSON line
+        # that carries a per-query map (since r15 Bench also prints a COMPACT
+        # summary line after the full artifact for the driver's tail window —
+        # skip past it to the full line when both are present)
         doc = None
         for line in reversed(text.splitlines()):
             line = line.strip()
             if line.startswith("{") and line.endswith("}"):
                 try:
-                    doc = json.loads(line)
-                    break
+                    cand = json.loads(line)
                 except json.JSONDecodeError:
                     continue
+                if doc is None:
+                    doc = cand
+                if "queries" in cand:
+                    doc = cand
+                    break
         if doc is None:
             sys.exit(f"no parseable JSON in {path}")
     if "queries" not in doc and "tail" in doc and isinstance(doc["tail"], str):
@@ -68,12 +75,14 @@ def main():
         if r > ratio or r < 1.0 / ratio:
             swings.append((name, a, b, r))
             note = ""
-            if name.startswith("q_stream_") or name.startswith("q_jdbc_"):
-                # staged-landing/checkpoint memos make an in-JVM rerun of
-                # these faces a warm restart (settled stream replays zero
-                # batches), so their min-of-2 steady is a LOWER BOUND, not
-                # a cold re-measurement — adjudicate them with a dedicated
-                # session instead
+            if (name.startswith("q_stream_") or name.startswith("q_jdbc_")) \
+                    and curr.get("rerun_staging") != "cold-reset":
+                # pre-r15 artifacts: staged-landing/checkpoint memos made an
+                # in-JVM rerun of these faces a warm restart (settled stream
+                # replays zero batches), so their min-of-2 steady was a LOWER
+                # BOUND. Since r15, Bench resets all warm state before each
+                # rerun ("rerun_staging":"cold-reset" in the artifact), so
+                # the note applies only when diffing against an old record.
                 note = "  [staged face: rerun steady = warm lower bound]"
             print(f"[swing] {name:32s} {a:8.1f}s -> {b:8.1f}s  x{r:.2f}{note}",
                   file=sys.stderr)
