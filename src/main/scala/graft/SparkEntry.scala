@@ -907,6 +907,14 @@ object SparkEntry {
     // the lever's measured quality face: candidate-stage recall per true
     // pair count (tie-free), doubling as the field-shape record
     "q_co_order_heavy_recall" -> ((s, d) => Graphs.coOrderHeavyRecall(s, d)),
+    // the lever's REGIME GATE (r14 verdict task 4): one row of probe stats
+    // (sampled pair-count distribution) and the sampling rate they force —
+    // the chooser is in-plan arithmetic, so the oracle checks the decision
+    "q_co_order_regime" -> ((s, d) => Graphs.heavyPairRegime(s, d)),
+    // the production entry the gate fronts: probe -> exact fallback (this
+    // field) or the sampled lever at the chosen rate (Zipfian fields);
+    // oracle replays the same decision in SQL
+    "q_co_order_auto" -> ((s, d) => Graphs.coOrderHeavyTopKAuto(s, d)),
 
     // -- Bloom-filter semi-join-reduced insert-ignore: same result as the
     //    plain anti-join (no false negatives), existing side probed via a
@@ -1341,6 +1349,21 @@ object SparkEntry {
   /** 60-bit md5-derived hash — mirror of Dedup.md5Hash60. */
   private def sqlMd5Hash60(expr: String, seedExpr: String): String =
     s"CAST(concat('0x', substring(md5($expr || '#' || CAST($seedExpr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** The heavy-pair regime chooser as SQL — generated from the SAME ladder
+    * constants as Graphs.chosenModCol, and integer-comparison-only for the
+    * same reason (a floating log2 could round differently across engines
+    * at power-of-two boundaries). `maxCol` is the probe's max sampled
+    * support (BIGINT).
+    */
+  private def sqlChosenMod(maxCol: String): String = {
+    val ladder = graft.operators.Graphs.RegimeModLadder.map { m =>
+      s"WHEN $maxCol * ${graft.operators.Graphs.RegimeProbeMod} >= " +
+        s"${graft.operators.Graphs.RegimeDetectTarget * m} THEN CAST($m AS BIGINT)"
+    }.mkString(" ")
+    s"(CASE WHEN $maxCol < ${graft.operators.Graphs.RegimeDetectMin} " +
+      s"THEN CAST(1 AS BIGINT) $ladder ELSE CAST(2 AS BIGINT) END)"
+  }
 
   /** doc_id, lang, sset (distinct word 3-shingles) — mirror of Dedup.shingles3. */
   private val sqlShingles =
@@ -3492,6 +3515,70 @@ object SparkEntry {
          |LEFT JOIN cand c ON c.sample_mod = m.sample_mod
          |  AND c.u = e.u AND c.v = e.v
          |GROUP BY 1, 2""".stripMargin,
+
+    // the regime gate's one-row decision record: probe the sampled
+    // pair-count distribution, decide exact-fallback vs sampled rate —
+    // chooser replicated as the same integer CASE ladder
+    "q_co_order_regime" ->
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |cnt AS (
+         |  SELECT count(*) AS ns
+         |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % ${Graphs.RegimeProbeMod} = 0
+         |  GROUP BY a.pk, b.pk),
+         |probe AS (
+         |  SELECT CAST(coalesce(max(ns), 0) AS BIGINT) AS max_sampled,
+         |    CAST(coalesce(sum(CASE WHEN ns >= ${Graphs.RegimeDetectMin}
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_detectable
+         |  FROM cnt)
+         |SELECT CAST(${Graphs.RegimeProbeMod} AS BIGINT) AS probe_mod,
+         |  max_sampled, n_detectable,
+         |  max_sampled * ${Graphs.RegimeProbeMod} AS est_max_count,
+         |  ${sqlChosenMod("max_sampled")} AS chosen_mod,
+         |  (max_sampled >= ${Graphs.RegimeDetectMin}) AS is_heavy
+         |FROM probe""".stripMargin,
+
+    // the gated production entry: the SAME decision drives which branch
+    // emits rows — exact top-k when chosen_mod = 1, the sampled lever at
+    // chosen_mod otherwise (both branches written out; the decision's
+    // scalar subquery selects one)
+    "q_co_order_auto" ->
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |cnt AS (
+         |  SELECT count(*) AS ns
+         |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |  WHERE a.ok % ${Graphs.RegimeProbeMod} = 0
+         |  GROUP BY a.pk, b.pk),
+         |decision AS (
+         |  SELECT ${sqlChosenMod("CAST(coalesce(max(ns), 0) AS BIGINT)")} AS chosen_mod
+         |  FROM cnt),
+         |exact_topk AS (
+         |  SELECT a.pk AS u, b.pk AS v, count(*) AS n_orders
+         |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2
+         |  ORDER BY n_orders DESC, u, v
+         |  LIMIT 20),
+         |cand AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.pk AS u, b.pk AS v, count(*) AS ns
+         |    FROM inc a JOIN inc b ON a.ok = b.ok AND a.pk < b.pk
+         |    WHERE a.ok % (SELECT chosen_mod FROM decision) = 0
+         |    GROUP BY 1, 2
+         |    ORDER BY ns DESC, u, v
+         |    LIMIT ${Graphs.HeavyPairCandidates})),
+         |sampled_topk AS (
+         |  SELECT c.u, c.v, count(*) AS n_orders
+         |  FROM cand c
+         |  JOIN inc a ON a.pk = c.u
+         |  JOIN inc b ON b.pk = c.v AND b.ok = a.ok
+         |  GROUP BY 1, 2
+         |  ORDER BY n_orders DESC, u, v
+         |  LIMIT 20)
+         |SELECT u, v, n_orders FROM exact_topk
+         |WHERE (SELECT chosen_mod FROM decision) = 1
+         |UNION ALL
+         |SELECT u, v, n_orders FROM sampled_topk
+         |WHERE (SELECT chosen_mod FROM decision) > 1""".stripMargin,
 
     // the Bloom pre-filter is exact by the no-false-negative property, so
     // the oracle is the plain set-difference semantics

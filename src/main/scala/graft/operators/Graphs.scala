@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.concurrent.TrieMap
 
@@ -140,7 +140,12 @@ object Graphs {
     * 0.0 at mod 4). On a Zipfian basket field — where heavy-pair mining
     * earns its keep — the same machinery runs at mod 100+ because the
     * heavy pairs' counts dwarf 1/rate; the recall face is what tells a
-    * deployment which regime its data is in.
+    * deployment which regime its data is in — and since r15 the REGIME GATE
+    * ([[heavyPairRegime]]/[[coOrderHeavyTopKAuto]]) makes that check in
+    * code: a cheap sampled pair-count probe either selects the rate or
+    * falls back to the exact face. This constant remains the explicit
+    * lever face's knob, kept so [[coOrderHeavyRecall]] can keep publishing
+    * the recall AT a fixed rate.
     */
   val HeavyPairSampleMod = 2
   val HeavyPairCandidates = 100
@@ -235,6 +240,101 @@ object Graphs {
       .groupBy(col("sample_mod"), col("n_orders"))
       .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_cand"),
         (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+  }
+
+  // ---- regime gate for the heavy-pair lever (r14 verdict task 4) ---------
+  //
+  // coOrderHeavyTopK ships HeavyPairSampleMod = 2 while its own recall face
+  // measures candidate-stage top-k recall 0.25 on this near-uniform field —
+  // the scaladoc told deployments to check their regime; this gate makes
+  // the CODE do it. A cheap pair-count-distribution probe (the
+  // q_skew_report pattern: aggregate a 1/RegimeProbeMod basket sample and
+  // read the max sampled support) decides whether demonstrably heavy pairs
+  // exist; if not, the auto face falls back to the exact aggregation, and
+  // if so it picks the deepest sampling rate that still leaves the top
+  // band ≥ RegimeDetectTarget expected sampled hits.
+
+  /** Basket-sampling rate (1/mod) of the regime PROBE. 1/16 keeps the probe
+    * at ~6% of the exact face's expansion work while still giving a pair of
+    * true support c an expected c/16 sampled hits — enough that any pair
+    * heavy enough to be WORTH sampling-based mining (c ≥ 64, see
+    * [[RegimeDetectMin]]) is visible to the probe.
+    */
+  val RegimeProbeMod = 16
+
+  /** Sampled support below which no probe pair is DEMONSTRABLY heavy: on a
+    * near-uniform field (true counts ≤ 3, the measured sf0.1 shape —
+    * [[coOrderHeavyRecall]]'s n_pairs-per-count rows), max Binomial(3,
+    * 1/16) over millions of pairs still sits at 1–2; requiring ≥ 4 sampled
+    * hits makes a Poisson fluke vanishingly unlikely, so crossing it means
+    * a genuinely heavy pair (c ≳ 64) exists.
+    */
+  val RegimeDetectMin = 4L
+
+  /** Expected sampled hits the chooser leaves the heaviest pair at the
+    * CHOSEN rate: est/mod ≥ 16 keeps detection robust down to pairs ~4×
+    * lighter than the max — the band a top-k actually draws from.
+    */
+  val RegimeDetectTarget = 16L
+
+  /** Rates the chooser picks from, deepest first; 1/256 caps the win (a
+    * deeper rate saves little once the sample is ≪ the candidate pool).
+    */
+  val RegimeModLadder: Seq[Long] = Seq(256L, 128L, 64L, 32L, 16L, 8L, 4L, 2L)
+
+  /** The chooser as an in-plan column (integer comparisons only — a
+    * floating log2 ladder could round differently across engines at
+    * power-of-two boundaries; the CASE ladder is bit-exact in both).
+    * 1 = fall back to the exact face.
+    */
+  private def chosenModCol(maxSampled: Column, probeMod: Int): Column = {
+    val est = maxSampled * lit(probeMod.toLong)
+    RegimeModLadder.foldLeft(
+      when(maxSampled < lit(RegimeDetectMin), lit(1L))) { (acc, m) =>
+        acc.when(est >= lit(RegimeDetectTarget * m), lit(m))
+      }.otherwise(lit(2L))
+  }
+
+  /** One-row regime record: the probe's measured stats and the decision
+    * they force. `n_detectable` (pairs at ≥ [[RegimeDetectMin]] sampled
+    * hits) is the "mass above c·rate" field-shape statistic — 0 on the
+    * sf0.1 near-uniform field, the point of the gate.
+    */
+  def heavyPairRegime(s: SparkSession, d: String,
+      probeMod: Int = RegimeProbeMod): DataFrame =
+    heavyPairRegimeOf(Tables.lineitem(s, d), probeMod)
+
+  private[graft] def heavyPairRegimeOf(li: DataFrame, probeMod: Int): DataFrame =
+    coOrderPairsOf(li.filter(col("l_orderkey") % probeMod === 0))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("ns"))
+      .agg(
+        coalesce(max(col("ns")), lit(0L)).as("max_sampled"),
+        coalesce(sum(when(col("ns") >= lit(RegimeDetectMin), 1L)
+          .otherwise(0L)), lit(0L)).as("n_detectable"))
+      .select(
+        lit(probeMod.toLong).as("probe_mod"),
+        col("max_sampled"), col("n_detectable"),
+        (col("max_sampled") * probeMod.toLong).as("est_max_count"),
+        chosenModCol(col("max_sampled"), probeMod).as("chosen_mod"),
+        (col("max_sampled") >= lit(RegimeDetectMin)).as("is_heavy"))
+
+  /** The production heavy-pair entry: probe → choose → run. On the sf0.1
+    * field the probe measures max_sampled < [[RegimeDetectMin]] and the
+    * face IS the exact aggregation (cost = probe + exact ≈ 1.06× exact);
+    * on a Zipfian field it runs the sampled lever at the measured-safe
+    * rate (GraphsSpec pins both regimes on synthetic frames). The chosen
+    * rate lands in the bench artifact via the `regime_chosen_mod` phase
+    * stamp; [[coOrderHeavyTopK]] keeps its explicit `sampleMod` as the
+    * measured-lever face whose recall [[coOrderHeavyRecall]] publishes.
+    */
+  def coOrderHeavyTopKAuto(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val mod = timed("co_order_auto", "regime_probe")(
+      heavyPairRegime(s, d).select(col("chosen_mod")).head().getLong(0))
+    graft.BenchPhases.add("regime_chosen_mod", mod.toDouble)
+    System.err.println(s"[graft.graphs] co_order_auto chosen_mod=$mod" +
+      (if (mod <= 1L) " (exact fallback)" else " (sampled lever)"))
+    if (mod <= 1L) coOrderTopK(s, d, k)
+    else coOrderHeavyTopK(s, d, k, sampleMod = mod.toInt)
   }
 
   /** Fixed-point PageRank over the undirected co-order graph: every edge
@@ -393,6 +493,92 @@ object Graphs {
     */
   val SketchWedgeFactor: Long = 8L
 
+  // ---- wedge-shuffle spill budget (r14 verdict task 3) -------------------
+  //
+  // The 300× ladder ran q_triangle_approx minutes into a "No space left on
+  // device" death: the sampled graph fell past the broadcast cap onto the
+  // shuffle path, and the wedge-scale shuffle/sort machinery exceeded the
+  // single host's remaining scratch. The wedge volume Σ C(outdeg, 2) is
+  // already measured by the gate job, so the plan can PREDICT its spill
+  // demand and refuse before writing a byte — fail-fast with the sizing
+  // line instead of an async task death mid-shuffle.
+
+  /** Bytes the budget model charges per row transiting the wedge-stage
+    * shuffle machinery: a (long, long) row is 16 payload bytes; shuffle
+    * compression roughly cancels the UnsafeRow/serialization overhead, so
+    * 16 is the calibrated round number (the 100× bloom-pruned run measured
+    * ~14 B/row of shuffle write per closing-exchange row).
+    */
+  val WedgeSpillRowBytes: Long = 16L
+
+  /** Fraction of the free scratch one wedge shuffle may claim — headroom
+    * for the OTHER stages of the same job (ori sort legs, checkpoints) and
+    * for co-tenants of the disk.
+    */
+  val ScratchFraction: Double = 0.8
+
+  /** Conf override for available scratch bytes: deployments size it to the
+    * shuffle volume their executors' local disks actually offer (the
+    * filesystem probe below sees only this host), and specs use it to force
+    * both gate branches.
+    */
+  val ScratchConfKey = "spark.graft.triangle.scratchBytes"
+
+  /** Fail-fast refusal of a wedge shuffle predicted to exceed scratch.
+    * Message is front-loaded so Bench's 300-char error truncation keeps the
+    * sizing numbers — the artifact then records predicted-vs-available.
+    */
+  final case class WedgeSpillBudgetExceeded(
+      predictedBytes: Long, availableBytes: Long,
+      nEdges: Long, nWedges: Long, path: String)
+    extends RuntimeException(
+      s"wedge spill budget: predicted=${predictedBytes}B available=" +
+        s"${availableBytes}B (x$ScratchFraction) m=$nEdges wedges=$nWedges " +
+        s"path=$path — refuse the $path wedge shuffle; remedies: raise " +
+        s"invPLog2 (approx face does automatically), add executors/disks, " +
+        s"or override $ScratchConfKey")
+
+  /** Free scratch for shuffle/spill on this host: the conf override when
+    * set (malformed → warn + probe), else the summed usable space of the
+    * configured Spark local dirs (`spark.local.dir`, default the JVM temp
+    * dir) — the directories the shuffle writers actually target.
+    */
+  private[graft] def availableScratchBytes(s: SparkSession): Long =
+    s.conf.getOption(ScratchConfKey).flatMap { v =>
+      val parsed = scala.util.Try(v.toLong).toOption
+      if (parsed.isEmpty) System.err.println(
+        s"[graft.graphs] ignoring malformed $ScratchConfKey='$v'; probing disks")
+      parsed
+    }.getOrElse {
+      s.sparkContext.getConf
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+        .split(",").map(_.trim).filter(_.nonEmpty).distinct
+        .map(dir => new java.io.File(dir).getUsableSpace).sum
+    }
+
+  /** Predicted spill bytes of the chosen shuffle path, from the measured
+    * (m, wedges) pair. Rows that transit shuffle/sort machinery:
+    *  - plain-shuffle: every wedge reaches the closing exchange, plus both
+    *    oriented sort legs of the wedge self-join — wedges + 2m rows;
+    *  - bloom-pruned: fp survivors ≈ max(fpp·wedges, m) (the same fpp
+    *    formula the sketch build uses targets fp-survivors ≈ m), plus the
+    *    two ori legs and the closing probe leg — survivors + 3m rows.
+    * A 2× factor covers sort working space (sorter spill files coexist
+    * with the shuffle files they feed). This is a sizing model, not an
+    * accounting identity — it exists to refuse the runs that die at the
+    * 10×-wrong scale, not to predict the last gigabyte.
+    */
+  private[graft] def predictedWedgeSpillBytes(
+      nEdges: Long, nWedges: Long, bloomPruned: Boolean): Long = {
+    val rows =
+      if (bloomPruned) {
+        val fpp = math.min(0.01,
+          math.max(1e-5, nEdges.toDouble / math.max(nWedges, 1L)))
+        math.max((fpp * nWedges).toLong, nEdges) + 3L * nEdges
+      } else nWedges + 2L * nEdges
+    2L * rows * WedgeSpillRowBytes
+  }
+
   /** Core algorithm over any canonical (`u < v`, distinct) edge list —
     * factored out so `GraphsSpec` can pin the count on handcrafted graphs
     * and force each execution path.
@@ -474,6 +660,20 @@ object Graphs {
        else if (nWedges > sketchWedgeFactor * nEdges) "bloom-pruned"
        else "plain-shuffle") +
       s" m=$nEdges wedges=$nWedges")
+    // spill-budget gate (header above): only the shuffle paths materialize
+    // wedge-scale state on disk — the broadcast edge-iterator streams every
+    // intersection map-side and is bounded by executor MEMORY, which the
+    // admission cap already owns
+    if (!bc) {
+      val bloomPruned = nWedges > sketchWedgeFactor * nEdges
+      val predicted = predictedWedgeSpillBytes(nEdges, nWedges, bloomPruned)
+      val available = availableScratchBytes(s)
+      if (predicted > available * ScratchFraction) {
+        IterCheckpoint.free(s, edgIds ++ oriIds) // refuse cleanly: no leaks
+        throw WedgeSpillBudgetExceeded(predicted, available, nEdges, nWedges,
+          if (bloomPruned) "bloom-pruned" else "plain-shuffle")
+      }
+    }
     if (bc) {
       // Broadcast path: edge-iterator with adjacency-list intersection.
       // Each oriented edge (s, t) contributes |N⁺(s) ∩ N⁺(t)| — within a
@@ -545,24 +745,52 @@ object Graphs {
 
   val ApproxMinSampled = 25L
 
+  /** Most spill-gate escalations the approx face attempts before giving up
+    * and rethrowing: 6 raises shrink the wedge volume ~4^6 ≈ 4000× — a
+    * graph still over budget there needs hardware, not a knob.
+    */
+  val MaxWedgeGateRaises = 6
+
   def triangleCountApproxEdges(edges: DataFrame, invPLog2: Int = 2): DataFrame = {
     require(invPLog2 >= 0 && invPLog2 <= 19, s"invPLog2 $invPLog2 out of range")
-    val keepBound = 1L << (60 - invPLog2)
-    val scale = 1L << (3 * invPLog2)
-    val sampled = edges.filter(
+    def sampledAt(ip: Int) = edges.filter(
       call_function("graft_hex15",
         md5(concat(lit("tri:"), col("u").cast("string"), lit(","),
-          col("v").cast("string")))) < lit(keepBound))
+          col("v").cast("string")))) < lit(1L << (60 - ip)))
     // the exact count on the sampled graph honors the SAME deployment-sized
     // edge-iterator cap as the exact face (r12): without it the 100×
     // replica's p=1/4 sample (~22.5M edges) fell past the 4M cluster
     // default onto the bloom-pruned shuffle path — 415.9 s where the
     // broadcast edge-iterator does wedges/16 of the exact face's work
-    triangleCountEdges(sampled, broadcastMaxEdgesFor(edges.sparkSession))
-      .select(
-        (col("n_triangles") * scale).as("est_triangles"),
-        col("n_triangles").as("n_sampled"),
-        (col("n_triangles") >= ApproxMinSampled).as("sample_ok"))
+    val cap = broadcastMaxEdgesFor(edges.sparkSession)
+    // spill-gate escalation (r14 verdict task 3): a refused wedge shuffle
+    // raises invPLog2 instead of dying mid-shuffle — each raise halves p
+    // and cuts the wedge volume ~4× (a wedge survives iff BOTH edges do).
+    // The estimator stays unbiased at ANY p (DOULION's property), and the
+    // output's own `sample_ok` gate is what says whether the escalated
+    // rate still carries enough sampled triangles to trust — the caller
+    // reads the flag, not the knob. Escalations land in the bench artifact
+    // via the `wedge_gate_raises` / `inv_p_log2_used` phase stamps.
+    var ip = invPLog2
+    val ipCeiling = math.min(invPLog2 + MaxWedgeGateRaises, 19)
+    var counted: DataFrame = null
+    while (counted == null) {
+      try counted = triangleCountEdges(sampledAt(ip), cap)
+      catch {
+        case e: WedgeSpillBudgetExceeded =>
+          if (ip >= ipCeiling) throw e
+          System.err.println(s"[graft.graphs] ${e.getMessage}; raising " +
+            s"invPLog2 $ip -> ${ip + 1}")
+          graft.BenchPhases.add("wedge_gate_raises", 1.0)
+          ip += 1
+      }
+    }
+    if (ip != invPLog2) graft.BenchPhases.add("inv_p_log2_used", ip.toDouble)
+    val scale = 1L << (3 * ip)
+    counted.select(
+      (col("n_triangles") * scale).as("est_triangles"),
+      col("n_triangles").as("n_sampled"),
+      (col("n_triangles") >= ApproxMinSampled).as("sample_ok"))
   }
 
   /** Build the closing-edge Bloom sketch (m keys, fpp 0.01 ⇒ m·~10 bits)

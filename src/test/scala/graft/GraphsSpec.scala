@@ -288,4 +288,120 @@ class GraphsSpec extends SparkSpecBase {
       cum += nPairs
     }
   }
+
+  // ---- heavy-pair regime gate (r14 verdict task 4) ------------------------
+
+  /** A lineitem-shaped frame: `hotOrders` baskets all containing the pair
+    * (1, 2) — a Zipfian head — plus every basket carrying one unique filler
+    * part so the field also has a uniform tail.
+    */
+  private def basketField(nOrders: Long, hotOrders: Long) = {
+    val base = spark.range(nOrders).select(col("id").as("l_orderkey"),
+      (col("id") + 1000000L).as("l_partkey"))
+    val hotA = spark.range(hotOrders).select(col("id").as("l_orderkey"),
+      lit(1L).as("l_partkey"))
+    val hotB = spark.range(hotOrders).select(col("id").as("l_orderkey"),
+      lit(2L).as("l_partkey"))
+    base.unionAll(hotA).unionAll(hotB)
+  }
+
+  test("regime gate, Zipfian field: probe detects the heavy pair and picks a deep rate") {
+    // 3200 baskets, the first 1600 all containing pair (1,2): true support
+    // 1600, probe (1/16 of baskets) sees exactly 100 sampled hits
+    val row = Graphs.heavyPairRegimeOf(basketField(3200, 1600),
+      Graphs.RegimeProbeMod).head()
+    val maxSampled = row.getAs[Long]("max_sampled")
+    val chosen = row.getAs[Long]("chosen_mod")
+    assert(maxSampled === 100L) // 1600 hot baskets, every 16th sampled
+    assert(row.getAs[Boolean]("is_heavy"))
+    assert(row.getAs[Long]("n_detectable") === 1L) // only (1,2) clears DetectMin
+    assert(row.getAs[Long]("est_max_count") === 1600L)
+    // the chooser must pick the DEEPEST ladder rate that still leaves the
+    // top band >= RegimeDetectTarget expected sampled hits: est/mod >= 16
+    // holds at 64 (1600/64 = 25) and fails at 128 (12.5)
+    assert(chosen === 64L)
+    assert(1600L / chosen >= Graphs.RegimeDetectTarget)
+  }
+
+  test("regime gate, uniform field: no demonstrable heavy pair, exact fallback") {
+    // every pair unique (each basket = one filler + nothing shared):
+    // sampled supports are 0 everywhere -> chosen_mod = 1
+    val uniform = basketField(3200, 0)
+    val row = Graphs.heavyPairRegimeOf(uniform, Graphs.RegimeProbeMod).head()
+    assert(!row.getAs[Boolean]("is_heavy"))
+    assert(row.getAs[Long]("chosen_mod") === 1L)
+    // and the REAL sf field is the same regime: the auto face must emit
+    // exactly the exact face's rows (the production fallback path)
+    val regime = Graphs.heavyPairRegime(spark, Sf).head()
+    assert(regime.getAs[Long]("chosen_mod") === 1L,
+      s"spec-scale field unexpectedly heavy: $regime")
+    val auto = Graphs.coOrderHeavyTopKAuto(spark, Sf).collect().map(_.toSeq).toSeq
+    val exact = Graphs.coOrderTopK(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(auto === exact, "auto face diverged from the exact fallback")
+  }
+
+  // ---- wedge-shuffle spill budget (r14 verdict task 3) ---------------------
+
+  test("spill gate: a forced-shuffle wedge count over budget fails fast with sizing") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    spark.conf.set(Graphs.ScratchConfKey, "1")
+    try {
+      val e = intercept[Graphs.WedgeSpillBudgetExceeded] {
+        Graphs.triangleCountEdges(k4.toDF("u", "v"), broadcastMaxEdges = 0L)
+          .head()
+      }
+      assert(e.availableBytes === 1L)
+      assert(e.predictedBytes > 0L && e.nEdges === 6L)
+      // the sizing line must survive Bench's 300-char error truncation
+      val msg = e.toString.take(300)
+      assert(msg.contains("predicted=") && msg.contains("available=1B"),
+        s"sizing numbers truncated out of the artifact line: $msg")
+    } finally spark.conf.unset(Graphs.ScratchConfKey)
+  }
+
+  test("spill gate: the approx face escalates invPLog2 until the budget admits it") {
+    // complete graph K14 (91 edges): big enough that the md5 edge sample
+    // shrinks strictly between p=1/4 and p=1/8
+    val nodes = 1L to 14L
+    val kN = for (u <- nodes; v <- nodes if u < v) yield (u, v)
+    val df = kN.toDF("u", "v")
+    def sampledAt(ip: Int) = df.filter(
+      call_function("graft_hex15",
+        md5(concat(lit("tri:"), col("u").cast("string"), lit(","),
+          col("v").cast("string")))) < lit(1L << (60 - ip)))
+    // measured (m, wedges) of each sampled subgraph, computed independently
+    // of the production code: orient by (degree, id) and sum C(outdeg, 2)
+    def stats(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val srcs = edges.map { case (u, v) =>
+        if (Ordering[(Long, Long)].lt((deg(u), u), (deg(v), v))) u else v }
+      val od = srcs.groupBy(identity).view.mapValues(_.size.toLong)
+      (edges.size.toLong, od.values.map(d => d * (d - 1) / 2).sum)
+    }
+    def collectEdges(ip: Int) =
+      sampledAt(ip).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (m2, w2) = stats(collectEdges(2))
+    val (m3, w3) = stats(collectEdges(3))
+    val p2 = Graphs.predictedWedgeSpillBytes(m2, w2, bloomPruned = w2 > 8 * m2)
+    val p3 = Graphs.predictedWedgeSpillBytes(m3, w3, bloomPruned = w3 > 8 * m3)
+    assert(p3 < p2, s"degenerate fixture: sampled spill must shrink ($p3 vs $p2)")
+    // scratch sized so p=1/4 is REFUSED and p=1/8 admitted
+    val scratch = math.ceil(p3 / Graphs.ScratchFraction).toLong + 1
+    assert(p2 > scratch * Graphs.ScratchFraction)
+    spark.conf.set(Graphs.ScratchConfKey, scratch.toString)
+    spark.conf.set("spark.graft.triangle.broadcastMaxEdges", "0") // force shuffle
+    try {
+      val row = Graphs.triangleCountApproxEdges(df, invPLog2 = 2).head()
+      // the count must be the exact count of the ip=3 subgraph scaled by
+      // (2^3)^3 — proving the face completed AT THE ESCALATED RATE
+      val expected = Graphs.triangleCountEdges(collectEdges(3).toDF("u", "v"))
+        .head().getLong(0)
+      assert(row.getAs[Long]("est_triangles") === expected * 512L)
+      assert(row.getAs[Long]("n_sampled") === expected)
+    } finally {
+      spark.conf.unset(Graphs.ScratchConfKey)
+      spark.conf.unset("spark.graft.triangle.broadcastMaxEdges")
+    }
+  }
 }
