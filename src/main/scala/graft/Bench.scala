@@ -52,6 +52,13 @@ object Bench {
       spark.conf.set("spark.graft.triangle.broadcastMaxEdges", v)
       System.err.println(s"[bench] triangle broadcastMaxEdges=$v")
     }
+    // wedge-shuffle scratch budget (Graphs.availableScratchBytes): probes
+    // use it to run the spill gate against a deployment-sized scratch
+    // instead of this host's whole free disk — the 300× gate demo's knob
+    sys.env.get("SPARK_GRAFT_TRI_SCRATCH_BYTES").foreach { v =>
+      spark.conf.set(graft.operators.Graphs.ScratchConfKey, v)
+      System.err.println(s"[bench] triangle scratchBytes=$v")
+    }
     // streaming state-store provider A/B (r12 verdict task 2): the 100×
     // phase fields put 834–890 s of summed p_stateUpdates behind the
     // stream-join faces on the default HDFS-backed store; RocksDB is the

@@ -66,7 +66,7 @@ object Federation {
     */
   private[graft] def ordersDimUrl(s: SparkSession, d: String): String = {
     evictStopped()
-    staged.getOrElseUpdate((s, d), {
+    staged.getOrElseUpdate((s, d), graft.BenchPhases.timed("staging") {
       val url = s"jdbc:derby:memory:graft_fed_${dbSeq.incrementAndGet()};create=true"
       Tables.orders(s, d)
         .filter(col("o_orderkey") % 100 === 0)
@@ -156,9 +156,16 @@ object Federation {
     * loaded; real migrations prune at this step for the same reason the
     * reads do: the wire is the bottleneck.
     */
+  /** Phase-stamped like the stream landings: the fact staging loads the
+    * WHOLE orders table into in-heap Derby, and at the 100× replica that is
+    * ~95% of the face's cold window — without the `staging` stamp a reader
+    * cannot tell the 8-connection range scan (~15 s) from the stand-in
+    * database's load (r15: the cold-reset rerun made this cost visible in
+    * `steady`, where the r14 warm rerun had hidden it).
+    */
   private[graft] def ordersFactUrl(s: SparkSession, d: String): String = {
     evictStopped()
-    stagedFact.getOrElseUpdate((s, d), {
+    stagedFact.getOrElseUpdate((s, d), graft.BenchPhases.timed("staging") {
       val url = s"jdbc:derby:memory:graft_fedfact_${dbSeq.incrementAndGet()};create=true"
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
