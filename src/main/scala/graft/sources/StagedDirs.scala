@@ -47,9 +47,14 @@ private[graft] object WarmDirs {
     if (!p.getFileName.toString.startsWith("graft_")) return
     if (!java.nio.file.Files.exists(p)) return
     val st = java.nio.file.Files.walk(p)
+    // best-effort: a vanished file mid-walk surfaces as IOException from
+    // deleteIfExists OR UncheckedIOException from the walk iterator itself
     try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-    catch { case _: java.io.IOException => () } // best-effort: a vanished file is fine
+    catch {
+      case _: java.io.IOException => ()
+      case _: java.io.UncheckedIOException => ()
+    }
     finally st.close()
   }
 }
