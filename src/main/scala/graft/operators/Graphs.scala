@@ -504,10 +504,14 @@ object Graphs {
   // line instead of an async task death mid-shuffle.
 
   /** Bytes the budget model charges per row transiting the wedge-stage
-    * shuffle machinery: a (long, long) row is 16 payload bytes; shuffle
-    * compression roughly cancels the UnsafeRow/serialization overhead, so
-    * 16 is the calibrated round number (the 100× bloom-pruned run measured
-    * ~14 B/row of shuffle write per closing-exchange row).
+    * shuffle machinery: a (long, long) row is 16 payload bytes, and the
+    * model ASSUMES lz4 shuffle compression roughly cancels the
+    * UnsafeRow/serialization overhead. A sizing assumption, not a
+    * measurement — the model's job is refusing runs that are wrong by 10×
+    * (the r14 300× death), and the 2× sort-working-space factor in
+    * [[predictedWedgeSpillBytes]] plus [[ScratchFraction]]'s headroom
+    * absorb per-row estimate error; deployments that measure differently
+    * size the budget itself via [[ScratchConfKey]].
     */
   val WedgeSpillRowBytes: Long = 16L
 
