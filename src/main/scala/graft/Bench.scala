@@ -301,18 +301,33 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
-    // compact SECOND line, kept well under ~500 chars: the driver stores a
-    // 2000-char stdout TAIL, and at 192 queries the full artifact above is
-    // ~15 kB — so BENCH_r{10..14}.json all carried "parsed": null and the
-    // driver never saw a headline number (r14 verdict task 2; the judge
-    // reconstructed rounds from bench_last.json). Printed LAST so any tail
-    // window ends with a complete, parseable JSON line; schema mirrors the
-    // driver contract (metric/value/unit/sf) plus counts and the slowest
-    // three faces, and points at the on-disk full artifact.
-    val slowest = results.sortBy(-_._2).take(3)
-      .map { case (k, v, _, _) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"n_errors":${results.count(_._3.nonEmpty)},"n_budget_exceeded":${windowOver.size},"n_over_contract":${over.size},"slowest":$slowest,"full_artifact":"bench_last.json","sf":"$sfDir"}"""
-    println(compact)
+    // compact SECOND line (see compactLine) — printed LAST so any stdout
+    // tail window ends with a complete, parseable JSON line
+    println(compactLine(results.size, total, results.count(_._3.nonEmpty),
+      windowOver.size, over.size,
+      results.sortBy(-_._2).take(3).map { case (k, v, _, _) => (k, v) },
+      sfDir))
     spark.stop()
+  }
+
+  /** The driver-facing compact summary line, kept well under ~500 chars:
+    * the driver stores a 2000-char stdout TAIL, and at 192+ queries the
+    * full artifact is ~15 kB — so BENCH_r{10..14}.json all carried
+    * `"parsed": null` and the driver never saw a headline number (r14
+    * verdict task 2; the judge reconstructed rounds from
+    * `bench_last.json`). Schema mirrors the driver contract
+    * (metric/value/unit/sf) plus counts and the slowest three faces, and
+    * points at the on-disk full artifact. Extracted so BenchPhasesSpec can
+    * pin the two properties the fix depends on: strict-parser validity
+    * (query names and sf paths ride through [[jsonString]]) and the
+    * <500-char budget at representative name lengths.
+    */
+  private[graft] def compactLine(n: Int, total: Double, nErrors: Int,
+      nWindowOver: Int, nOverContract: Int,
+      slowest: Seq[(String, Double)], sfDir: String): String = {
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val slow = slowest.take(3)
+      .map { case (k, v) => jsonString(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$n,"n_errors":$nErrors,"n_budget_exceeded":$nWindowOver,"n_over_contract":$nOverContract,"slowest":$slow,"full_artifact":"bench_last.json","sf":${jsonString(sfDir)}}"""
   }
 }

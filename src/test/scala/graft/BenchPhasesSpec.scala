@@ -70,4 +70,32 @@ class BenchPhasesSpec extends AnyFunSuite {
     assert(tree.get("errors").get("q_x").asText() === nasty,
       "escape must be lossless under a strict parser")
   }
+
+  test("compact summary line: strict-parseable and inside the driver's tail budget") {
+    // r14 verdict task 2: the driver keeps a 2000-char stdout TAIL, so the
+    // LAST printed line must be a complete JSON document well under that —
+    // BENCH_r{10..14}.json were all dark because only the full ~15 kB line
+    // existed. Pin the two properties the fix rests on, at representative
+    // worst-case name lengths (the longest real face names are ~30 chars).
+    val slowest = Seq(
+      ("q_semantic_contamination_sweep", 123.456789),
+      ("q_co_order_heavy_recall", 99.9999),
+      ("q_stream_semantic_contam", 88.8))
+    val line = Bench.compactLine(194, 3152.8315, 1, 0, 20, slowest,
+      "/tmp/sf100x")
+    assert(line.length < 500, s"compact line ${line.length} chars — too long " +
+      "for the driver's 2000-char tail to be safe alongside log residue")
+    assert(!line.contains("\n"), "must be ONE line")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(line)
+    assert(tree.get("metric").asText() === "total")
+    assert(tree.get("n").asInt() === 194)
+    assert(tree.get("n_over_contract").asInt() === 20)
+    assert(tree.get("slowest").get("q_co_order_heavy_recall").asDouble() === 100.0)
+    assert(tree.get("sf").asText() === "/tmp/sf100x")
+    // more than three slowest entries offered -> truncated to three
+    val line5 = Bench.compactLine(5, 1.0, 0, 0, 0,
+      (1 to 5).map(i => (s"q_$i", i.toDouble)), "/tmp/x")
+    assert(mapper.readTree(line5).get("slowest").size() === 3)
+  }
 }
