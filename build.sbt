@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`.
+// Bench prints its compact summary line last, but sbt then appends
+// "[success] Total time: …" AFTER the forked JVM exits — no in-JVM trick
+// (shutdown hook included) can print after that, so BENCH_r{10..15}.json
+// all carried "parsed": null. Suppress sbt's success banner (exit code
+// still reports build/run status) so the program's own last line is the
+// process's last line. (r15 verdict task 2)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// …and sbt's default output strategy routes the forked JVM's stdout through
+// its logger, prefixing every line with "[info] " — which breaks a strict
+// JSON parse of the last line. Send the forked process's streams straight
+// through instead (stdout stays stdout, stderr stays stderr, no prefixes).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,9 +64,10 @@ object DimBroadcast extends PredicateHelper {
     * lives in a spec that survives refactors, not in a round narrative).
     * Precedence (r14 ADVICE): the conf overrides call sites that use the
     * DEFAULT cap — the deployment's sizing decision beats the operator
-    * author's generic default — but an EXPLICIT non-default `capBytes` is a
-    * deliberate per-call bound (a test seam, or an operator that knows its
-    * build side's expansion factor) and keeps precedence over the conf. A
+    * author's generic default — but an EXPLICIT `capBytes` (the two-arg
+    * overload, any value including [[ByteCap]] itself) is a deliberate
+    * per-call bound (a test seam, or an operator that knows its build
+    * side's expansion factor) and keeps precedence over the conf. A
     * malformed conf value logs a warning and falls back to the default
     * instead of throwing NumberFormatException at plan time.
     */
@@ -119,16 +120,29 @@ object DimBroadcast extends PredicateHelper {
     case other => other.stats.sizeInBytes
   }
 
-  def apply(df: DataFrame, capBytes: Long = ByteCap): DataFrame = {
-    val cap =
-      if (capBytes != ByteCap) capBytes // explicit per-call cap wins (header)
-      else df.sparkSession.conf.getOption(CapConfKey).flatMap { v =>
+  /** Default-cap entry: the conf override (when set) beats [[ByteCap]]. */
+  def apply(df: DataFrame): DataFrame = gated(df, explicitCap = None)
+
+  /** Explicit per-call cap: ALWAYS wins over the conf (header). Overload
+    * rather than a `capBytes: Long = ByteCap` default param (r15 ADVICE):
+    * with the sentinel, a caller deliberately passing `ByteCap` was
+    * indistinguishable from the default and silently lost to the conf —
+    * the two intents are now separate methods, so explicit-vs-default is
+    * structural, not a value comparison.
+    */
+  def apply(df: DataFrame, capBytes: Long): DataFrame =
+    gated(df, explicitCap = Some(capBytes))
+
+  private def gated(df: DataFrame, explicitCap: Option[Long]): DataFrame = {
+    val cap = explicitCap.getOrElse {
+      df.sparkSession.conf.getOption(CapConfKey).flatMap { v =>
         val parsed = scala.util.Try(v.toLong).toOption
         if (parsed.isEmpty) System.err.println(
           s"[graft.dimBroadcast] ignoring malformed $CapConfKey='$v' " +
             s"(not a long); using default cap $ByteCap")
         parsed
-      }.getOrElse(capBytes)
+      }.getOrElse(ByteCap)
+    }
     if (dimBytes(df.queryExecution.optimizedPlan) <= BigInt(cap))
       broadcast(df)
     else df

@@ -546,6 +546,16 @@ object Graphs {
     * set (malformed → warn + probe), else the summed usable space of the
     * configured Spark local dirs (`spark.local.dir`, default the JVM temp
     * dir) — the directories the shuffle writers actually target.
+    *
+    * Dirs are deduped by the `FileStore` backing them, not by path string:
+    * two local dirs on ONE filesystem each report that filesystem's full
+    * free space, and summing them would inflate the budget by the dir
+    * count — the gate would then under-refuse exactly on the multi-dir
+    * configs where refusal matters (r15 ADVICE). A dir whose store can't
+    * be resolved (not yet created, permission) still contributes under its
+    * path identity rather than being dropped — erring toward admission
+    * only for dirs the probe can't see, which shuffle writers would fail
+    * on anyway.
     */
   private[graft] def availableScratchBytes(s: SparkSession): Long =
     s.conf.getOption(ScratchConfKey).flatMap { v =>
@@ -553,12 +563,25 @@ object Graphs {
       if (parsed.isEmpty) System.err.println(
         s"[graft.graphs] ignoring malformed $ScratchConfKey='$v'; probing disks")
       parsed
-    }.getOrElse {
+    }.getOrElse(scratchBytesOfDirs(
       s.sparkContext.getConf
-        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
-        .split(",").map(_.trim).filter(_.nonEmpty).distinct
-        .map(dir => new java.io.File(dir).getUsableSpace).sum
-    }
+        .get("spark.local.dir", System.getProperty("java.io.tmpdir"))))
+
+  /** Usable space summed over the comma-separated dir list, deduped by
+    * backing FileStore (see [[availableScratchBytes]]). Factored out so
+    * GraphsSpec can pin the one-filesystem-two-dirs case without a
+    * restarted SparkContext (`spark.local.dir` is fixed at startup).
+    */
+  private[graft] def scratchBytesOfDirs(dirList: String): Long =
+    dirList.split(",").map(_.trim).filter(_.nonEmpty).distinct
+      .map { dir =>
+        val f = new java.io.File(dir)
+        val storeKey = scala.util.Try(
+          java.nio.file.Files.getFileStore(f.toPath).toString)
+          .getOrElse(s"unresolved:$dir")
+        storeKey -> f.getUsableSpace
+      }
+      .groupBy(_._1).map { case (_, vs) => vs.head._2 }.sum
 
   /** Predicted spill bytes of the chosen shuffle path, from the measured
     * (m, wedges) pair. Rows that transit shuffle/sort machinery:

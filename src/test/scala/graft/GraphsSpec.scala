@@ -359,6 +359,25 @@ class GraphsSpec extends SparkSpecBase {
     } finally spark.conf.unset(Graphs.ScratchConfKey)
   }
 
+  test("scratch probe: two local dirs on one filesystem count its space ONCE") {
+    // r15 ADVICE: .distinct deduped path STRINGS, so two dirs on the same
+    // filesystem each contributed that filesystem's full free space and the
+    // gate's budget doubled — under-refusing exactly on multi-dir configs.
+    val a = java.nio.file.Files.createTempDirectory("graft-scratch-a")
+    val b = java.nio.file.Files.createTempDirectory("graft-scratch-b")
+    try {
+      val one = Graphs.scratchBytesOfDirs(a.toString)
+      val two = Graphs.scratchBytesOfDirs(s"$a,$b")
+      // same FileStore → deduped to one contribution (free space can move a
+      // little between the probes; assert "far below 2x", not equality)
+      assert(two < one * 3 / 2, s"double-counted: one=$one two=$two")
+      assert(two > one / 2, s"dedup dropped the store entirely: one=$one two=$two")
+    } finally {
+      java.nio.file.Files.deleteIfExists(a)
+      java.nio.file.Files.deleteIfExists(b)
+    }
+  }
+
   test("spill gate: the approx face escalates invPLog2 until the budget admits it") {
     // complete graph K14 (91 edges): big enough that the md5 edge sample
     // shrinks strictly between p=1/4 and p=1/8
