@@ -673,6 +673,37 @@ object Dedup {
     */
   val HotBandCap = 64
 
+  /** Output-volume budget for the ENUMERATING near-dup faces (r15 verdict
+    * task 3): the doc-pair listing is Θ(Σ m_a·m_b) by contract, and on a
+    * duplication-dense corpus that output volume — not any join or shuffle —
+    * is the wall (measured ~12M emitted pairs/s on the adversarial 100×
+    * replica, where the enumeration burned its whole 420 s window). The
+    * pair mass is computable EXACTLY from the verified fingerprint pairs
+    * and the group sizes in one cheap aggregate (the `simhashPairStats`
+    * shape), so the plan predicts its output and refuses before expanding
+    * a row — fail-fast with the sizing numbers instead of a timeout that
+    * records nothing. Default 2×10⁹ rows ≈ a few minutes of pure output at
+    * the measured rate — far past the point where [[simhashPairStats]] /
+    * [[dedupClusters]] are the right faces, yet admitting every healthy
+    * corpus (sf0.1 enumerates ~0.7M).
+    */
+  val PairRowsConfKey = "spark.graft.simhash.maxPairRows"
+  val DefaultMaxPairRows: Long = 2000000000L
+
+  /** Fail-fast refusal of a pair enumeration predicted to exceed the output
+    * budget. Message front-loads the sizing so Bench's 300-char error
+    * truncation keeps predicted-vs-budget in the artifact.
+    */
+  final case class PairVolumeBudgetExceeded(
+      predictedRows: Long, budgetRows: Long,
+      nFingerprintPairs: Long, nGroups: Long, pipeline: String)
+    extends RuntimeException(
+      s"pair volume budget: predicted=${predictedRows} rows budget=" +
+        s"${budgetRows} fpairs=$nFingerprintPairs groups=$nGroups " +
+        s"pipeline=$pipeline — refuse enumeration; remedies: consume " +
+        s"simhashPairStats/dedupClusters (bounded faces), raise " +
+        s"$PairRowsConfKey, or collapse exact dups first")
+
   /** SimHash fingerprint (60-bit, md5-derived token hashes, emitted as a
     * bit-string so the oracle avoids 64-bit shift overflow). Majority vote per
     * bit over the distinct token set.
@@ -776,14 +807,51 @@ object Dedup {
     * distinct-fingerprint collapse + capped quarter-band join + grouped
     * expansion pipeline of [[simhashPairs]], entity-agnostic. Output
     * columns keep the historical doc_a/doc_b names; callers rename.
+    *
+    * Volume-gated (r15 verdict task 3): the verified fingerprint pairs are
+    * checkpointed (F rows, three longs — the band join was going to run
+    * exactly once anyway; materializing it lets the gate reuse it), the
+    * EXACT output cardinality Σ m_a·m_b + Σ C(m,2) is computed in one
+    * aggregate over those F rows plus the group sizes, and the expansion
+    * only runs if it fits [[PairRowsConfKey]] (default
+    * [[DefaultMaxPairRows]]). The gate job's cost is the band join — the
+    * cheap stage at every measured scale (5.3 s where enumeration burned
+    * 420+ s) — so healthy corpora pay ~nothing and pathological ones fail
+    * in band-join time with the sizing recorded.
     */
   private[graft] def simhashNearDupPairs(fps: DataFrame, pipeline: String,
       maxHamming: Int = 6, hotBandCap: Int = HotBandCap): DataFrame = {
+    val s = fps.sparkSession
     val (groups, gIds) = IterCheckpoint.checkpoint(
       fps.groupBy(col("h")).agg(collect_list(col("id")).as("ids")))
-    supersede(fps.sparkSession, pipeline, gIds)
-    simhashExpand(groups,
+    val (fpairs, fIds) = IterCheckpoint.checkpoint(
       simhashFingerprintPairs(groups.select(col("h")), maxHamming, hotBandCap))
+    supersede(s, pipeline, gIds ++ fIds)
+    val sizes = groups.select(col("h"), size(col("ids")).cast("long").as("m"))
+    val crossRow = fpairs
+      .join(sizes.select(col("h").as("h_a"), col("m").as("m_a")), Seq("h_a"))
+      .join(sizes.select(col("h").as("h_b"), col("m").as("m_b")), Seq("h_b"))
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("rows"),
+        count(lit(1)).as("f")).head()
+    val intraRow = sizes
+      .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("rows"),
+        count(lit(1)).as("g")).head()
+    val predicted = crossRow.getLong(0) + intraRow.getLong(0)
+    val budget = s.conf.getOption(PairRowsConfKey).flatMap { v =>
+      val parsed = scala.util.Try(v.toLong).toOption
+      if (parsed.isEmpty) System.err.println(
+        s"[graft.dedup] ignoring malformed $PairRowsConfKey='$v'; " +
+          s"using default $DefaultMaxPairRows")
+      parsed
+    }.getOrElse(DefaultMaxPairRows)
+    if (predicted > budget) {
+      // refusal leaves no pinned generation behind (the triangle gate's
+      // clean-free discipline): release both checkpoints before throwing
+      supersede(s, pipeline, Set.empty)
+      throw PairVolumeBudgetExceeded(predicted, budget, crossRow.getLong(1),
+        intraRow.getLong(1), pipeline)
+    }
+    simhashExpand(groups, fpairs)
   }
 
   /** Banded self-join over DISTINCT fingerprints (`hs`: one `h` per row) →

@@ -53,6 +53,31 @@ class DedupClustersSpec extends SparkSpecBase {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("pair-volume gate: refuses over budget with EXACT sizing, admits at the boundary") {
+    // r15 verdict task 3: the enumerating face predicts its output
+    // cardinality from group sizes before expanding a row. The prediction
+    // must equal the real enumerated count exactly — that's what makes the
+    // recorded refusal sizing citable.
+    val n = Dedup.simhashPairs(spark, Sf).count()
+    assert(n > 0, "degenerate fixture: no near-dup pairs to gate")
+    try {
+      spark.conf.set(Dedup.PairRowsConfKey, (n - 1).toString)
+      val e = intercept[Dedup.PairVolumeBudgetExceeded] {
+        Dedup.simhashPairs(spark, Sf).count()
+      }
+      assert(e.predictedRows === n, "gate prediction diverged from the real count")
+      assert(e.budgetRows === n - 1)
+      assert(e.nFingerprintPairs > 0 && e.nGroups > 0)
+      // the sizing must survive Bench's 300-char error truncation
+      val msg = e.toString.take(300)
+      assert(msg.contains(s"predicted=$n") && msg.contains(s"budget=${n - 1}"),
+        s"sizing truncated out of the artifact line: $msg")
+      // boundary: budget == predicted admits (only strictly-over refuses)
+      spark.conf.set(Dedup.PairRowsConfKey, n.toString)
+      assert(Dedup.simhashPairs(spark, Sf).count() === n)
+    } finally spark.conf.unset(Dedup.PairRowsConfKey)
+  }
+
   test("hot-shingle cap never changes the ngram Jaccard pair set") {
     // cap = 2 sub-buckets every (lang, shingle) posting group with df > 2;
     // cap = MaxValue disables splitting. Identical output — including the
