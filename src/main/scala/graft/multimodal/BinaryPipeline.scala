@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * Image and audio decode are REAL JDK codecs ([[MediaCodecs]]):
   * `javax.imageio` PNG and `javax.sound.sampled` WAV/PCM16 — features come
-  * from actually-decoded pixels and samples, no external jars. Only the
-  * VIDEO face keeps the clearly-marked deterministic STUB ([[FakeDecoder]],
-  * a tiny self-describing header): no video codec ships with the JDK. The
+  * from actually-decoded pixels and samples, no external jars. VIDEO
+  * metadata is a REAL container-header parse ([[Mp4Headers]], ISO BMFF
+  * boxes — a public spec needing no codec): dims from `tkhd`, duration
+  * from `mvhd`, sample payload from `mdat`; only frame-PIXEL decode stays
+  * a clearly-marked stub (no video codec ships with the JDK — the GRFT
+  * header, [[FakeDecoder]], remains the non-MP4 fallback). The
   * surrounding contract — schema, `mapPartitions` batch execution (one
   * decoder instantiation per partition, the same shape a JNI/codec binding
   * needs), partition sizing, and the feature output — is identical across
-  * the three kinds, so swapping the video stub for a real codec changes
+  * the three kinds, so swapping the pixel stub for a real codec changes
   * nothing downstream.
   */
 object BinaryPipeline {
@@ -34,9 +37,10 @@ object BinaryPipeline {
     *   - audio: `frames` = PCM frame count from the WAV header,
     *     `decoded_bytes` = 2*frames (16-bit mono), `content_sum` = Σ of the
     *     decoded signed samples (can be negative);
-    *   - video (stub codec): `width`/`height` from the GRFT header,
-    *     `decoded_bytes` = content length, `content_sum` = 0 — loudly NOT a
-    *     real decode, see [[FakeDecoder]].
+    *   - video: `width`/`height` from the REAL MP4 `tkhd` box (or the GRFT
+    *     stub header for non-MP4 payloads), `decoded_bytes` = mdat/content
+    *     length, `content_sum` = 0 — pixels loudly NOT decoded, see
+    *     [[VideoHeaders]].
     * `n_bytes`/`checksum` are over the raw encoded payload for all kinds.
     */
   case class MediaFeatures(
@@ -209,6 +213,179 @@ object BinaryPipeline {
     FakeDecoder.Magic ++ be32(width) ++ be32(height) ++ content
   }
 
+  /** REAL MP4 (ISO BMFF, ISO/IEC 14496-12) container-header parsing — no
+    * codec required, the box tree is a public spec (r15 verdict task 4).
+    * Dimensions come from the video track's `tkhd` box (16.16 fixed-point
+    * width/height), duration from `mvhd` (duration / timescale), and the
+    * sample payload from the top-level `mdat` box. This upgrades the video
+    * face from "synthetic GRFT header" to "actual MP4 bytes" for the most
+    * common container while keeping the honest no-decode label: frame
+    * PIXELS still need a codec no JDK ships; header fields do not.
+    *
+    * Box layout walked here: each box is size(4, big-endian) + type(4);
+    * size == 1 → a 64-bit largesize follows; size == 0 → box runs to the
+    * end of the enclosing scope. `moov`/`trak` are pure containers, so the
+    * walk recurses; `mvhd`/`tkhd` are FullBoxes (version + flags) whose
+    * v0/v1 field widths differ and are both handled.
+    */
+  object Mp4Headers {
+
+    /** Parsed header facts of one video payload. */
+    case class VideoInfo(width: Int, height: Int, durationMs: Long,
+        contentOffset: Int, contentLength: Int)
+
+    private def be32(p: Array[Byte], off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+    private def be64(p: Array[Byte], off: Int): Long =
+      (be32(p, off) << 32) | be32(p, off + 4)
+
+    private def boxType(p: Array[Byte], off: Int): String =
+      new String(p, off + 4, 4, "US-ASCII")
+
+    /** Iterate the boxes of scope [from, until): (type, bodyOff, bodyLen). */
+    private def boxes(p: Array[Byte], from: Int, until: Int)
+        : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var off = from
+      def hasNext: Boolean = off + 8 <= until
+      def next(): (String, Int, Int) = {
+        val size32 = be32(p, off)
+        val tpe = boxType(p, off)
+        val (hdr, size) =
+          if (size32 == 1L && off + 16 <= until) (16, be64(p, off + 8))
+          else if (size32 == 0L) (8, (until - off).toLong)
+          else (8, size32)
+        require(size >= hdr && off + size <= until,
+          s"malformed MP4 box '$tpe' at $off: size=$size scope=$until")
+        val out = (tpe, off + hdr, (size - hdr).toInt)
+        off += size.toInt
+        out
+      }
+    }
+
+    /** True when the payload leads with an ISO BMFF box signature — the
+      * `ftyp` every actual MP4 file starts with (fallbacks for headerless
+      * fragments: a leading `moov`/`mdat`).
+      */
+    def looksLikeMp4(p: Array[Byte]): Boolean =
+      p.length >= 8 && Set("ftyp", "moov", "mdat").contains(boxType(p, 0))
+
+    /** Parse width/height (tkhd), duration (mvhd) and the mdat extent from
+      * real MP4 bytes. Fails loudly on a malformed tree — same contract as
+      * the image/audio codecs.
+      */
+    def parse(p: Array[Byte]): VideoInfo = {
+      var dims: Option[(Int, Int)] = None
+      var durationMs = 0L
+      var mdat: Option[(Int, Int)] = None
+      for ((tpe, off, len) <- boxes(p, 0, p.length)) tpe match {
+        case "moov" =>
+          for ((t2, o2, l2) <- boxes(p, off, off + len)) t2 match {
+            case "mvhd" =>
+              val v = p(o2) & 0xff
+              val (timescale, duration) =
+                if (v == 1) (be32(p, o2 + 20), be64(p, o2 + 24))
+                else (be32(p, o2 + 12), be32(p, o2 + 16))
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            case "trak" =>
+              for ((t3, o3, _) <- boxes(p, o2, o2 + l2) if t3 == "tkhd") {
+                val v = p(o3) & 0xff
+                // after version/flags(4): v0 times/ids/duration = 20 bytes,
+                // v1 = 32; then reserved(8) layer(2) alt(2) volume(2)
+                // reserved(2) matrix(36) = 52 bytes to the 16.16 width
+                val wOff = o3 + 4 + (if (v == 1) 32 else 20) + 52
+                val (w, h) = ((be32(p, wOff) >> 16).toInt,
+                  (be32(p, wOff + 4) >> 16).toInt)
+                // first track with real dims wins (audio tracks carry 0x0)
+                if (dims.isEmpty || (w > 0 && h > 0 && dims.exists(d => d._1 == 0 || d._2 == 0)))
+                  dims = Some((w, h))
+              }
+            case _ => ()
+          }
+        case "mdat" if mdat.isEmpty => mdat = Some((off, len))
+        case _ => ()
+      }
+      val (w, h) = dims.getOrElse(
+        throw new IllegalArgumentException("MP4 payload carries no tkhd box"))
+      val (mo, ml) = mdat.getOrElse((p.length, 0))
+      VideoInfo(w, h, durationMs, mo, ml)
+    }
+
+    private def w32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    private def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      w32(body.length + 8L) ++ tpe.getBytes("US-ASCII") ++ body
+
+    private val UnityMatrix: Array[Byte] =
+      (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .flatMap(w32)).toArray
+
+    /** Build a VALID minimal MP4: ftyp(isom) + moov(mvhd + trak(tkhd)) +
+      * mdat(content). Every field a parser needs is real (v0 FullBoxes,
+      * unity matrix, 16.16 dims, timescale 1000 so duration is in ms) —
+      * the same fixture-generator trick [[MediaCodecs.encodeWav]] plays
+      * for audio: generate genuine bytes, then parse them back.
+      */
+    def build(width: Int, height: Int, durationMs: Long,
+        content: Array[Byte]): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ w32(0x200L) ++ "isom".getBytes("US-ASCII"))
+      val mvhd = box("mvhd",
+        w32(0L) ++                       // version 0 + flags
+          w32(0L) ++ w32(0L) ++          // creation/modification time
+          w32(1000L) ++                  // timescale: 1000 => duration in ms
+          w32(durationMs) ++             // duration
+          w32(0x00010000L) ++            // rate 1.0
+          Array[Byte](0x01, 0x00) ++     // volume 1.0
+          new Array[Byte](2 + 8) ++      // reserved
+          UnityMatrix ++
+          new Array[Byte](24) ++         // pre_defined
+          w32(2L))                       // next_track_ID
+      val tkhd = box("tkhd",
+        w32(7L) ++                       // version 0, flags: enabled|in-movie|in-preview
+          w32(0L) ++ w32(0L) ++          // creation/modification time
+          w32(1L) ++                     // track_ID
+          w32(0L) ++                     // reserved
+          w32(durationMs) ++             // duration (movie timescale)
+          new Array[Byte](8) ++          // reserved
+          new Array[Byte](2 + 2) ++      // layer, alternate_group
+          new Array[Byte](2 + 2) ++      // volume (0 for video), reserved
+          UnityMatrix ++
+          w32(width.toLong << 16) ++     // 16.16 fixed-point
+          w32(height.toLong << 16))
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd)) ++ box("mdat", content)
+    }
+  }
+
+  /** Container dispatch for the video kind: real MP4 headers when the
+    * payload is ISO BMFF, the GRFT stub otherwise. Returns the uniform
+    * header facts every video consumer needs (dims, duration, content
+    * extent) so downstream stages are container-agnostic.
+    */
+  object VideoHeaders {
+    case class Header(width: Int, height: Int, durationMs: Long,
+        contentOffset: Int, contentLength: Int, container: String)
+
+    def decode(payload: Array[Byte]): Header =
+      if (Mp4Headers.looksLikeMp4(payload)) {
+        val i = Mp4Headers.parse(payload)
+        Header(i.width, i.height, i.durationMs, i.contentOffset,
+          i.contentLength, "mp4")
+      } else {
+        val (w, h) = FakeDecoder.decode(payload)
+        Header(w, h, 0L, 12, payload.length - 12, "grft")
+      }
+
+    /** Header rewrite preserving the container (the stub "rescale"). */
+    def reencode(h: Header, payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      val content = java.util.Arrays.copyOfRange(
+        payload, h.contentOffset, h.contentOffset + h.contentLength)
+      if (h.container == "mp4") Mp4Headers.build(newW, newH, h.durationMs, content)
+      else encodeFake(newW, newH, content)
+    }
+  }
+
   /** Decode + feature-extract over a media Dataset. Image and audio rows go
     * through the REAL JDK codecs ([[MediaCodecs]]); video through the stub.
     *
@@ -239,9 +416,9 @@ object BinaryPipeline {
               frames = frames, decoded_bytes = 2L * frames,
               content_sum = sampleSum, checksum = base._4)
           case _ =>
-            val (w, h) = FakeDecoder.decode(r.payload)
-            MediaFeatures(base._1, base._2, base._3, w, h,
-              frames = 0L, decoded_bytes = (r.payload.length - 12).toLong,
+            val vh = VideoHeaders.decode(r.payload)
+            MediaFeatures(base._1, base._2, base._3, vh.width, vh.height,
+              frames = 0L, decoded_bytes = vh.contentLength.toLong,
               content_sum = 0L, checksum = base._4)
         }
       }
@@ -274,11 +451,14 @@ object BinaryPipeline {
           val out = MediaCodecs.resizeRaster(img, maxDim)
           ResizedMedia(r.media_id, r.kind, MediaCodecs.writePng(out), r.source, w, h)
         } else {
-          val (w, h) = FakeDecoder.decode(r.payload)
-          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          val content = r.payload.drop(12) // stub "rescale": content unchanged
-          ResizedMedia(r.media_id, r.kind, encodeFake(nw, nh, content), r.source, w, h)
+          val vh = VideoHeaders.decode(r.payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(vh.width, vh.height))
+          val (nw, nh) = (math.max(1, (vh.width * scale).toInt),
+            math.max(1, (vh.height * scale).toInt))
+          // stub "rescale": header rewrite in the SAME container, content unchanged
+          ResizedMedia(r.media_id, r.kind,
+            VideoHeaders.reencode(vh, r.payload, nw, nh), r.source,
+            vh.width, vh.height)
         }
       }
     }
@@ -339,14 +519,15 @@ object BinaryPipeline {
               content_sum = sampleSum, checksum = csum,
               new_width = 0, new_height = 0, resized_payload = r.payload)
           case _ =>
-            val (w, h) = FakeDecoder.decode(r.payload)
-            val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-            val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-            MediaPipelineRow(r.media_id, r.kind, nBytes, w, h,
-              frames = 0L, decoded_bytes = (r.payload.length - 12).toLong,
+            val vh = VideoHeaders.decode(r.payload)
+            val scale = math.min(1.0, maxDim.toDouble / math.max(vh.width, vh.height))
+            val (nw, nh) = (math.max(1, (vh.width * scale).toInt),
+              math.max(1, (vh.height * scale).toInt))
+            MediaPipelineRow(r.media_id, r.kind, nBytes, vh.width, vh.height,
+              frames = 0L, decoded_bytes = vh.contentLength.toLong,
               content_sum = 0L, checksum = csum,
               new_width = nw, new_height = nh,
-              resized_payload = encodeFake(nw, nh, r.payload.drop(12)))
+              resized_payload = VideoHeaders.reencode(vh, r.payload, nw, nh))
         }
       }
     }
@@ -366,10 +547,12 @@ object BinaryPipeline {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
       it.flatMap { r =>
-        val content = r.payload.drop(12)
+        val vh = VideoHeaders.decode(r.payload)
+        val content = java.util.Arrays.copyOfRange(r.payload,
+          vh.contentOffset, vh.contentOffset + vh.contentLength)
         content.grouped(frameSize).zipWithIndex.collect {
           case (chunk, i) if i % stride == 0 =>
-            Frame(r.media_id, i, 12L + i.toLong * frameSize, chunk)
+            Frame(r.media_id, i, vh.contentOffset + i.toLong * frameSize, chunk)
         }
       }
     }
@@ -395,9 +578,10 @@ object BinaryPipeline {
     val decoded = media.mapPartitions { it =>
       // per-partition decoder init would go here
       it.map { r =>
-        FakeDecoder.decode(r.payload) // header validation, same as features
+        val vh = VideoHeaders.decode(r.payload) // header validation, same as features
         (r.media_id,
-          new String(r.payload.drop(12), java.nio.charset.StandardCharsets.UTF_8))
+          new String(r.payload, vh.contentOffset, vh.contentLength,
+            java.nio.charset.StandardCharsets.UTF_8))
       }
     }.toDF("media_id", "content")
     val grams = expr(
@@ -425,8 +609,11 @@ object BinaryPipeline {
     *     recompute them without a codec;
     *   - audio (doc_id % 3 == 1): a genuine WAV, (id%800+50) PCM16 frames of
     *     constant sample value (id%2000 − 1000);
-    *   - video (doc_id % 3 == 2): the GRFT stub payload over the document
-    *     text (no JDK video codec), dims (id%640+1) × (id%480+1).
+    *   - video (doc_id % 3 == 2): a genuine MP4 box tree
+    *     ([[Mp4Headers.build]]) over the document text as mdat payload,
+    *     dims (id%640+1) × (id%480+1), duration (id%7200)·500+1000 ms —
+    *     the features face parses REAL tkhd/mvhd boxes (no codec needed;
+    *     frame pixels would need one, and stay honestly undecoded).
     */
   def syntheticRealMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] =
     syntheticRealMedia(spark, dir, None)
@@ -470,8 +657,12 @@ object BinaryPipeline {
               MediaRecord(id, "audio",
                 MediaCodecs.encodeWav(Array.fill((id % 800).toInt + 50)(v)), source)
             case _ =>
+              // REAL MP4 container (ftyp+moov+mdat), dims/duration closed-
+              // form in doc_id, document text as the mdat payload — the
+              // features face then reads ACTUAL tkhd/mvhd boxes
               MediaRecord(id, "video",
-                encodeFake((id % 640).toInt + 1, (id % 480).toInt + 1,
+                Mp4Headers.build((id % 640).toInt + 1, (id % 480).toInt + 1,
+                  durationMs = (id % 7200) * 500 + 1000,
                   text.getBytes("UTF-8")), source)
           }
         }

@@ -29,6 +29,67 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(FakeDecoder.checksum(a) != FakeDecoder.checksum(b))
   }
 
+  test("mp4: build->parse roundtrip reads real tkhd dims, mvhd duration, mdat content") {
+    val content = "mdat payload bytes".getBytes("UTF-8")
+    val mp4 = BinaryPipeline.Mp4Headers.build(1280, 720, durationMs = 5500L, content)
+    assert(new String(mp4, 4, 4, "US-ASCII") == "ftyp", "not a real MP4 lead box")
+    val info = BinaryPipeline.Mp4Headers.parse(mp4)
+    assert(info.width == 1280 && info.height == 720)
+    assert(info.durationMs == 5500L)
+    assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(mp4,
+      info.contentOffset, info.contentOffset + info.contentLength), content))
+  }
+
+  test("mp4: version-1 FullBoxes (64-bit times/duration) parse the same fields") {
+    // hand-splice a v1 mvhd + v1 tkhd tree — the builder emits v0, so the
+    // v1 field-width branch needs its own bytes (ISO/IEC 14496-12 layout)
+    def w32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def w64(v: Long) = w32(v >>> 32) ++ w32(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]) =
+      w32(body.length + 8L) ++ t.getBytes("US-ASCII") ++ body
+    val matrix = Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .flatMap(w32).toArray
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ // version 1
+      w64(0L) ++ w64(0L) ++ w32(90000L) ++ w64(90000L * 3) ++ // 3 s at 90 kHz
+      w32(0x00010000L) ++ Array[Byte](1, 0) ++ new Array[Byte](10) ++
+      matrix ++ new Array[Byte](24) ++ w32(2L))
+    val tkhd = box("tkhd", Array[Byte](1, 0, 0, 7) ++ // version 1
+      w64(0L) ++ w64(0L) ++ w32(1L) ++ w32(0L) ++ w64(270000L) ++
+      new Array[Byte](16) ++ matrix ++ w32(640L << 16) ++ w32(360L << 16))
+    val mp4 = box("moov", mvhd ++ box("trak", tkhd)) ++ box("mdat", "x".getBytes)
+    val info = BinaryPipeline.Mp4Headers.parse(mp4)
+    assert(info.width == 640 && info.height == 360)
+    assert(info.durationMs == 3000L)
+    assert(info.contentLength == 1)
+  }
+
+  test("extractFeatures reads tkhd dims from an MP4 video payload") {
+    // r15 verdict task 4's Done criterion: the features face on actual MP4
+    // bytes, dims from the container's own tkhd box
+    val mp4 = BinaryPipeline.Mp4Headers.build(426, 240, 12000L, "clip-bytes".getBytes)
+    val grft = BinaryPipeline.encodeFake(1920, 1080, "frame".getBytes)
+    val media = Seq(
+      MediaRecord(1L, "video", mp4, "cam"),
+      MediaRecord(2L, "video", grft, "legacy")).toDS()
+    val feats = BinaryPipeline.extractFeatures(media, targetPartitions = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 426 && feats(1L).height == 240)
+    assert(feats(1L).decoded_bytes == "clip-bytes".getBytes.length.toLong)
+    // the GRFT fallback keeps working beside it
+    assert(feats(2L).width == 1920 && feats(2L).height == 1080)
+  }
+
+  test("mp4 resize: header rewrite stays MP4, preserves mdat bytes and duration") {
+    val mp4 = BinaryPipeline.Mp4Headers.build(1920, 1080, 7000L, "vid".getBytes)
+    val media = Seq(MediaRecord(4L, "video", mp4, "s")).toDS()
+    val resized = BinaryPipeline.resizeMedia(media, maxDim = 128).collect().head
+    val info = BinaryPipeline.Mp4Headers.parse(resized.payload)
+    assert((info.width, info.height) == ((128, 72)))
+    assert(info.durationMs == 7000L)
+    assert(new String(resized.payload, info.contentOffset, info.contentLength) == "vid")
+    assert((resized.orig_width, resized.orig_height) == ((1920, 1080)))
+  }
+
   test("image decode reads actual pixels (non-solid PNG, hand-pinned sums)") {
     // 2x2 PNG with four distinct pixels proves the decode reads the raster,
     // not a header: sum = (255+0+0)+(0+255+0)+(0+0+255)+(10+20+30) = 825
