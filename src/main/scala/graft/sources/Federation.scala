@@ -71,6 +71,7 @@ object Federation {
       Tables.orders(s, d)
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"))
+        .coalesce(1) // single-writer: see ordersFactUrl's measured rationale
         .write.option("batchsize", "10000")
         .jdbc(url, DimTable, new java.util.Properties())
       url
@@ -167,8 +168,18 @@ object Federation {
     evictStopped()
     stagedFact.getOrElseUpdate((s, d), graft.BenchPhases.timed("staging") {
       val url = s"jdbc:derby:memory:graft_fedfact_${dbSeq.incrementAndGet()};create=true"
+      // SINGLE writer connection, measured (tools/ProfJdbcStage, r16): the
+      // source-partitioned write (32 concurrent embedded-Derby connections)
+      // loads the 100× fact at 63k rows/s (236 s) — the lock manager
+      // serializes same-table inserts and each waiter pays contention on
+      // top; coalesce(1) loads the SAME rows at 327k rows/s (46 s, 5.2×).
+      // 8 connections sat in between (81k rows/s at a 1.5M-row probe). A
+      // network Postgres flips this (per-connection wire latency dominates,
+      // parallel COPY wins) — the knob is the write-side partitioning, and
+      // for the embedded stand-in the measured best is one.
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .coalesce(1)
         .write.option("batchsize", "10000")
         .jdbc(url, FactTable, new java.util.Properties())
       url
