@@ -96,6 +96,20 @@ object Bench {
     // session (clean-session attribution of queries that are slow only in
     // full runs; not used by the driver)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_FORK_FACES=q_a,q_b — run these faces in DEDICATED child
+    // JVMs (serially, after the in-process loop) instead of this session.
+    // Why (r15 verdict task 1): the known session-damage-prone faces (the
+    // co_order family, q_pagerank) measured 3× their dedicated-JVM time
+    // inside a 194-face record for three rounds running — block-manager /
+    // page-cache damage the per-query cleanup cannot fully undo — so their
+    // in-record numbers needed prose adjudication against separate probes.
+    // A forked child runs ONE face in a fresh JVM with this process's
+    // exact JVM args and classpath, reports through a properties file, and
+    // the parent merges the numbers into the single artifact, stamped in
+    // `dedicated_jvm`. The record then carries trustworthy numbers itself.
+    val forkFaces: Set[String] = sys.env.get("SPARK_GRAFT_FORK_FACES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val budget = math.min(perQueryTimeout, math.max(remainingSec, 0L))
@@ -167,7 +181,7 @@ object Bench {
       (secs, err)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !forkFaces(n) }
       .map { case (name, fn) =>
         val (secs, err) = runOne(name, fn)
         System.err.println(f"[bench] $name%-30s ${secs}%8.2fs ${err.getOrElse("ok")}")
@@ -224,12 +238,39 @@ object Bench {
     // first run, is silently absent from `retried` — without this diff an
     // operator can believe a steady number was recorded when it was not
     // (r14 ADVICE)
-    val notRetried = rerun -- retried.map(_._1).toSet
+    val notRetried = rerun -- retried.map(_._1).toSet -- forkFaces
     if (notRetried.nonEmpty) System.err.println(
       s"[bench] WARNING: SPARK_GRAFT_RERUN faces NOT retried (unknown name, " +
         s"filtered out, or errored on first run): ${notRetried.toSeq.sorted.mkString(",")}")
     pool.shutdownNow()
-    val retryBySecond = retried.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap
+
+    // ---- dedicated-JVM faces (serial, full machine each; see forkFaces) ----
+    val forked: Seq[Forked] = forkFaces.toSeq.sorted
+      .filter { f =>
+        val known = SparkEntry.queries.contains(f) && only.forall(_.contains(f))
+        if (!SparkEntry.queries.contains(f)) System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_FORK_FACES name unknown, skipped: $f")
+        known
+      }
+      .map { face =>
+        if (remainingSec <= 0)
+          Forked(face, 0.0, Some("skipped: global budget exhausted"), None, None)
+        else runForkedFace(face, rerun(face), perQueryTimeout, remainingSec)
+      }
+    forked.foreach { f =>
+      System.err.println(f"[bench] FORKED ${f.name}%-30s ${f.cold}%8.2fs " +
+        f"${f.err.getOrElse("ok")}${f.second.map(s => f" second=${s._1}%.2fs").getOrElse("")}")
+    }
+
+    // merge the dedicated-JVM outcomes with the in-process loop's: ONE
+    // artifact carries every face, the forked ones listed in dedicated_jvm
+    val allCold: Seq[(String, Double, Option[String])] =
+      (results.map { case (k, v, e, _) => (k, v, e) } ++
+        forked.map(f => (f.name, f.cold, f.err))).sortBy(_._1)
+    val retriedAll: Seq[(String, Double, Double, Option[String])] =
+      retried.map { case (n, f0, s2, e2) => (n, f0, s2, e2) } ++
+        forked.collect { case Forked(n, c, _, Some((s2, e2)), _) => (n, c, s2, e2) }
+    val retryBySecond = retriedAll.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap
     // The acceptance WINDOW can sit above the contract ceiling (the 100×
     // replica runs accept 420 s where the sf0.1 contract is 30 s). r12
     // verdict task 6: the two thresholds must not share a flag field —
@@ -251,12 +292,12 @@ object Bench {
       .getOrElse(ceiling)
 
     def jstr(s: String) = Bench.jsonString(s)
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+    val qs = allCold.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = allCold.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val over = results.collect {
-      case (k, v, None, _) if v > ceiling &&
+    val total = allCold.map(_._2).sum
+    val over = allCold.collect {
+      case (k, v, None) if v > ceiling &&
           retryBySecond.get(k).forall { case (s2, e2) => s2 > ceiling || e2.nonEmpty } =>
         (k, math.min(v, retryBySecond.get(k).map(_._1).getOrElse(v)))
     }
@@ -267,7 +308,7 @@ object Bench {
       System.err.println(f"[bench] over contract $k ${v}%.1fs > ${ceiling}%.0fs ceiling (inside ${windowSec}%.0fs window)") }
     val overJson = windowOver.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val contractJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val retriesJson = retried.map { case (n, first, s2, _) =>
+    val retriesJson = retriedAll.map { case (n, first, s2, _) =>
       jstr(n) + ":[" + first + "," + s2 + "]" }.mkString("{", ",", "}")
     // steady-state number per RETRIED query: the min of its runs. The cold
     // number in `queries` stays the first observation, but co-tenant page-
@@ -275,7 +316,7 @@ object Bench {
     // their own re-probes (r11 verdict task 3) — recording min-of-runs in
     // the SAME artifact makes the committed record self-correcting: readers
     // cite a field, not prose about a separate clean-JVM session.
-    val steadyJson = retried.map { case (n, first, s2, e2) =>
+    val steadyJson = retriedAll.map { case (n, first, s2, e2) =>
       jstr(n) + ":" + (if (e2.isEmpty) math.min(first, s2) else first)
     }.mkString("{", ",", "}")
     // per-phase attribution for instrumented queries (streaming faces):
@@ -285,22 +326,49 @@ object Bench {
     // vs Spark's per-batch durations — instead of leaving driver-window
     // inflation to speculation (r10 verdict task 1)
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
-    val phasesJson = results.flatMap { case (k, _, _, _) =>
+    val phasesJson = (results.flatMap { case (k, _, _, _) =>
       BenchPhases.snapshot(k).map { ph =>
         jstr(k) + ":" + ph.toSeq.sortBy(_._1)
           .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}")
       }
-    }.mkString("{", ",", "}")
+    } ++ forked.flatMap(f => f.phasesRaw.map(raw => jstr(f.name) + ":" + raw)))
+      .mkString("{", ",", "}")
     val storeJson = stateStore.map(jstr).getOrElse("null")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"rerun_staging":"cold-reset","sf":"$sfDir"}"""
+    val dedicatedJson = forked.map(f => jstr(f.name)).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"rerun_staging":"cold-reset","dedicated_jvm":$dedicatedJson,"sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries
     // (ADVICE r7) — also land the full line on disk so every bench run
-    // leaves a self-sufficient artifact regardless of how stdout is captured
+    // leaves a self-sufficient artifact regardless of how stdout is captured.
+    // SPARK_GRAFT_ARTIFACT overrides the path (a forked child must not
+    // clobber its parent's artifact).
+    val artifactPath = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_last.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+      java.nio.file.Paths.get(artifactPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
+    // forked-child contract: land this face's numbers in a properties file
+    // the parent can read without a JSON parser (messages may carry any
+    // characters; Properties escaping is the JDK's problem, not a regex)
+    sys.env.get("SPARK_GRAFT_FORK_OUT").foreach { path =>
+      val props = new java.util.Properties()
+      allCold.headOption.foreach { case (name, cold, err) =>
+        props.setProperty("name", name)
+        props.setProperty("cold", cold.toString)
+        err.foreach(e => props.setProperty("error", e))
+        retryBySecond.get(name).foreach { case (s2, e2) =>
+          props.setProperty("second", s2.toString)
+          e2.foreach(e => props.setProperty("second_error", e))
+        }
+        BenchPhases.snapshot(name).foreach { ph =>
+          props.setProperty("phases", ph.toSeq.sortBy(_._1)
+            .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}"))
+        }
+      }
+      val out = new java.io.FileOutputStream(path)
+      try props.store(out, "graft.Bench forked-face result")
+      finally out.close()
+    }
     // compact SECOND line (see compactLine) — printed LAST so any stdout
     // tail window ends with a complete, parseable JSON line.
     // slowest-3 ranks by each face's BEST observation (min of first run and
@@ -308,18 +376,96 @@ object Bench {
     // retried face whose first run was noise-inflated would otherwise be
     // reported slowest with no hint that a lower steady number exists in
     // the full artifact's `steady` map.
-    val bestOf = results.map { case (k, v, _, _) =>
+    val bestOf = allCold.map { case (k, v, _) =>
       val eff = retryBySecond.get(k) match {
         case Some((s2, e2)) if e2.isEmpty => math.min(v, s2)
         case _ => v
       }
       (k, eff)
     }
-    println(compactLine(results.size, total, results.count(_._3.nonEmpty),
+    println(compactLine(allCold.size, total, allCold.count(_._3.nonEmpty),
       windowOver.size, over.size,
       bestOf.sortBy(-_._2).take(3),
       sfDir))
     spark.stop()
+  }
+
+  /** Outcome of one dedicated-JVM face: cold seconds, error, optional
+    * second run (when the face was on the rerun list or breached the
+    * ceiling inside the child), and the child's phase map as a raw JSON
+    * object string.
+    */
+  private[graft] final case class Forked(name: String, cold: Double,
+      err: Option[String], second: Option[(Double, Option[String])],
+      phasesRaw: Option[String])
+
+  /** Run ONE face in a dedicated child JVM: same java binary, same JVM
+    * args (add-opens, heap, -D props — read from this process's
+    * RuntimeMXBean), same classpath; `SPARK_GRAFT_ONLY` narrows the child
+    * to the face, `SPARK_GRAFT_FORK_OUT` is the properties file it reports
+    * through, and `SPARK_GRAFT_FORK_FACES` is removed so a child never
+    * forks again. The child's own timer semantics apply unchanged — warmup
+    * outside the timed window, cold-reset rerun when requested — so the
+    * number that comes back is exactly the dedicated-probe number the
+    * adjudications of r13–r15 produced by hand.
+    */
+  private def runForkedFace(face: String, rerunFace: Boolean,
+      perQueryTimeout: Long, remainingSec: Long): Forked = {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempFile(s"bench_fork_$face", ".properties")
+    val art = java.nio.file.Files.createTempFile(s"bench_fork_$face", ".json")
+    java.nio.file.Files.deleteIfExists(out)
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_ONLY", face)
+    env.put("SPARK_GRAFT_FORK_OUT", out.toString)
+    env.put("SPARK_GRAFT_ARTIFACT", art.toString)
+    env.remove("SPARK_GRAFT_FORK_FACES")
+    if (rerunFace) env.put("SPARK_GRAFT_RERUN", face)
+    else env.remove("SPARK_GRAFT_RERUN")
+    // wall budget: the face's query windows (×2 when rerunning) plus JVM
+    // start, session build, warmup and any staging — all outside the
+    // child's per-query timer but inside this wall clock
+    val wallSec = math.min(remainingSec,
+      perQueryTimeout * (if (rerunFace) 2 else 1) + 420)
+    env.put("SPARK_GRAFT_BENCH_BUDGET_SEC", wallSec.toString)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    System.err.println(s"[bench] forking dedicated JVM for $face (wall ${wallSec}s)")
+    try {
+      val p = pb.start()
+      val done = p.waitFor(wallSec, TimeUnit.SECONDS)
+      if (!done) {
+        p.destroyForcibly()
+        return Forked(face, wallSec.toDouble,
+          Some(s"fork wall-clock timeout after ${wallSec}s"), None, None)
+      }
+      if (!java.nio.file.Files.exists(out))
+        return Forked(face, 0.0,
+          Some(s"fork produced no result (exit=${p.exitValue()})"), None, None)
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(out.toFile)
+      try props.load(in) finally in.close()
+      val cold = Option(props.getProperty("cold")).map(_.toDouble).getOrElse(
+        return Forked(face, 0.0, Some("fork result missing cold time"), None, None))
+      Forked(face, cold,
+        Option(props.getProperty("error")),
+        Option(props.getProperty("second")).map(s =>
+          (s.toDouble, Option(props.getProperty("second_error")))),
+        Option(props.getProperty("phases")))
+    } catch {
+      case e: Throwable =>
+        Forked(face, 0.0, Some(s"fork failed: $e".take(300)), None, None)
+    } finally {
+      java.nio.file.Files.deleteIfExists(out)
+      java.nio.file.Files.deleteIfExists(art)
+    }
   }
 
   /** The driver-facing compact summary line, kept well under ~500 chars:
