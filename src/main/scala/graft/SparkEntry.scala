@@ -980,6 +980,13 @@ object SparkEntry {
           sum(col("new_height").cast("long")).as("sum_new_height"))
     }),
 
+    // REAL MP4 container-header parse, oracle-checked (r15 verdict task 4):
+    // the video payloads are genuine ISO BMFF box trees, duration/dims/
+    // content closed-form in doc_id, so DuckDB replays the mvhd/mdat
+    // aggregates from documents without a parser
+    "q_media_duration" -> ((s, d) =>
+      graft.multimodal.BinaryPipeline.videoHeaderStats(s, d)),
+
     // perceptual-hash near-dup over decoded media content: SimHash on
     // character 4-grams of the decoded payload, banded like text simhash.
     // The stub decode makes content = the synthetic text, so the oracle
@@ -3652,6 +3659,17 @@ object SparkEntry {
         |  CAST(sum(nw) AS BIGINT) AS sum_new_width,
         |  CAST(sum(nh) AS BIGINT) AS sum_new_height
         |FROM z GROUP BY kind""".stripMargin,
+
+    // mvhd duration = (id%7200)*500+1000 ms, mdat content = the document
+    // text (see BinaryPipeline.syntheticRealMedia) — the Scala side parses
+    // real MP4 boxes, the oracle replays the closed forms
+    "q_media_duration" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum((doc_id % 7200) * 500 + 1000) AS BIGINT) AS sum_duration_ms,
+        |  CAST(min((doc_id % 7200) * 500 + 1000) AS BIGINT) AS min_duration_ms,
+        |  CAST(max((doc_id % 7200) * 500 + 1000) AS BIGINT) AS max_duration_ms,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_content_bytes
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     // both arriving copies of a %6 key are the SAME source row, so the
     // settled target is key-deterministic: exactly the distinct union

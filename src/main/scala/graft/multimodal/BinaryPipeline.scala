@@ -669,6 +669,32 @@ object BinaryPipeline {
       }
   }
 
+  /** Driver face over the REAL parsed MP4 headers (r16): per-corpus rollup
+    * of `mvhd` durations and `mdat` extents from the synthetic video
+    * table's actual box trees. Exists so the container parse is ORACLE-
+    * checked, not just spec-pinned: duration is closed-form in doc_id
+    * ((id%7200)·500+1000 ms, see [[syntheticRealMedia]]) and content is
+    * the document text, so DuckDB recomputes every aggregate from
+    * `documents` without touching a byte of MP4. Source scan is
+    * kind-pruned (video = ⅓ of ids, all cheap header builds).
+    */
+  def videoHeaderStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    syntheticRealMedia(s, d, Some("video"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val vh = VideoHeaders.decode(r.payload)
+          (r.media_id, vh.durationMs, vh.contentLength.toLong)
+        }
+      }
+      .toDF("media_id", "duration_ms", "content_bytes")
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration_ms")).as("sum_duration_ms"),
+        min(col("duration_ms")).as("min_duration_ms"),
+        max(col("duration_ms")).as("max_duration_ms"),
+        sum(col("content_bytes")).as("sum_content_bytes"))
+  }
+
   /** Synthesize an all-GRFT media table from `documents` text bytes — the
     * fixture for the perceptual near-dup face, whose "decoded content" must
     * be the document text so DuckDB can recompute identical fingerprints.
