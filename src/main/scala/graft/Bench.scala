@@ -245,6 +245,17 @@ object Bench {
     pool.shutdownNow()
 
     // ---- dedicated-JVM faces (serial, full machine each; see forkFaces) ----
+    // Release the parent's session FIRST: nothing after the in-process loop
+    // needs Spark, and a 3000-s record session holds a ~32 GB heap plus the
+    // page-cache working set the children would otherwise compete with
+    // (measured: forked q_co_order_heavy_recall read 103 s beside the live
+    // parent vs 57–74 s truly standalone). spark.stop() + an explicit GC
+    // lets G1 uncommit before the first child starts; stop() is idempotent
+    // so the no-fork path's closing stop is unaffected.
+    if (forkFaces.nonEmpty) {
+      spark.stop()
+      System.gc()
+    }
     val forked: Seq[Forked] = forkFaces.toSeq.sorted
       .filter { f =>
         val known = SparkEntry.queries.contains(f) && only.forall(_.contains(f))
