@@ -40,6 +40,18 @@ class BinaryPipelineSpec extends SparkSpecBase {
       info.contentOffset, info.contentOffset + info.contentLength), content))
   }
 
+  test("mp4: roundtrip holds across a dims/duration edge grid, empty mdat included") {
+    for (w <- Seq(1, 639, 640, 1920, 4096);
+         h <- Seq(1, 480, 2160);
+         dur <- Seq(0L, 1L, 999L, 86400000L)) {
+      val mp4 = BinaryPipeline.Mp4Headers.build(w, h, dur, Array.empty[Byte])
+      val i = BinaryPipeline.Mp4Headers.parse(mp4)
+      assert((i.width, i.height, i.durationMs) == ((w, h, dur)),
+        s"roundtrip drift at w=$w h=$h dur=$dur")
+      assert(i.contentLength == 0)
+    }
+  }
+
   test("mp4: version-1 FullBoxes (64-bit times/duration) parse the same fields") {
     // hand-splice a v1 mvhd + v1 tkhd tree — the builder emits v0, so the
     // v1 field-width branch needs its own bytes (ISO/IEC 14496-12 layout)
