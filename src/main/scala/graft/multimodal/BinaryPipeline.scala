@@ -248,7 +248,14 @@ object BinaryPipeline {
     private def boxes(p: Array[Byte], from: Int, until: Int)
         : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
       private var off = from
-      def hasNext: Boolean = off + 8 <= until
+      def hasNext: Boolean = {
+        // a scope must end exactly on a box boundary: 1–7 trailing bytes
+        // are a truncated/corrupt tree, and silently ignoring them would
+        // contradict the fails-loudly contract (r16 ADVICE)
+        require(off + 8 <= until || off == until,
+          s"malformed MP4 scope: ${until - off} trailing bytes at $off")
+        off + 8 <= until
+      }
       def next(): (String, Int, Int) = {
         val size32 = be32(p, off)
         val tpe = boxType(p, off)
@@ -329,6 +336,13 @@ object BinaryPipeline {
       */
     def build(width: Int, height: Int, durationMs: Long,
         content: Array[Byte]): Array[Byte] = {
+      // v0 boxes carry 32-bit durations; silently truncating a 64-bit value
+      // (which parse() accepts from v1 trees) would corrupt a reencode
+      // rather than failing loudly (r16 ADVICE). ~49 days at timescale 1000
+      // — a builder for longer media emits v1 mvhd/tkhd instead.
+      require(durationMs >= 0 && durationMs <= 0xffffffffL,
+        s"durationMs $durationMs exceeds the v0 32-bit box field; " +
+          "emit version-1 mvhd/tkhd for durations past 2^32-1 ms")
       val ftyp = box("ftyp",
         "isom".getBytes("US-ASCII") ++ w32(0x200L) ++ "isom".getBytes("US-ASCII"))
       val mvhd = box("mvhd",

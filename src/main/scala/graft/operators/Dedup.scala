@@ -703,6 +703,7 @@ object Dedup {
         s"pipeline=$pipeline — refuse enumeration; remedies: consume " +
         s"simhashPairStats/dedupClusters (bounded faces), raise " +
         s"$PairRowsConfKey, or collapse exact dups first")
+    with graft.DesignedRefusal
 
   /** SimHash fingerprint (60-bit, md5-derived token hashes, emitted as a
     * bit-string so the oracle avoids 64-bit shift overflow). Majority vote per

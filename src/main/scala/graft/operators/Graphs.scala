@@ -541,6 +541,7 @@ object Graphs {
         s"path=$path — refuse the $path wedge shuffle; remedies: raise " +
         s"invPLog2 (approx face does automatically), add executors/disks, " +
         s"or override $ScratchConfKey")
+    with graft.DesignedRefusal
 
   /** Free scratch for shuffle/spill on this host: the conf override when
     * set (malformed → warn + probe), else the summed usable space of the

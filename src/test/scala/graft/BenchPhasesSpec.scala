@@ -81,8 +81,8 @@ class BenchPhasesSpec extends AnyFunSuite {
       ("q_semantic_contamination_sweep", 123.456789),
       ("q_co_order_heavy_recall", 99.9999),
       ("q_stream_semantic_contam", 88.8))
-    val line = Bench.compactLine(194, 3152.8315, 1, 0, 20, slowest,
-      "/tmp/sf100x")
+    val line = Bench.compactLine(194, 3152.8315, 3018.2, 1, 1, 0, 20, slowest,
+      "/root/repo/BENCH_100x_full_r17.json", "/tmp/sf100x")
     assert(line.length < 500, s"compact line ${line.length} chars — too long " +
       "for the driver's 2000-char tail to be safe alongside log residue")
     assert(!line.contains("\n"), "must be ONE line")
@@ -91,11 +91,39 @@ class BenchPhasesSpec extends AnyFunSuite {
     assert(tree.get("metric").asText() === "total")
     assert(tree.get("n").asInt() === 194)
     assert(tree.get("n_over_contract").asInt() === 20)
+    // r16 task 2: the steady total is IN the compact line, so the
+    // round-over-round delta is adjudicable from the driver's parse alone
+    assert(tree.get("steady_total").asDouble() === 3018.2)
+    assert(tree.get("n_refused").asInt() === 1)
     assert(tree.get("slowest").get("q_co_order_heavy_recall").asDouble() === 100.0)
     assert(tree.get("sf").asText() === "/tmp/sf100x")
+    // r16 ADVICE: the pointer reflects the RESOLVED artifact path, not a
+    // hardcoded name the SPARK_GRAFT_ARTIFACT override would falsify
+    assert(tree.get("full_artifact").asText() === "/root/repo/BENCH_100x_full_r17.json")
     // more than three slowest entries offered -> truncated to three
-    val line5 = Bench.compactLine(5, 1.0, 0, 0, 0,
-      (1 to 5).map(i => (s"q_$i", i.toDouble)), "/tmp/x")
+    val line5 = Bench.compactLine(5, 1.0, 1.0, 0, 0, 0, 0,
+      (1 to 5).map(i => (s"q_$i", i.toDouble)), "bench_last.json", "/tmp/x")
     assert(mapper.readTree(line5).get("slowest").size() === 3)
+  }
+
+  test("designed refusals are classified by the DesignedRefusal trait, not by string") {
+    // r16 verdict task 3 contract: a gate refusal routes to `refused`, a
+    // thrown non-gate exception still lands in `errors` — the classifier is
+    // the marker trait on the cause chain
+    val gate = graft.operators.Dedup.PairVolumeBudgetExceeded(
+      18556930000L, 2000000000L, 240330L, 3638L, "simhashPairs")
+    assert(Bench.isRefusal(gate))
+    assert(Bench.isRefusal(new RuntimeException("wrapped", gate)),
+      "refusal must be found through a wrapping cause chain")
+    assert(Bench.isRefusal(graft.operators.Graphs.WedgeSpillBudgetExceeded(
+      1L, 2L, 3L, 4L, "plain-shuffle")))
+    assert(!Bench.isRefusal(new RuntimeException(
+      "pair volume budget: looks like a refusal but is not one")),
+      "classification must not be string-based")
+    // cyclic cause chains terminate
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b", a)
+    a.initCause(b)
+    assert(!Bench.isRefusal(a))
   }
 }
