@@ -898,6 +898,11 @@ object SparkEntry {
     // DOULION edge-sampled estimate (p = 1/4, md5-deterministic so the
     // oracle reproduces the same sampled subgraph and the same integer)
     "q_triangle_approx" -> ((s, d) => Graphs.triangleCountApprox(s, d)),
+    // the triangle family's REGIME GATE (r16 verdict task 1): measure the
+    // exact wedge volume, choose exact vs DOULION at the smallest
+    // admissible rate; the oracle replays the measured volume, the integer
+    // chooser ladder, and the chosen branch's count
+    "q_triangle_auto" -> ((s, d) => Graphs.triangleCountAuto(s, d)),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
     "q_co_order_topk" -> ((s, d) => Graphs.coOrderTopK(s, d)),
     // the exact face's scale lever (r13 verdict task 3): sampled candidate
@@ -1370,6 +1375,21 @@ object SparkEntry {
     }.mkString(" ")
     s"(CASE WHEN $maxCol < ${graft.operators.Graphs.RegimeDetectMin} " +
       s"THEN CAST(1 AS BIGINT) $ladder ELSE CAST(2 AS BIGINT) END)"
+  }
+
+  /** The triangle regime chooser as SQL — generated from the SAME constants
+    * as Graphs.chooseTriangleIp (0 = exact within the wedge budget, else
+    * the smallest DOULION exponent whose 4^ip brings the sampled volume
+    * under it). Products are precomputed literals, so the ladder is
+    * integer-exact in both engines. `wedgesCol` is BIGINT.
+    */
+  private def sqlTriangleIp(wedgesCol: String): String = {
+    val t = graft.operators.Graphs.DefaultMaxExactWedges
+    val ladder = graft.operators.Graphs.AutoIpLadder.dropRight(1).map { ip =>
+      s"WHEN $wedgesCol <= ${t * (1L << (2 * ip))} THEN $ip"
+    }.mkString(" ")
+    s"(CASE WHEN $wedgesCol <= $t THEN 0 $ladder " +
+      s"ELSE ${graft.operators.Graphs.AutoIpLadder.last} END)"
   }
 
   /** doc_id, lang, sset (distinct word 3-shingles) — mirror of Dedup.shingles3. */
@@ -3460,6 +3480,47 @@ object SparkEntry {
         |  CAST(n_sampled AS BIGINT) AS n_sampled,
         |  (n_sampled >= 25) AS sample_ok
         |FROM t""".stripMargin,
+
+    // the triangle regime gate replayed end-to-end: the SAME wedge volume
+    // (degree-oriented DAG, Σ od(od-1)//2 — integer exact), the SAME CASE
+    // ladder ([[Graphs.chooseTriangleIp]]), and the chosen branch's count
+    // (exact triple join, or the md5-deterministic DOULION sample at the
+    // chosen 1/p with its quality fields)
+    "q_triangle_auto" ->
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |          FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk),
+         |deg AS (SELECT node, count(*) AS dg
+         |        FROM (SELECT u AS node FROM edges
+         |              UNION ALL SELECT v AS node FROM edges)
+         |        GROUP BY 1),
+         |ori AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+         |                 THEN e.u ELSE e.v END AS s
+         |        FROM edges e
+         |        JOIN deg du ON du.node = e.u
+         |        JOIN deg dv ON dv.node = e.v),
+         |w AS (SELECT CAST(coalesce(sum(od * (od - 1)), 0) // 2 AS BIGINT) AS n_wedges
+         |      FROM (SELECT count(*) AS od FROM ori GROUP BY s)),
+         |decision AS (SELECT n_wedges, ${sqlTriangleIp("n_wedges")} AS ip FROM w),
+         |ex AS (SELECT count(*) AS c FROM edges e1
+         |       JOIN edges e2 ON e2.u = e1.v
+         |       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sampled AS (SELECT u, v FROM edges
+         |  WHERE CAST(concat('0x', substring(md5('tri:' || CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    < (CAST(1 AS BIGINT) << (60 - (SELECT ip FROM decision)))),
+         |sc AS (SELECT count(*) AS c FROM sampled e1
+         |       JOIN sampled e2 ON e2.u = e1.v
+         |       JOIN sampled e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT d.n_wedges, 'exact' AS regime, CAST(0 AS BIGINT) AS inv_p_log2,
+         |  CAST(ex.c AS BIGINT) AS n_triangles, CAST(ex.c AS BIGINT) AS n_sampled,
+         |  TRUE AS sample_ok
+         |FROM decision d, ex WHERE d.ip = 0
+         |UNION ALL
+         |SELECT d.n_wedges, 'sampled' AS regime, CAST(d.ip AS BIGINT) AS inv_p_log2,
+         |  CAST(sc.c * (CAST(1 AS BIGINT) << (3 * d.ip)) AS BIGINT) AS n_triangles,
+         |  CAST(sc.c AS BIGINT) AS n_sampled,
+         |  (sc.c >= ${Graphs.ApproxMinSampled}) AS sample_ok
+         |FROM decision d, sc WHERE d.ip > 0""".stripMargin,
 
     // heaviest co-order pairs with support; (n DESC, u, v) tiebreak makes
     // the LIMIT deterministic

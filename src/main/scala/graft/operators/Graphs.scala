@@ -100,7 +100,8 @@ object Graphs {
     * count) matches bit-for-bit.
     */
   def triangleCount(s: SparkSession, d: String): DataFrame =
-    triangleCountEdges(coOrderEdges(s, d), broadcastMaxEdgesFor(s))
+    triangleCountEdges(coOrderEdges(s, d), broadcastMaxEdgesFor(s),
+      maxWedges = maxExactWedgesFor(s))
 
   /** The edge-iterator admission cap, deployment-sized: the broadcast path
     * holds the whole oriented adjacency (m longs + array overhead) in every
@@ -117,6 +118,68 @@ object Graphs {
   def broadcastMaxEdgesFor(s: SparkSession): Long =
     s.conf.getOption("spark.graft.triangle.broadcastMaxEdges")
       .map(_.toLong).getOrElse(BroadcastRowCap)
+
+  // ---- exact-wedge admission + regime gate (r16 verdict task 1) ----------
+  //
+  // The exact count's work is EXACTLY the wedge volume (2·wedges hash probes
+  // through the edge-iterator, or a wedges-row shuffle): at the 100× replica
+  // (268.3 B wedges) the exact face paid 262.5 s — 12.5% of the whole record
+  // — while DOULION at p=1/4 landed 61.8 s on the same graph. Same move as
+  // the simhash pair-volume gate and the heavy-pair regime gate: the sizing
+  // aggregate (Σ C(outdeg,2), an n-row job over the oriented DAG) is cheap,
+  // so the DECISION runs in code, not in a scaladoc telling deployments to
+  // check. Two consumers:
+  //  - [[triangleCount]] (the exact face) REFUSES past the budget — a
+  //    [[DesignedRefusal]] carrying the exact sizing, never a timeout;
+  //  - [[triangleCountAuto]] picks exact vs DOULION-sampled, choosing the
+  //    smallest 1/p that brings the SAMPLED wedge volume (wedges·p², both
+  //    edges of a wedge must survive) under the budget, and ships the
+  //    estimate with its n_sampled/sample_ok quality fields.
+
+  /** Wedge-volume budget for an EXACT triangle count. Default sized from
+    * the measured bench host rate (~1.0–1.3 B wedge probes/s through the
+    * codegen'd sorted-intersect edge-iterator — BENCH_BUDGET.md r17 row):
+    * 2×10^10 wedges ≈ 15–20 s of intersect work, comfortably inside the
+    * 30 s face contract with edge-build headroom; the 100× co-order graph
+    * (268.3 B) refuses at ~13× over. Deployments size it to their
+    * cluster's aggregate probe rate × acceptable latency.
+    */
+  val MaxExactWedgesConfKey = "spark.graft.triangle.maxExactWedges"
+  val DefaultMaxExactWedges: Long = 20000000000L
+
+  def maxExactWedgesFor(s: SparkSession): Long =
+    s.conf.getOption(MaxExactWedgesConfKey)
+      .map(_.toLong).getOrElse(DefaultMaxExactWedges)
+
+  /** Designed refusal of an exact count whose measured wedge volume exceeds
+    * the budget. Message front-loads the sizing (Bench truncates at 300
+    * chars) and names both remedies.
+    */
+  final case class TriangleWedgeBudgetExceeded(
+      nWedges: Long, maxWedges: Long, nEdges: Long)
+    extends RuntimeException(
+      s"triangle wedge budget: wedges=$nWedges budget=$maxWedges m=$nEdges " +
+        s"— refuse the exact count; remedies: triangleCountAuto (regime-" +
+        s"gated DOULION estimate), or raise $MaxExactWedgesConfKey")
+    with graft.DesignedRefusal
+
+  /** DOULION sampling exponents the auto face picks from: the chooser takes
+    * the SMALLEST ip ≥ 2 with wedges·4^-ip ≤ budget (each raise quarters
+    * the sampled wedge volume); past ip=8 the estimate is all variance on
+    * any graph whose exact count was worth asking for, so the ladder caps
+    * there — and the CASE ladder stays integer-exact in both engines
+    * (wedges ≤ budget·4^ip, products ≤ 2e10·65536 ≈ 1.3e15 < 2^63).
+    */
+  val AutoIpLadder: Seq[Int] = (2 to 8).toSeq
+
+  /** The regime chooser: 0 = exact, else the smallest admissible DOULION
+    * exponent. Pure integer comparisons — replicated verbatim as the
+    * oracle's CASE ladder ([[graft.SparkEntry]] q_triangle_auto).
+    */
+  def chooseTriangleIp(wedges: Long, maxExact: Long): Int =
+    if (wedges <= maxExact) 0
+    else AutoIpLadder.find(ip => wedges <= maxExact * (1L << (2 * ip)))
+      .getOrElse(AutoIpLadder.last)
 
   /** "Frequently bought together": the k heaviest co-order part pairs with
     * their support counts. The pair aggregation is the weighted form of
@@ -633,9 +696,43 @@ object Graphs {
     *  - big but sparse (wedges ~ m): plain shuffle joins; the sketch would
     *    prune nothing worth its build pass.
     */
+  /** Degree-orient a canonical edge list: every edge points from its
+    * (degree, id)-smaller endpoint to the larger. Factored from
+    * [[triangleCountEdges]] so [[triangleCountAuto]]'s sizing probe builds
+    * the IDENTICAL DAG (the wedge volume both consumers reason about is
+    * the same number). `bc` selects explicit broadcast hints for the two
+    * degree joins — checkpoint leaves carry no stats.
+    */
+  private def orientByDegree(edg: DataFrame, bc: Boolean): DataFrame = {
+    val deg = edg.select(col("u").as("node"))
+      .unionAll(edg.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def degSide(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
+    edg
+      .join(degSide(deg.select(col("node").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(degSide(deg.select(col("node").as("v"), col("deg").as("dv"))), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+  }
+
+  /** Exact wedge volume Σ C(outdeg, 2) of an oriented DAG — the sizing
+    * aggregate shared by the spill gate, the exact-wedge admission gate and
+    * the auto face's regime chooser. Integer `div` so the oracle's
+    * `sum(od*(od-1)) // 2` matches bit-for-bit.
+    */
+  private def wedgeVolumeOf(ori: DataFrame): Long =
+    ori.groupBy(col("s")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(expr("sum(od * (od - 1)) div 2"), lit(0L)).as("wedges"))
+      .head().getLong(0)
+
   def triangleCountEdges(edges: DataFrame,
       broadcastMaxEdges: Long = BroadcastRowCap,
-      sketchWedgeFactor: Long = SketchWedgeFactor): DataFrame = {
+      sketchWedgeFactor: Long = SketchWedgeFactor,
+      maxWedges: Long = Long.MaxValue): DataFrame = {
     val s = edges.sparkSession
     // checkpoint the CANONICAL edge list first: it is the expensive subtree
     // (for the co-order graph, the basket expansion + distinct), it doubles
@@ -652,22 +749,8 @@ object Graphs {
       return s.range(1).select(lit(0L).as("n_triangles"))
     }
     val bc = nEdges <= broadcastMaxEdges
-    val deg = edg.select(col("u").as("node"))
-      .unionAll(edg.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // deg has ≤ 2m rows and usually far fewer; broadcastable iff m is
-    def degSide(df: DataFrame): DataFrame = if (bc) broadcast(df) else df
-    val oriented = edg
-      .join(degSide(deg.select(col("node").as("u"), col("deg").as("du"))), Seq("u"))
-      .join(degSide(deg.select(col("node").as("v"), col("deg").as("dv"))), Seq("v"))
-      .select(
-        when(col("du") < col("dv") ||
-            (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
     val (ori, oriIds) = timed("triangle", "orient_ckpt")(
-      IterCheckpoint.checkpoint(oriented))
+      IterCheckpoint.checkpoint(orientByDegree(edg, bc)))
     // broadcast path: the result plan reads only `ori` (the adjacency and
     // both join sides derive from it), so edg's blocks are dead once ori is
     // materialized — free them NOW instead of leaving them to the GC-driven
@@ -679,10 +762,14 @@ object Graphs {
     } else IterCheckpoint.supersede(s, "triangleCount", edgIds ++ oriIds)
     // the gate job: exact wedge volume Σ C(outdeg, 2) in one aggregate over
     // the checkpointed DAG (n-row shuffle of longs)
-    val nWedges = timed("triangle", "gate_stats")(
-      ori.groupBy(col("s")).agg(count(lit(1)).as("od"))
-        .agg((sum(col("od") * (col("od") - 1)) / 2).cast("long").as("wedges"))
-        .head().getLong(0))
+    val nWedges = timed("triangle", "gate_stats")(wedgeVolumeOf(ori))
+    // exact-wedge admission gate (r16 task 1): the wedge volume IS the
+    // exact count's work on EITHER path, so past the budget the face
+    // refuses with the sizing — before the intersect/shuffle starts
+    if (nWedges > maxWedges) {
+      IterCheckpoint.free(s, edgIds ++ oriIds) // refuse cleanly: no leaks
+      throw TriangleWedgeBudgetExceeded(nWedges, maxWedges, nEdges)
+    }
     System.err.println(s"[graft.graphs] triangle path=" +
       (if (bc) "broadcast"
        else if (nWedges > sketchWedgeFactor * nEdges) "bloom-pruned"
@@ -730,7 +817,9 @@ object Graphs {
           col("t") === col("a2")) // inner: a t with no out-edges adds 0
         .select(call_function("graft_sorted_intersect_n",
           col("n1"), col("n2")).as("c"))
-        .agg(sum(col("c")).cast("long").as("n_triangles"))
+        // coalesce: a wedge-free graph leaves the inner joins empty and a
+        // bare sum would return NULL where the count is 0
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
     } else {
       val closing = edg.select(col("u").as("p"), col("v").as("q"))
       val wedges = ori.as("x").join(ori.as("y"), Seq("s"))
@@ -819,6 +908,63 @@ object Graphs {
       (col("n_triangles") * scale).as("est_triangles"),
       col("n_triangles").as("n_sampled"),
       (col("n_triangles") >= ApproxMinSampled).as("sample_ok"))
+  }
+
+  /** The production triangle entry: measure → choose → run (the
+    * [[coOrderHeavyTopKAuto]] template applied to the triangle family, r16
+    * verdict task 1). The sizing probe orients the checkpointed edge list
+    * and measures the exact wedge volume; [[chooseTriangleIp]] then selects
+    * the exact count (within [[maxExactWedgesFor]]) or DOULION at the
+    * smallest admissible rate. One unified row whatever the regime — the
+    * estimate doubles as the count on the exact branch, and the quality
+    * fields (n_sampled, sample_ok) ship IN the output, so the approximate
+    * branch carries its own trust gate. The decision lands in the bench
+    * artifact via `tri_wedges` / `tri_regime_ip` phase stamps, and the
+    * single result row is collected driver-side (1 row — the bounded-plane
+    * pattern) so the stamps reflect the work actually run.
+    *
+    * Oracle parity: wedge volume, chooser ladder, md5 edge sampling and
+    * both counts are integer-exact closed forms, so DuckDB replays the
+    * SAME decision and the SAME number (q_triangle_auto's static SQL).
+    */
+  def triangleCountAuto(s: SparkSession, d: String): DataFrame =
+    triangleCountAutoEdges(coOrderEdges(s, d), broadcastMaxEdgesFor(s),
+      maxExactWedgesFor(s))
+
+  /** Core over any canonical edge list — factored so GraphsSpec forces both
+    * regimes on handcrafted graphs.
+    */
+  def triangleCountAutoEdges(edges: DataFrame, cap: Long,
+      maxExact: Long): DataFrame = {
+    val s = edges.sparkSession
+    val (edg, edgIds) = timed("tri_auto", "edge_ckpt")(
+      IterCheckpoint.checkpoint(edges))
+    val nEdges = edg.count()
+    val wedges =
+      if (nEdges == 0) 0L
+      else timed("tri_auto", "regime_probe")(
+        wedgeVolumeOf(orientByDegree(edg, nEdges <= cap)))
+    val ip = chooseTriangleIp(wedges, maxExact)
+    graft.BenchPhases.add("tri_wedges", wedges.toDouble)
+    graft.BenchPhases.add("tri_regime_ip", ip.toDouble)
+    System.err.println(s"[graft.graphs] tri_auto wedges=$wedges budget=" +
+      s"$maxExact ip=$ip" + (if (ip == 0) " (exact)" else " (DOULION)"))
+    val (nTri, nSampled, sampleOk) =
+      if (ip == 0) {
+        val c = triangleCountEdges(edg, cap).head().getLong(0)
+        (c, c, true)
+      } else {
+        val r = triangleCountApproxEdges(edg, ip).head()
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      }
+    IterCheckpoint.supersede(s, "triangleAuto", edgIds)
+    s.range(1).select(
+      lit(wedges).as("n_wedges"),
+      lit(if (ip == 0) "exact" else "sampled").as("regime"),
+      lit(ip.toLong).as("inv_p_log2"),
+      lit(nTri).as("n_triangles"),
+      lit(nSampled).as("n_sampled"),
+      lit(sampleOk).as("sample_ok"))
   }
 
   /** Build the closing-edge Bloom sketch (m keys, fpp 0.01 ⇒ m·~10 bits)

@@ -359,6 +359,54 @@ class GraphsSpec extends SparkSpecBase {
     } finally spark.conf.unset(Graphs.ScratchConfKey)
   }
 
+  test("exact-wedge admission gate: over-budget exact count refuses with sizing, as a DesignedRefusal") {
+    // K4 oriented by (degree, id): outdegs 3/2/1/0 -> wedge volume 3+1 = 4
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val e = intercept[Graphs.TriangleWedgeBudgetExceeded] {
+      Graphs.triangleCountEdges(k4.toDF("u", "v"), maxWedges = 3L).head()
+    }
+    assert(e.nWedges === 4L && e.maxWedges === 3L && e.nEdges === 6L)
+    assert(e.isInstanceOf[graft.DesignedRefusal],
+      "the admission gate must route to the artifact's refused field")
+    val msg = e.toString.take(300)
+    assert(msg.contains("wedges=4") && msg.contains("budget=3"),
+      s"sizing must survive Bench's truncation: $msg")
+    // at the budget boundary the exact count ADMITS
+    assert(Graphs.triangleCountEdges(k4.toDF("u", "v"), maxWedges = 4L)
+      .head().getLong(0) === 4L)
+  }
+
+  test("triangle regime chooser: integer ladder, exact within budget, smallest admissible ip past it") {
+    assert(Graphs.chooseTriangleIp(0L, 100L) === 0)
+    assert(Graphs.chooseTriangleIp(100L, 100L) === 0)
+    assert(Graphs.chooseTriangleIp(101L, 100L) === 2,  // 101 <= 100*16
+      "first rung past the budget is ip=2 (DOULION floor)")
+    assert(Graphs.chooseTriangleIp(1601L, 100L) === 3) // > 100*16, <= 100*64
+    assert(Graphs.chooseTriangleIp(Long.MaxValue / 2, 100L) === 8,
+      "ladder caps at ip=8")
+    // the 100x record's measured shape: 268.3B wedges over the 2e10 default
+    assert(Graphs.chooseTriangleIp(268300000000L,
+      Graphs.DefaultMaxExactWedges) === 2)
+  }
+
+  test("auto face: exact regime within budget, sampled regime past it, consistent quality fields") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val ex = Graphs.triangleCountAutoEdges(k4.toDF("u", "v"),
+      Graphs.BroadcastRowCap, maxExact = 1000L).head()
+    assert(ex.getLong(0) === 4L)                 // n_wedges
+    assert(ex.getString(1) === "exact")
+    assert(ex.getLong(2) === 0L)                 // inv_p_log2
+    assert(ex.getLong(3) === 4L && ex.getLong(4) === 4L)
+    assert(ex.getBoolean(5))
+    val sm = Graphs.triangleCountAutoEdges(k4.toDF("u", "v"),
+      Graphs.BroadcastRowCap, maxExact = 1L).head()
+    assert(sm.getString(1) === "sampled")
+    assert(sm.getLong(2) === 2L, "4 wedges over budget 1 -> first rung ip=2")
+    assert(sm.getLong(3) === sm.getLong(4) * 64L,
+      "estimate = n_sampled * (1/p)^3 at p=1/4")
+    assert(sm.getBoolean(5) === (sm.getLong(4) >= Graphs.ApproxMinSampled))
+  }
+
   test("scratch probe: two local dirs on one filesystem count its space ONCE") {
     // r15 ADVICE: .distinct deduped path STRINGS, so two dirs on the same
     // filesystem each contributed that filesystem's full free space and the
