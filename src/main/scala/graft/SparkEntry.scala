@@ -708,8 +708,10 @@ object SparkEntry {
         .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/landing")
-      BenchPhases.settle(graft.sources.Sinks.streamInsertIgnore(stream,
-        s"$root/tgt", "o_orderkey", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamInsertIgnore(stream,
+          s"$root/tgt", "o_orderkey", s"$root/ckpt"))
+      }
       s.read.parquet(s"$root/tgt")
     }),
 
@@ -742,8 +744,10 @@ object SparkEntry {
         .schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, eff TIMESTAMP_NTZ")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/landing")
-      BenchPhases.settle(graft.sources.Sinks.streamScd2(stream, s"$root/dim",
-        "c_custkey", Seq("c_name", "c_mktsegment"), "eff", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamScd2(stream, s"$root/dim",
+          "c_custkey", Seq("c_name", "c_mktsegment"), "eff", s"$root/ckpt"))
+      }
       s.read.parquet(s"$root/dim")
     }),
 
@@ -759,10 +763,12 @@ object SparkEntry {
         java.nio.file.Files.createDirectory(dir.resolve("landing"))
         stageEventSlices(s, d, dir.resolve("landing"), StreamSlices)
       }
-      BenchPhases.settle(graft.sources.Sinks.streamSketchStore(
-        EventStreamJob.readEventStream(s, s"$root/landing",
-          maxFilesPerTrigger = Some(1)),
-        s"$root/store", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamSketchStore(
+          EventStreamJob.readEventStream(s, s"$root/landing",
+            maxFilesPerTrigger = Some(1)),
+          s"$root/store", s"$root/ckpt"))
+      }
       Layouts.sketchStoreCheckedAt(s, d, s"$root/store")
     }),
 
@@ -788,8 +794,10 @@ object SparkEntry {
         .schema("doc_id LONG, text STRING")
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$root/landing")
-      BenchPhases.settle(graft.sources.Sinks.streamBandIndex(stream,
-        s"$root/store", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamBandIndex(stream,
+          s"$root/store", s"$root/ckpt"))
+      }
       Dedup.incrementalNearDupProbeIndex(s, d, s"$root/store")
     }),
 
@@ -808,8 +816,10 @@ object SparkEntry {
       }
       val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
-      BenchPhases.settle(graft.sources.Sinks.streamVectorIndex(stream, cents,
-        s"$root/store", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamVectorIndex(stream, cents,
+          s"$root/store", s"$root/ckpt"))
+      }
       s.read.parquet(s"$root/store")
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_vec_id"),
@@ -835,8 +845,10 @@ object SparkEntry {
       }
       val stream = s.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
         .option("maxFilesPerTrigger", "1").parquet(s"$root/landing")
-      BenchPhases.settle(graft.sources.Sinks.streamSemanticContamination(
-        stream, cents, probes, 0.2, s"$root/store", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamSemanticContamination(
+          stream, cents, probes, 0.2, s"$root/store", s"$root/ckpt"))
+      }
       Similarity.contaminationRollup(s.read.parquet(s"$root/store"))
     }),
 
@@ -852,10 +864,12 @@ object SparkEntry {
         stageEventSlices(s, d, dir.resolve("landing"), StreamSlices,
           overlapDupHours = 1.0)
       }
-      BenchPhases.settle(graft.sources.Sinks.streamDailyRollup(
-        EventStreamJob.readEventStream(s, s"$root/landing",
-          maxFilesPerTrigger = Some(1)),
-        s"$root/mv_landing", s"$root/rollup", s"$root/ckpt"))
+      withStreamScanSized(s, s"$root/landing") {
+        BenchPhases.settle(graft.sources.Sinks.streamDailyRollup(
+          EventStreamJob.readEventStream(s, s"$root/landing",
+            maxFilesPerTrigger = Some(1)),
+          s"$root/mv_landing", s"$root/rollup", s"$root/ckpt"))
+      }
       s.read.parquet(s"$root/rollup")
         .select(col("event_date").cast("timestamp_ntz").as("event_date"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -942,30 +956,28 @@ object SparkEntry {
     //    of the driver columns: PNG byte size is codec-version-dependent and
     //    the checksum byte-fold has no byte-safe DuckDB mirror;
     //    BinaryPipelineSpec pins both instead.
+    //    ONE synthesis + ONE decode pass (r16 task 5): the frame-sampler's
+    //    yield rides the same row through extractFeatures.sampled_frames —
+    //    the old second video-only pass (kind-pruned since r12, but still a
+    //    full extra synthesis + header parse of every video payload) is
+    //    gone; the 1:N generator dataflow itself is driven for real by
+    //    q_media_frame_pixels (MJPEG) and pinned by BinaryPipelineSpec.
+    //    Codec CPU is stamped into the artifact (p_synth_cpu/p_decode_cpu,
+    //    task-parallel seconds) — the ≤3-row aggregate is collected, the
+    //    accumulators read, and the rows returned as a literal frame.
     "q_media_features" -> ((s, d) => {
-      val media = graft.multimodal.BinaryPipeline.syntheticRealMedia(s, d)
-      val feats = graft.multimodal.BinaryPipeline.extractFeatures(media)
+      val tm = graft.multimodal.BinaryPipeline.CodecTimers(s)
+      val media = graft.multimodal.BinaryPipeline.syntheticRealMedia(s, d, None, tm)
+      val feats = graft.multimodal.BinaryPipeline.extractFeatures(media, timers = tm)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("width").cast("long")).as("sum_width"),
           sum(col("height").cast("long")).as("sum_height"),
           sum(col("frames")).as("sum_frames"),
           sum(col("decoded_bytes")).as("total_decoded_bytes"),
-          sum(col("content_sum")).as("content_sum"))
-      // the 1:N frame-sampling stage, driver-checked via its exact count.
-      // Kind-pruned SOURCE for the second pass (r12 task 5): sampleFrames
-      // only consumes video rows, so re-synthesizing the image/audio
-      // payloads (PNG/WAV encodes — the dominant media cost) for a
-      // post-map filter to drop was a hidden full second encode pass —
-      // measured as the q_media_features 96.3 s vs q_media_pipeline
-      // 63.3 s gap at 100×
-      val videoOnly = graft.multimodal.BinaryPipeline
-        .syntheticRealMedia(s, d, Some("video"))
-      val frames = graft.multimodal.BinaryPipeline.sampleFrames(videoOnly)
-        .groupBy(lit("video").as("kind"))
-        .agg(count(lit(1)).as("n_frames"))
-      feats.join(frames, Seq("kind"), "left")
-        .withColumn("n_frames", coalesce(col("n_frames"), lit(0L)))
+          sum(col("content_sum")).as("content_sum"),
+          sum(col("sampled_frames")).as("n_frames"))
+      materializeStamped(s, feats, tm)
     }),
 
     // the fused features→resize chain: ONE decode per payload feeds both
@@ -974,8 +986,10 @@ object SparkEntry {
     // closed forms; resized dims are closed-form in doc_id (trunc(w·scale),
     // identical IEEE min/div/mul/trunc tree on both engines).
     "q_media_pipeline" -> ((s, d) => {
-      val media = graft.multimodal.BinaryPipeline.syntheticRealMedia(s, d)
-      graft.multimodal.BinaryPipeline.featuresAndResize(media, maxDim = 32)
+      val tm = graft.multimodal.BinaryPipeline.CodecTimers(s)
+      val media = graft.multimodal.BinaryPipeline.syntheticRealMedia(s, d, None, tm)
+      val out = graft.multimodal.BinaryPipeline
+        .featuresAndResize(media, maxDim = 32, timers = tm)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("width").cast("long")).as("sum_width"),
@@ -983,6 +997,21 @@ object SparkEntry {
           sum(col("content_sum")).as("content_sum"),
           sum(col("new_width").cast("long")).as("sum_new_width"),
           sum(col("new_height").cast("long")).as("sum_new_height"))
+      materializeStamped(s, out, tm)
+    }),
+
+    // REAL video frame-PIXEL decode (r16 verdict task 6): MJPEG — every
+    // frame a baseline JPEG the JDK decodes — through the 1:N frame
+    // generator's MJPEG dispatch, per-frame dims and pixel sums from
+    // actually-decoded rasters. Oracle is GENERATED: JPEG DC quantization
+    // makes decoded values codec-determined, so the 64 palette colors are
+    // probed once through the real codec and serialized as a VALUES table
+    // (the trained-centroid-literal pattern); everything else is
+    // closed-form in doc_id. Other codecs keep the labelled chunk stub.
+    "q_media_frame_pixels" -> ((s, d) => {
+      val tm = graft.multimodal.BinaryPipeline.CodecTimers(s)
+      materializeStamped(s,
+        graft.multimodal.BinaryPipeline.mjpegFrameStats(s, d, tm), tm)
     }),
 
     // REAL MP4 container-header parse, oracle-checked (r15 verdict task 4):
@@ -1085,6 +1114,20 @@ object SparkEntry {
       }
     } else java.nio.file.Files.createSymbolicLink(dir.resolve(s"$prefix.parquet"), src)
   }
+  /** Collect a BOUNDED aggregate (≤ a handful of rows), read the codec
+    * accumulators into the bench phase map, and hand the rows back as a
+    * literal frame — the only way executor-side CPU attribution can land
+    * in the artifact of the run that did the work (accumulators are
+    * readable only after an action; the face's noop write then costs
+    * nothing). Verify sees identical rows.
+    */
+  private def materializeStamped(s: SparkSession,
+      df: DataFrame, tm: graft.multimodal.BinaryPipeline.CodecTimers): DataFrame = {
+    val rows = df.collect()
+    tm.stamp()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   private def stagedLanding(key: String, d: String)(
       stage: java.nio.file.Path => Unit): String =
     stagedLandings.getOrElseUpdate((key, d), {
@@ -1103,10 +1146,25 @@ object SparkEntry {
     * mtime — the file-stream source takes files oldest-mtime-first, so the
     * mtimes ARE the batch order under `maxFilesPerTrigger=1`.
     */
+  /** Row-group size for staged slice files (8 MB vs the 128 MB parquet
+    * default). A slice is ONE file — the batch-order contract under
+    * `maxFilesPerTrigger=1` — and a single-row-group file is one scan task
+    * no matter its size, which at the 100× replica put each micro-batch's
+    * entire map side (decode + projection + minhash/band compute) on one
+    * core (r16 verdict task 4). Small row groups make the one-file slice
+    * SPLITTABLE, so per-batch scan width grows with the staged volume (see
+    * [[streamScanPartitionBytes]]) exactly as a real cluster's landing —
+    * written by many tasks — would split. At sf0.1 a slice is ~6 MB: one
+    * row group either way, zero change to the reference run.
+    */
+  private[graft] val SliceRowGroupBytes: Long = 8L << 20
+
   private[graft] def writeSliceFile(df: DataFrame, dir: java.nio.file.Path,
       name: String, mtimeMs: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_slice_w")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", SliceRowGroupBytes.toString)
+      .parquet(tmp.toString)
     val part = withPathStream(java.nio.file.Files.list(tmp))(
       _.filter(p => p.getFileName.toString.endsWith(".parquet"))
         .findFirst().get())
@@ -1196,6 +1254,7 @@ object SparkEntry {
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft_slice_w")
     out.repartition(col("slice")).write.mode("overwrite")
+      .option("parquet.block.size", SliceRowGroupBytes.toString)
       .partitionBy("slice").parquet(tmp.toString)
     val base = System.currentTimeMillis()
     for (i <- 0 until k) {
@@ -1251,6 +1310,37 @@ object SparkEntry {
     math.max(4, math.min(32, (bytes / (4L << 20)).toInt))
   }
 
+  /** Scan-split target for a harness stream, SIZED TO ITS STAGED VOLUME
+    * (the map-side twin of [[streamStatePartitions]], r16 verdict task 4).
+    * A micro-batch is one slice file, and with [[SliceRowGroupBytes]] row
+    * groups it splits at `spark.sql.files.maxPartitionBytes` — so pick the
+    * value that gives each batch ~session-width scan tasks: sliceBytes/32,
+    * clamped to [one row group, the 128 MB default]. sf0.1 slices (~6 MB)
+    * stay single-task; the 100× slices (~300–600 MB) fan the per-batch
+    * decode/compute across the machine — the real-cluster shape, where
+    * batch volume and scan width scale together while the BATCH COUNT (and
+    * so per-trigger overhead) stays fixed at the slice-contract k.
+    */
+  private def streamScanPartitionBytes(landing: String): Long = {
+    val bytes = withPathStream(java.nio.file.Files.list(
+      java.nio.file.Paths.get(landing)))(
+      _.mapToLong(p => java.nio.file.Files.size(p)).sum())
+    math.max(SliceRowGroupBytes,
+      math.min(128L << 20, bytes / StreamSlices / 32))
+  }
+
+  /** Run `body` (a stream start→settle) with the scan split sized to the
+    * landing; restores the session default after, and stamps the chosen
+    * value into the bench artifact so the sizing is auditable per face.
+    */
+  private def withStreamScanSized[T](s: SparkSession, landing: String)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
+    val target = streamScanPartitionBytes(landing)
+    BenchPhases.add("scan_partition_mb", target.toDouble / (1L << 20))
+    s.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+    try body finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into a uniquely-named
     * memory sink and return the settled result. The catalog entry is dropped
     * immediately after the read — `Dataset` analysis is eager, so the
@@ -1268,7 +1358,7 @@ object SparkEntry {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       streamStatePartitions(landing).toString)
-    try {
+    try withStreamScanSized(s, landing) {
       val q = BenchPhases.timed("stream_wall")(
         graft.streaming.EventStreamJob.runAvailableNow(df, name, mode))
       BenchPhases.attribute(q)
@@ -4116,7 +4206,8 @@ object SparkEntry {
         () => centroidOracles(s, d)),
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
-      (Seq("q_ann_recall_sweep"), () => annRecallSweepOracle(s, d)))
+      (Seq("q_ann_recall_sweep"), () => annRecallSweepOracle(s, d)),
+      (Seq("q_media_frame_pixels"), () => mjpegOracle()))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
       case ((ok, errs), (names, gen)) =>
         try (ok ++ gen(), errs)
@@ -4129,7 +4220,33 @@ object SparkEntry {
 
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] =
     pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d) ++
-      pqOracles(s, d) ++ annRecallOracle(s, d) ++ annRecallSweepOracle(s, d)
+      pqOracles(s, d) ++ annRecallOracle(s, d) ++ annRecallSweepOracle(s, d) ++
+      mjpegOracle()
+
+  /** q_media_frame_pixels, generated: the 64 palette colors' DECODED
+    * per-pixel sums are probed through the real JPEG codec driver-side
+    * (data-independent, ~10 ms) and serialized as a VALUES table; frame
+    * counts, dims and color indices are closed-form in doc_id. INNER join
+    * — every frame's color index is in [0, 64) by construction, and a
+    * dropped row would fail the count.
+    */
+  private def mjpegOracle(): Map[String, String] = {
+    val pal = graft.multimodal.BinaryPipeline.Mjpeg.decodedPaletteSums
+    val vals = pal.zipWithIndex.map { case (s3, ci) => s"($ci, $s3)" }.mkString(", ")
+    Map("q_media_frame_pixels" ->
+      s"""WITH pal(ci, s3) AS (VALUES $vals),
+         |vids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT id, CAST(f AS BIGINT) AS f
+         |       FROM vids, LATERAL (SELECT unnest(range(id % 4 + 1)) AS f) t),
+         |px AS (SELECT id, f, CAST(id % 16 + 8 AS BIGINT) AS w,
+         |              CAST(id % 12 + 8 AS BIGINT) AS h,
+         |              CAST((id + f) % 64 AS BIGINT) AS ci FROM fr)
+         |SELECT CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(w) AS BIGINT) AS sum_width,
+         |  CAST(sum(h) AS BIGINT) AS sum_height,
+         |  CAST(sum(w * h * p.s3) AS BIGINT) AS sum_pixels
+         |FROM px JOIN pal p ON p.ci = px.ci""".stripMargin)
+  }
 
   /** Shared PQ compressed-index CTE block (codebook literals, codes,
     * reconstruction) — the `WITH` interior every PQ statement opens with.

@@ -30,6 +30,49 @@ object BinaryPipeline {
       payload: Array[Byte],  // opaque encoded bytes
       source: String)
 
+  /** Executor-side codec CPU attribution (r16 verdict task 5): the media
+    * faces' cost is ~all per-row codec work inside `mapPartitions`, which
+    * the bench artifact could not split from plan/shuffle time. Two
+    * accumulators — fixture SYNTHESIS (encode) vs the face's own DECODE
+    * (+ re-encode) — summed across tasks, so like `p_stateUpdates` they are
+    * task-parallel seconds that can exceed wall. The faces collect their
+    * ≤3-row aggregates, stamp, and return the rows as a literal frame, so
+    * the stamps reflect the run that actually executed. `Disabled` (the
+    * default everywhere) is a zero-cost pass-through — Verify and specs run
+    * the identical code with no bookkeeping.
+    */
+  sealed trait CodecTimers extends Serializable {
+    def synth[T](body: => T): T
+    def decode[T](body: => T): T
+    def stamp(): Unit
+  }
+  object CodecTimers {
+    object Disabled extends CodecTimers {
+      def synth[T](body: => T): T = body
+      def decode[T](body: => T): T = body
+      def stamp(): Unit = ()
+    }
+    def apply(s: SparkSession): CodecTimers = new Live(
+      s.sparkContext.longAccumulator("graft.media.synth_ns"),
+      s.sparkContext.longAccumulator("graft.media.decode_ns"))
+    final class Live(
+        synthNs: org.apache.spark.util.LongAccumulator,
+        decodeNs: org.apache.spark.util.LongAccumulator) extends CodecTimers {
+      private def timed[T](acc: org.apache.spark.util.LongAccumulator)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        acc.add(System.nanoTime() - t0)
+        r
+      }
+      def synth[T](body: => T): T = timed(synthNs)(body)
+      def decode[T](body: => T): T = timed(decodeNs)(body)
+      def stamp(): Unit = {
+        graft.BenchPhases.add("p_synth_cpu", synthNs.value / 1e9)
+        graft.BenchPhases.add("p_decode_cpu", decodeNs.value / 1e9)
+      }
+    }
+  }
+
   /** Per-media features, populated from the REAL decode of each kind:
     *   - image: `width`/`height` from the decoded PNG, `frames` = 1,
     *     `decoded_bytes` = w*h*3 (RGB24 raster), `content_sum` = Σ(r+g+b)
@@ -52,7 +95,22 @@ object BinaryPipeline {
       frames: Long,
       decoded_bytes: Long,
       content_sum: Long,
-      checksum: Long)        // rolling checksum over payload bytes
+      checksum: Long,        // rolling checksum over payload bytes
+      sampled_frames: Long)  // video: the frame sampler's yield; others 0
+
+  /** Frames the stride sampler yields from a content extent —
+    * ceil(ceil(len/frameSize)/stride), the number [[sampleFrames]]'s chunk
+    * enumeration emits. Shared so [[extractFeatures]] can carry the
+    * sampler's yield in the SAME decode pass (r16 verdict task 5: the
+    * features face ran a second full synthesis just to count frames — at
+    * the 100× replica a hidden double-encode) while BinaryPipelineSpec pins
+    * this count against the real enumeration.
+    */
+  def sampledChunkCount(contentLength: Long, frameSize: Int = 64,
+      stride: Int = 4): Long = {
+    val chunks = (contentLength + frameSize - 1) / frameSize
+    (chunks + stride - 1) / stride
+  }
 
   /** Real JDK codecs for the image and audio kinds. PNG via `javax.imageio`
     * (lossless, so solid-color fixtures decode to exactly the encoded RGB);
@@ -84,8 +142,8 @@ object BinaryPipeline {
       bos.toByteArray
     }
 
-    /** Encode a solid-RGB PNG (fixture generator; any PNG decodes). */
-    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    /** Solid-RGB raster (fixture base for both the PNG and JPEG encoders). */
+    def solidRaster(width: Int, height: Int, rgb: Int): BufferedImage = {
       val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < height) {
@@ -93,7 +151,25 @@ object BinaryPipeline {
         while (x < width) { img.setRGB(x, y, rgb); x += 1 }
         y += 1
       }
-      writePng(img)
+      img
+    }
+
+    /** Encode a solid-RGB PNG (fixture generator; any PNG decodes). */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] =
+      writePng(solidRaster(width, height, rgb))
+
+    /** Encode a solid-RGB baseline JPEG (the MJPEG frame fixture). Lossy:
+      * the decoded solid differs from the encoded one by DC quantization —
+      * but for a SOLID fill every block is the same single-DC block and
+      * the chroma planes are constant, so the decoded raster is UNIFORM
+      * and its per-pixel value is size-independent (BinaryPipelineSpec
+      * pins both), which is what lets [[Mjpeg.decodedPaletteSums]] probe
+      * each palette color once at 8×8 and close the pixel-sum form.
+      */
+    def encodeJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(solidRaster(width, height, rgb), "jpg", bos)
+      bos.toByteArray
     }
 
     /** Pixel features over an ALREADY-DECODED raster: (width, height,
@@ -409,7 +485,8 @@ object BinaryPipeline {
     * skewed, so partition count is sized by byte budget, not row count.
     */
   def extractFeatures(media: Dataset[MediaRecord],
-      targetPartitions: Int = 0): Dataset[MediaFeatures] = {
+      targetPartitions: Int = 0,
+      timers: CodecTimers = CodecTimers.Disabled): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     val sized = if (targetPartitions > 0) media.repartition(targetPartitions) else media
     sized.mapPartitions { it =>
@@ -418,22 +495,25 @@ object BinaryPipeline {
       it.map { r =>
         val base = (r.media_id, r.kind, r.payload.length.toLong,
           FakeDecoder.checksum(r.payload))
-        r.kind match {
-          case "image" =>
-            val (w, h, pixelSum) = MediaCodecs.decodeImage(r.payload)
-            MediaFeatures(base._1, base._2, base._3, w, h,
-              frames = 1L, decoded_bytes = w.toLong * h * 3,
-              content_sum = pixelSum, checksum = base._4)
-          case "audio" =>
-            val (frames, sampleSum) = MediaCodecs.decodeWav(r.payload)
-            MediaFeatures(base._1, base._2, base._3, 0, 0,
-              frames = frames, decoded_bytes = 2L * frames,
-              content_sum = sampleSum, checksum = base._4)
-          case _ =>
-            val vh = VideoHeaders.decode(r.payload)
-            MediaFeatures(base._1, base._2, base._3, vh.width, vh.height,
-              frames = 0L, decoded_bytes = vh.contentLength.toLong,
-              content_sum = 0L, checksum = base._4)
+        timers.decode {
+          r.kind match {
+            case "image" =>
+              val (w, h, pixelSum) = MediaCodecs.decodeImage(r.payload)
+              MediaFeatures(base._1, base._2, base._3, w, h,
+                frames = 1L, decoded_bytes = w.toLong * h * 3,
+                content_sum = pixelSum, checksum = base._4, sampled_frames = 0L)
+            case "audio" =>
+              val (frames, sampleSum) = MediaCodecs.decodeWav(r.payload)
+              MediaFeatures(base._1, base._2, base._3, 0, 0,
+                frames = frames, decoded_bytes = 2L * frames,
+                content_sum = sampleSum, checksum = base._4, sampled_frames = 0L)
+            case _ =>
+              val vh = VideoHeaders.decode(r.payload)
+              MediaFeatures(base._1, base._2, base._3, vh.width, vh.height,
+                frames = 0L, decoded_bytes = vh.contentLength.toLong,
+                content_sum = 0L, checksum = base._4,
+                sampled_frames = sampledChunkCount(vh.contentLength.toLong))
+          }
         }
       }
     }
@@ -509,14 +589,15 @@ object BinaryPipeline {
     * own terms). Video keeps the stub header rescale.
     */
   def featuresAndResize(media: Dataset[MediaRecord], maxDim: Int,
-      targetPartitions: Int = 0): Dataset[MediaPipelineRow] = {
+      targetPartitions: Int = 0,
+      timers: CodecTimers = CodecTimers.Disabled): Dataset[MediaPipelineRow] = {
     import media.sparkSession.implicits._
     val sized = if (targetPartitions > 0) media.repartition(targetPartitions) else media
     sized.mapPartitions { it =>
       it.map { r =>
         val nBytes = r.payload.length.toLong
         val csum = FakeDecoder.checksum(r.payload)
-        r.kind match {
+        timers.decode { r.kind match {
           case "image" =>
             val img = MediaCodecs.readImage(r.payload) // the ONLY decode
             val (w, h, pixelSum) = MediaCodecs.rasterFeatures(img)
@@ -542,7 +623,7 @@ object BinaryPipeline {
               content_sum = 0L, checksum = csum,
               new_width = nw, new_height = nh,
               resized_payload = VideoHeaders.reencode(vh, r.payload, nw, nh))
-        }
+        } }
       }
     }
   }
@@ -564,7 +645,15 @@ object BinaryPipeline {
         val vh = VideoHeaders.decode(r.payload)
         val content = java.util.Arrays.copyOfRange(r.payload,
           vh.contentOffset, vh.contentOffset + vh.contentLength)
-        content.grouped(frameSize).zipWithIndex.collect {
+        if (Mjpeg.looksLikeMjpeg(content))
+          // REAL codec path: MJPEG frames are self-delimiting JPEGs — emit
+          // every actual frame at its actual byte extent (frameSize/stride
+          // are chunk-stub parameters and do not apply)
+          Mjpeg.splitJpegFrames(content).zipWithIndex.map {
+            case ((off, bytes), i) =>
+              Frame(r.media_id, i, vh.contentOffset + off.toLong, bytes)
+          }.iterator
+        else content.grouped(frameSize).zipWithIndex.collect {
           case (chunk, i) if i % stride == 0 =>
             Frame(r.media_id, i, vh.contentOffset + i.toLong * frameSize, chunk)
         }
@@ -644,7 +733,8 @@ object BinaryPipeline {
     * which is why the knob belongs on the source, not after the codec.
     */
   def syntheticRealMedia(spark: SparkSession, dir: String,
-      onlyKind: Option[String]): Dataset[MediaRecord] = {
+      onlyKind: Option[String],
+      timers: CodecTimers = CodecTimers.Disabled): Dataset[MediaRecord] = {
     import spark.implicits._
     val residue = onlyKind.map {
       case "image" => 0L
@@ -659,7 +749,7 @@ object BinaryPipeline {
       .mapPartitions { it =>
         // per-partition: ImageIO SPI registry warms once, then row loop
         it.map { case (id, text, source) =>
-          (id % 3) match {
+          timers.synth { (id % 3) match {
             case 0 =>
               val rgb = (((id * 37) % 256).toInt << 16) |
                 (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
@@ -678,7 +768,7 @@ object BinaryPipeline {
                 Mp4Headers.build((id % 640).toInt + 1, (id % 480).toInt + 1,
                   durationMs = (id % 7200) * 500 + 1000,
                   text.getBytes("UTF-8")), source)
-          }
+          } }
         }
       }
   }
@@ -707,6 +797,126 @@ object BinaryPipeline {
         min(col("duration_ms")).as("min_duration_ms"),
         max(col("duration_ms")).as("max_duration_ms"),
         sum(col("content_bytes")).as("sum_content_bytes"))
+  }
+
+  /** Motion-JPEG: the one video codec the sandbox can decode for REAL —
+    * every frame is a plain baseline JPEG, and `javax.imageio` ships a JPEG
+    * codec (r16 verdict task 6). This closes the frame-PIXEL gap one honest
+    * notch: MJPEG-in-MP4 payloads get actual per-frame pixel decode
+    * ([[mjpegFrameStats]]), while other codecs keep the clearly-labelled
+    * no-codec stub ([[sampleFrames]]'s chunk path).
+    *
+    * Fixture closed forms (all in doc_id, video ids = doc_id % 3 == 2):
+    * frames/payload = id%4+1, frame dims (id%16+8) × (id%12+8), frame f's
+    * color = palette[(id+f) % 64]. The JPEG DC quantization means decoded
+    * pixel values are codec-determined, NOT the encoded RGB — the oracle
+    * closes the form through [[decodedPaletteSums]]: one 8×8 probe per
+    * palette color (decode is uniform and size-independent for solid
+    * fills; spec-pinned), serialized into the generated SQL as a 64-row
+    * VALUES table — the trained-centroid-literal pattern.
+    */
+  object Mjpeg {
+    val PaletteSize = 64
+
+    def paletteRgb(ci: Int): Int =
+      (((ci * 37) % 256) << 16) | (((ci * 59) % 256) << 8) | ((ci * 83) % 256)
+
+    def frameCount(id: Long): Int = (id % 4).toInt + 1
+    def frameDims(id: Long): (Int, Int) =
+      ((id % 16).toInt + 8, (id % 12).toInt + 8)
+    def frameColorIndex(id: Long, f: Int): Int = ((id + f) % PaletteSize).toInt
+
+    /** Decoded per-pixel (r+g+b) of each palette color, probed through the
+      * REAL codec once per color at 8×8. Driver-side, 64 tiny round-trips.
+      */
+    lazy val decodedPaletteSums: IndexedSeq[Long] =
+      (0 until PaletteSize).map { ci =>
+        val img = MediaCodecs.readImage(
+          MediaCodecs.encodeJpeg(8, 8, paletteRgb(ci)))
+        val p = img.getRGB(0, 0)
+        (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+      }
+
+    /** One MJPEG-in-MP4 payload: real box tree, mdat = concatenated JPEGs. */
+    def buildPayload(id: Long): Array[Byte] = {
+      val (w, h) = frameDims(id)
+      val content = (0 until frameCount(id)).flatMap(f =>
+        MediaCodecs.encodeJpeg(w, h, paletteRgb(frameColorIndex(id, f)))).toArray
+      Mp4Headers.build(w, h, durationMs = frameCount(id) * 100L, content)
+    }
+
+    /** JPEG SOI leads the content — the MJPEG dispatch test. Safe against
+      * the text/GRFT fixtures: 0xFF is not a valid UTF-8 lead byte.
+      */
+    def looksLikeMjpeg(content: Array[Byte]): Boolean =
+      content.length >= 4 && content(0) == 0xff.toByte && content(1) == 0xd8.toByte
+
+    /** Split concatenated JPEGs on their SOI..EOI extents. Baseline JPEG
+      * entropy data byte-stuffs 0xFF as FF 00, so FF D9 inside a frame IS
+      * the end-of-image marker — the scan is exact, not heuristic. Fails
+      * loudly on a frame not starting with SOI or an unterminated tail
+      * (same contract as the box walk).
+      */
+    def splitJpegFrames(content: Array[Byte]): Seq[(Int, Array[Byte])] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      var pos = 0
+      while (pos < content.length) {
+        require(pos + 4 <= content.length &&
+            content(pos) == 0xff.toByte && content(pos + 1) == 0xd8.toByte,
+          s"MJPEG frame at $pos does not start with SOI")
+        var j = pos + 2
+        while (j + 1 < content.length &&
+            !(content(j) == 0xff.toByte && content(j + 1) == 0xd9.toByte)) j += 1
+        require(j + 1 < content.length, s"MJPEG frame at $pos has no EOI")
+        out += ((pos, java.util.Arrays.copyOfRange(content, pos, j + 2)))
+        pos = j + 2
+      }
+      out.toSeq
+    }
+  }
+
+  /** Synthesize the MJPEG video table (REAL MP4 container, REAL JPEG
+    * frames) over the video-residue doc ids — the second pass is
+    * kind-pruned at the source like [[syntheticRealMedia]]'s.
+    */
+  def syntheticMjpegMedia(spark: SparkSession, dir: String,
+      timers: CodecTimers = CodecTimers.Disabled): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          timers.synth(MediaRecord(id, "video", Mjpeg.buildPayload(id), source))
+        }
+      }
+  }
+
+  /** REAL frame-pixel decode over the MJPEG table: the 1:N frame generator
+    * ([[sampleFrames]]' MJPEG dispatch) feeds per-frame ImageIO decode;
+    * dims and pixel sums come from actually-decoded rasters. Oracle is
+    * generated ([[Mjpeg.decodedPaletteSums]] literals): every aggregate is
+    * closed-form in doc_id once the 64 probed colors are known.
+    */
+  def mjpegFrameStats(s: SparkSession, d: String,
+      timers: CodecTimers = CodecTimers.Disabled): DataFrame = {
+    import s.implicits._
+    sampleFrames(syntheticMjpegMedia(s, d, timers))
+      .mapPartitions { it =>
+        it.map { fr =>
+          timers.decode {
+            val (w, h, px) = MediaCodecs.rasterFeatures(
+              MediaCodecs.readImage(fr.frame_bytes))
+            (fr.media_id, w.toLong, h.toLong, px)
+          }
+        }
+      }
+      .toDF("media_id", "w", "h", "px")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("w")).as("sum_width"),
+        sum(col("h")).as("sum_height"),
+        sum(col("px")).as("sum_pixels"))
   }
 
   /** Synthesize an all-GRFT media table from `documents` text bytes — the

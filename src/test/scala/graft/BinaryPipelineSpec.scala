@@ -177,6 +177,102 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(frames.find(_.frame_no == 4).get.frame_bytes.length == 300 - 4 * 64)
   }
 
+  test("solid JPEG decode is uniform and size-independent (the MJPEG oracle's closed form)") {
+    // JPEG DC quantization shifts the decoded solid away from the encoded
+    // RGB — the oracle does NOT assume otherwise; what it relies on is that
+    // a solid fill decodes to a UNIFORM raster whose per-pixel value does
+    // not depend on dims (single-DC blocks, constant chroma planes)
+    for (ci <- Seq(0, 7, 31, 63)) {
+      val rgb = BinaryPipeline.Mjpeg.paletteRgb(ci)
+      val probe = MediaCodecs.readImage(MediaCodecs.encodeJpeg(8, 8, rgb))
+      val big = MediaCodecs.readImage(MediaCodecs.encodeJpeg(23, 15, rgb))
+      val p0 = probe.getRGB(0, 0)
+      for (x <- 0 until 23; y <- 0 until 15)
+        assert(big.getRGB(x, y) == p0, s"ci=$ci pixel ($x,$y) not uniform")
+      val (w, h, sum) = MediaCodecs.rasterFeatures(big)
+      val perPixel = (((p0 >> 16) & 0xff) + ((p0 >> 8) & 0xff) + (p0 & 0xff)).toLong
+      assert(sum == w * h * perPixel)
+      assert(BinaryPipeline.Mjpeg.decodedPaletteSums(ci) == perPixel)
+    }
+  }
+
+  test("MJPEG payload: real box tree, frame split exact, every frame decodes to its palette color") {
+    val id = 38L // id % 3 == 2: a video residue doc id
+    val payload = BinaryPipeline.Mjpeg.buildPayload(id)
+    val vh = BinaryPipeline.VideoHeaders.decode(payload)
+    val (w, h) = BinaryPipeline.Mjpeg.frameDims(id)
+    assert(vh.container == "mp4" && vh.width == w && vh.height == h)
+    val content = java.util.Arrays.copyOfRange(payload,
+      vh.contentOffset, vh.contentOffset + vh.contentLength)
+    val frames = BinaryPipeline.Mjpeg.splitJpegFrames(content)
+    assert(frames.length == BinaryPipeline.Mjpeg.frameCount(id))
+    assert(frames.map(_._1) == frames.map(_._1).sorted, "offsets ascend")
+    frames.zipWithIndex.foreach { case ((_, bytes), f) =>
+      val img = MediaCodecs.readImage(bytes)
+      assert(img.getWidth == w && img.getHeight == h)
+      val (_, _, sum) = MediaCodecs.rasterFeatures(img)
+      val ci = BinaryPipeline.Mjpeg.frameColorIndex(id, f)
+      assert(sum == w.toLong * h * BinaryPipeline.Mjpeg.decodedPaletteSums(ci),
+        s"frame $f decoded sum breaks the per-color closed form")
+    }
+    // corrupted tail (no EOI) fails loudly, like the box walk
+    intercept[IllegalArgumentException] {
+      BinaryPipeline.Mjpeg.splitJpegFrames(content.dropRight(1))
+    }
+  }
+
+  test("sampleFrames dispatches: real JPEG frames for MJPEG, chunk stub otherwise") {
+    val id = 38L
+    val mjpeg = MediaRecord(id, "video", BinaryPipeline.Mjpeg.buildPayload(id), "s")
+    val stub = MediaRecord(2L, "video",
+      BinaryPipeline.encodeFake(8, 8, Array.tabulate(300)(_.toByte)), "s")
+    val frames = BinaryPipeline.sampleFrames(Seq(mjpeg, stub).toDS()).collect()
+    val mj = frames.filter(_.media_id == id).sortBy(_.frame_no)
+    assert(mj.length == BinaryPipeline.Mjpeg.frameCount(id))
+    mj.foreach { fr =>
+      val img = MediaCodecs.readImage(fr.frame_bytes) // every frame a real JPEG
+      assert(img.getWidth == BinaryPipeline.Mjpeg.frameDims(id)._1)
+    }
+    // byte offsets point at the actual SOI positions inside the payload
+    val payload = mjpeg.payload
+    mj.foreach(fr => assert(payload(fr.offset.toInt) == 0xff.toByte &&
+      payload(fr.offset.toInt + 1) == 0xd8.toByte))
+    // the stub path is untouched: every 4th 64-byte chunk
+    assert(frames.count(_.media_id == 2L) == 2) // ceil(ceil(300/64)/4) = 2
+  }
+
+  test("fused sampled_frames equals the 1:N sampler's actual yield") {
+    // r16 task 5: q_media_features counts frames in the SAME pass as the
+    // decode — the count must be the enumeration's, for every length shape
+    for (len <- Seq(0, 1, 63, 64, 65, 256, 257, 300, 1024)) {
+      val media = Seq(MediaRecord(9L, "video",
+        BinaryPipeline.encodeFake(4, 4, Array.fill(len)(7.toByte)), "s")).toDS()
+      val enumerated = BinaryPipeline.sampleFrames(media).count()
+      assert(BinaryPipeline.sampledChunkCount(len.toLong) == enumerated,
+        s"len=$len closed form != enumeration")
+      val feat = BinaryPipeline.extractFeatures(media).head()
+      assert(feat.sampled_frames == enumerated)
+    }
+  }
+
+  test("mjpegFrameStats equals the palette closed form over the corpus") {
+    val stats = BinaryPipeline.mjpegFrameStats(spark, Sf).head()
+    val ids = Tables.documents(spark, Sf).select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 3 == 2)
+    val exp = ids.flatMap { id =>
+      val (w, h) = BinaryPipeline.Mjpeg.frameDims(id)
+      (0 until BinaryPipeline.Mjpeg.frameCount(id)).map { f =>
+        (w.toLong, h.toLong, w.toLong * h *
+          BinaryPipeline.Mjpeg.decodedPaletteSums(
+            BinaryPipeline.Mjpeg.frameColorIndex(id, f)))
+      }
+    }
+    assert(stats.getLong(0) == exp.length.toLong)
+    assert(stats.getLong(1) == exp.map(_._1).sum)
+    assert(stats.getLong(2) == exp.map(_._2).sum)
+    assert(stats.getLong(3) == exp.map(_._3).sum)
+  }
+
   test("kind-pruned synthesis equals the post-map filter it replaced, byte for byte") {
     // r12 task 5: the frames leg now prunes the SOURCE to the video residue
     // instead of synthesizing all payloads and filtering after the typed
