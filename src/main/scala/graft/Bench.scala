@@ -59,6 +59,14 @@ object Bench {
       spark.conf.set(graft.operators.Graphs.ScratchConfKey, v)
       System.err.println(s"[bench] triangle scratchBytes=$v")
     }
+    // generic session-conf overrides ("k=v,k=v") so gate-branch demos and
+    // deployment-sized budgets don't each need a bespoke env knob
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        System.err.println(s"[bench] conf $k=$v")
+      })
     // streaming state-store provider A/B (r12 verdict task 2): the 100×
     // phase fields put 834–890 s of summed p_stateUpdates behind the
     // stream-join faces on the default HDFS-backed store; RocksDB is the

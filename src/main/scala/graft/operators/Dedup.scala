@@ -687,6 +687,13 @@ object Dedup {
     * [[dedupClusters]] are the right faces, yet admitting every healthy
     * corpus (sf0.1 enumerates ~0.7M).
     */
+  /** Output-volume budget for enumerating pair faces. The default is a
+    * CONTRACT number, not a magic constant: enumeration output streams at
+    * a measured ~12 M pairs/s end-to-end (SURVEY §10.2), so 2×10⁹ rows ≈
+    * 167 s of pure output — sized against the 420 s probe window with
+    * headroom for the band join. BENCH_BUDGET.md "Round-17 contract knobs"
+    * is the auditable row (rate, window, refusal shape).
+    */
   val PairRowsConfKey = "spark.graft.simhash.maxPairRows"
   val DefaultMaxPairRows: Long = 2000000000L
 
