@@ -792,10 +792,18 @@ object Sinks {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // novelty probes the raw doc batch; shingling + minhash banding run
-        // once, over novel docs only, inside the single write action
+        // once, over novel docs only, inside the single write action.
+        // The explicit repartition fans the CPU-heavy minhash across the
+        // session width (r16 task 4): the expand otherwise inherits the
+        // batch SCAN's partitioning, and text compresses ~4:1 in parquet,
+        // so byte-sized scan splits leave a 100×-replica batch's ~160 s of
+        // signature CPU on a handful of tasks (the q_stream_enrich lesson
+        // applied to the one stream whose map side is compute, not I/O —
+        // a 100k-row text shuffle costs far less than the skew it cures).
         appendInsertIgnoreSketchedRows(batch, storePath, "doc_id",
           expand = b => graft.operators.Dedup.docBands(
-            graft.operators.Dedup.keyedShingles(b)))
+            graft.operators.Dedup.keyedShingles(
+              b.repartition(org.apache.spark.sql.functions.col("doc_id")))))
         postAppendHook(batchId)
       }
       .trigger(trigger)
