@@ -908,15 +908,23 @@ object SparkEntry {
       graft.sources.Federation.jdbcFactRevenue(s, d)),
 
     // -- graph analytics (part co-order graph from the lineitem incidence)
-    "q_triangle_count" -> ((s, d) => Graphs.triangleCount(s, d)),
+    // all three triangle faces read the staged edge landing (one basket
+    // expansion per dataset, not per face); semantics identical — the
+    // *Edges cores are the spec-pinned operators
+    "q_triangle_count" -> ((s, d) => Graphs.triangleCountEdges(
+      coOrderEdgeLanding(s, d), Graphs.broadcastMaxEdgesFor(s),
+      maxWedges = Graphs.maxExactWedgesFor(s))),
     // DOULION edge-sampled estimate (p = 1/4, md5-deterministic so the
     // oracle reproduces the same sampled subgraph and the same integer)
-    "q_triangle_approx" -> ((s, d) => Graphs.triangleCountApprox(s, d)),
+    "q_triangle_approx" -> ((s, d) =>
+      Graphs.triangleCountApproxEdges(coOrderEdgeLanding(s, d))),
     // the triangle family's REGIME GATE (r16 verdict task 1): measure the
     // exact wedge volume, choose exact vs DOULION at the smallest
     // admissible rate; the oracle replays the measured volume, the integer
     // chooser ladder, and the chosen branch's count
-    "q_triangle_auto" -> ((s, d) => Graphs.triangleCountAuto(s, d)),
+    "q_triangle_auto" -> ((s, d) => Graphs.triangleCountAutoEdges(
+      coOrderEdgeLanding(s, d), Graphs.broadcastMaxEdgesFor(s),
+      Graphs.maxExactWedgesFor(s))),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
     "q_co_order_topk" -> ((s, d) => Graphs.coOrderTopK(s, d)),
     // the exact face's scale lever (r13 verdict task 3): sampled candidate
@@ -1176,6 +1184,27 @@ object SparkEntry {
 
   private def mediaWidth(s: SparkSession): Int =
     s.sparkContext.defaultParallelism
+
+  /** The canonical co-order edge list staged ONCE per dataset — the table
+    * a 100 TB deployment materializes (it IS the graph; the basket
+    * expansion + distinct costs ~35 s at the 100× replica and every
+    * triangle face was re-paying it). Same memo/cold-reset semantics as
+    * every landing; the read repartitions to session width because the
+    * 32 landing files pack into few scan splits under the 128 MB default
+    * while everything downstream (orientation joins, checkpoint blocks)
+    * inherits the read's partitioning. The co_order_* and pagerank faces
+    * do NOT read it: their weighted pair/rank dataflows differ, and the
+    * record runs them in dedicated JVMs where a single-use staging is
+    * build-plus-write — strictly worse than building.
+    */
+  private def coOrderEdgeLanding(s: SparkSession, d: String): DataFrame = {
+    val root = stagedLanding("co_order_edges", d) { dir =>
+      Graphs.coOrderEdges(s, d).write.mode("overwrite")
+        .parquet(dir.resolve("edges").toString)
+    }
+    s.read.parquet(s"$root/edges")
+      .repartition(s.sparkContext.defaultParallelism)
+  }
 
   private def stagedLanding(key: String, d: String)(
       stage: java.nio.file.Path => Unit): String =
