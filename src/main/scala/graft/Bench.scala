@@ -60,13 +60,10 @@ object Bench {
       System.err.println(s"[bench] triangle scratchBytes=$v")
     }
     // generic session-conf overrides ("k=v,k=v") so gate-branch demos and
-    // deployment-sized budgets don't each need a bespoke env knob
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
-      .filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-        System.err.println(s"[bench] conf $k=$v")
-      })
+    // deployment-sized budgets don't each need a bespoke env knob; shared
+    // with Verify ([[Tables.applyEnvConfOverrides]] — key validation and
+    // the no-commas-in-values limitation documented there, r17 ADVICE)
+    Tables.applyEnvConfOverrides(spark, "bench")
     // streaming state-store provider A/B (r12 verdict task 2): the 100×
     // phase fields put 834–890 s of summed p_stateUpdates behind the
     // stream-join faces on the default HDFS-backed store; RocksDB is the
@@ -335,6 +332,19 @@ object Bench {
       .getOrElse(ceiling)
 
     def jstr(s: String) = Bench.jsonString(s)
+    // per-face one-time dataset staging (the `staging` phase stamp: stream
+    // landings, media fixtures, Derby loads, the co-order edge landing),
+    // charged to whichever face drew it. r17 verdict task 1: three of the
+    // five slowest 100× "faces" were mostly dataset setup, so the contract
+    // adjudication below runs on query_secs = wall − staging while the
+    // headline `queries`/`value` stay honest cold wall. The phase snapshot
+    // reflects the face's LAST run; a cold-reset retry re-stages, so the
+    // same staging applies to both observations.
+    val stagingOf: Map[String, Double] =
+      (results.flatMap { case (k, _, _, _, _) =>
+        BenchPhases.snapshot(k).flatMap(_.get("staging")).map(k -> _) } ++
+       forked.flatMap(f => f.phasesRaw.flatMap(stagingFromRawPhases).map(f.name -> _)))
+        .toMap
     val qs = allCold.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     // designed refusals (admission gates firing as specified, sizing string
     // preserved) live in `refused`; `errors` is real failures ONLY — an
@@ -345,16 +355,20 @@ object Bench {
       .mkString("{", ",", "}")
     val nRefused = allCold.count(_._4)
     val total = allCold.map(_._2).sum
-    val over = allCold.collect {
-      case (k, v, None, _) if v > ceiling &&
-          retryBySecond.get(k).forall { case (s2, e2) => s2 > ceiling || e2.nonEmpty } =>
-        (k, math.min(v, retryBySecond.get(k).map(_._1).getOrElse(v)))
+    // contract adjudication is STAGING-NET (r17 verdict task 1): a face
+    // lands in over_contract only when every error-free observation still
+    // breaches the ceiling after its one-time dataset staging is netted
+    // out; the reported number is the best staging-net observation
+    val over = allCold.collect { case (k, v, None, _) => (k, v) }.flatMap {
+      case (k, v) =>
+        overContractNet(v, retryBySecond.get(k),
+          stagingOf.getOrElse(k, 0.0), ceiling).map(net => (k, net))
     }
     val windowOver = over.filter { case (_, v) => v > windowSec }
     windowOver.foreach { case (k, v) =>
-      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs > ${windowSec}%.0fs window (both runs)") }
+      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs staging-net > ${windowSec}%.0fs window (both runs)") }
     over.filter { case (_, v) => v <= windowSec }.foreach { case (k, v) =>
-      System.err.println(f"[bench] over contract $k ${v}%.1fs > ${ceiling}%.0fs ceiling (inside ${windowSec}%.0fs window)") }
+      System.err.println(f"[bench] over contract $k ${v}%.1fs staging-net > ${ceiling}%.0fs ceiling (inside ${windowSec}%.0fs window)") }
     val overJson = windowOver.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val contractJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val retriesJson = retriedAll.map { case (n, first, s2, _) =>
@@ -384,6 +398,13 @@ object Bench {
       .mkString("{", ",", "}")
     val storeJson = stateStore.map(jstr).getOrElse("null")
     val dedicatedJson = forked.map(f => jstr(f.name)).mkString("[", ",", "]")
+    // staging reported once, artifact-level, per face that drew it; and the
+    // staging-net clock for EVERY face (== cold where nothing was staged)
+    val stagingJson = stagingOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val querySecsJson = allCold.map { case (k, v, _, _) =>
+      jstr(k) + ":" + r3(stagingNet(v, stagingOf.getOrElse(k, 0.0))) }
+      .mkString("{", ",", "}")
     // steady_total: the headline total with every retried face replaced by
     // its best error-free observation — the round-over-round number a
     // reader can compare without prose about co-tenant noise (r16 task 2).
@@ -394,7 +415,7 @@ object Bench {
     val steadyTotal = allCold.map { case (k, v, _, _) =>
       steadyByBest.getOrElse(k, v) }.sum
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_last.json")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":${r3(steadyTotal)},"queries":$qs,"errors":$errs,"refused":$refusedJson,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"rerun_staging":"cold-reset","rerun_slowest":$rerunSlowest,"dedicated_jvm":$dedicatedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":${r3(steadyTotal)},"queries":$qs,"query_secs":$querySecsJson,"staging":$stagingJson,"errors":$errs,"refused":$refusedJson,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"rerun_staging":"cold-reset","rerun_slowest":$rerunSlowest,"dedicated_jvm":$dedicatedJson,"sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries
@@ -459,6 +480,37 @@ object Bench {
       err: Option[String], refused: Boolean,
       second: Option[(Double, Option[String])],
       phasesRaw: Option[String])
+
+  /** A face's contract clock net of its one-time dataset staging, clamped
+    * at zero (a staging stamp can exceed a retried face's best wall when
+    * the box sped up between runs — a negative "query time" would be
+    * nonsense in the artifact).
+    */
+  private[graft] def stagingNet(secs: Double, staging: Double): Double =
+    math.max(secs - math.max(staging, 0.0), 0.0)
+
+  /** The staging-net over-contract decision for one face (r17 verdict task
+    * 1): Some(best staging-net seconds) when EVERY error-free observation —
+    * the cold run and any error-free retry — still breaches the ceiling
+    * after staging is netted out; None otherwise. An errored retry
+    * contributes nothing (same as the old rule: it cannot clear a face).
+    * BenchPhasesSpec pins the arithmetic.
+    */
+  private[graft] def overContractNet(cold: Double,
+      retry: Option[(Double, Option[String])], staging: Double,
+      ceiling: Double): Option[Double] = {
+    val nets = stagingNet(cold, staging) +:
+      retry.collect { case (s2, None) => stagingNet(s2, staging) }.toSeq
+    if (nets.forall(_ > ceiling)) Some(nets.min) else None
+  }
+
+  /** Pull the `staging` stamp out of a forked child's raw phases JSON — a
+    * string THIS process's own writer produced (sorted keys, r3-rounded
+    * values), so a targeted scan is reliable without a JSON parser.
+    */
+  private[graft] def stagingFromRawPhases(raw: String): Option[Double] =
+    """"staging":([0-9.Ee+-]+)""".r.findFirstMatchIn(raw)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
 
   /** True when any cause in the chain is a [[DesignedRefusal]] — the gate
     * exceptions are thrown driver-side (sized BEFORE work starts) so they

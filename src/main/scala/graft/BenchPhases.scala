@@ -68,7 +68,14 @@ object BenchPhases {
   }
 
   /** Fold a finished streaming query's own progress telemetry into the
-    * current scope (micro-batch count + per-metric duration sums). */
+    * current scope (micro-batch count + per-metric duration sums).
+    * `p_stateRows` is the PEAK state volume — max across batches of the
+    * total rows maintained over all state operators — the machine-readable
+    * sizing the stream-join over_contract adjudication reads together with
+    * `p_stateUpdates` (state rows × per-row cost; r17 verdict task 3). A
+    * face settling several streams sums their peaks — total state the face
+    * maintained.
+    */
   def attribute(q: StreamingQuery): Unit = {
     val progs = q.recentProgress
     add("n_batches", progs.length.toDouble)
@@ -79,6 +86,9 @@ object BenchPhases {
         add("p_stateUpdates", so.allUpdatesTimeMs.toDouble / 1000.0)
       }
     }
+    val peakRows = progs.foldLeft(0L) { (m, p) =>
+      math.max(m, p.stateOperators.map(_.numRowsTotal).sum) }
+    if (peakRows > 0L) add("p_stateRows", peakRows.toDouble)
   }
 
   /** `awaitTermination` under a `stream_wall` phase + progress attribution —

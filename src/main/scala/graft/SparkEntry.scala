@@ -367,6 +367,13 @@ object SparkEntry {
     //    margin, so time-ordered slices never lose a match to eviction).
     "q_stream_join" -> ((s, d) => {
       import graft.streaming.EventStreamJob
+      // volume_bound (r17 verdict task 3): this face's cost at scale IS its
+      // state maintenance — the interval join holds every in-window view/
+      // purchase row in the store, so the contract-relevant sizing is
+      // p_stateRows (peak rows maintained) × per-row update cost
+      // (p_stateUpdates task-seconds), both stamped in the phases map; the
+      // marker makes the adjudication machine-readable in the artifact
+      graft.BenchPhases.add("volume_bound", 1.0)
       val landing = stagedLanding("join_mb", d) { dir =>
         stageEventSlices(s, d, dir, StreamSlices)
       }
@@ -385,6 +392,9 @@ object SparkEntry {
     //    Watermark updates take effect one batch late, hence TWO sentinels.
     "q_stream_left_join" -> ((s, d) => {
       import graft.streaming.EventStreamJob
+      // volume_bound: see q_stream_join — same state-volume contract, plus
+      // the sentinel batches that finalize never-matched purchases
+      graft.BenchPhases.add("volume_bound", 1.0)
       val landing = stagedLanding("left_join_mb", d) { dir =>
         val raw = Tables.eventsRawNanos(s, d)
         val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
@@ -911,9 +921,13 @@ object SparkEntry {
     // all three triangle faces read the staged edge landing (one basket
     // expansion per dataset, not per face); semantics identical — the
     // *Edges cores are the spec-pinned operators
+    // statsKey: whichever face measures the wedge volume first memoizes it
+    // per dataset, so an over-budget exact count REFUSES from the staged
+    // sizing in milliseconds instead of re-paying edge ckpt + orientation +
+    // gate job (r17 verdict task 5 — the refusal cost 20.8 s at 100×)
     "q_triangle_count" -> ((s, d) => Graphs.triangleCountEdges(
       coOrderEdgeLanding(s, d), Graphs.broadcastMaxEdgesFor(s),
-      maxWedges = Graphs.maxExactWedgesFor(s))),
+      maxWedges = Graphs.maxExactWedgesFor(s), statsKey = Some(d))),
     // DOULION edge-sampled estimate (p = 1/4, md5-deterministic so the
     // oracle reproduces the same sampled subgraph and the same integer)
     "q_triangle_approx" -> ((s, d) =>
@@ -924,7 +938,7 @@ object SparkEntry {
     // chooser ladder, and the chosen branch's count
     "q_triangle_auto" -> ((s, d) => Graphs.triangleCountAutoEdges(
       coOrderEdgeLanding(s, d), Graphs.broadcastMaxEdgesFor(s),
-      Graphs.maxExactWedgesFor(s))),
+      Graphs.maxExactWedgesFor(s), statsKey = Some(d))),
     "q_pagerank" -> ((s, d) => Graphs.pageRank(s, d)),
     "q_co_order_topk" -> ((s, d) => Graphs.coOrderTopK(s, d)),
     // the exact face's scale lever (r13 verdict task 3): sampled candidate
@@ -1549,14 +1563,17 @@ object SparkEntry {
     * as Graphs.chooseTriangleIp (0 = exact within the wedge budget, else
     * the smallest DOULION exponent whose 4^ip brings the sampled volume
     * under it). Products are precomputed literals, so the ladder is
-    * integer-exact in both engines. `wedgesCol` is BIGINT.
+    * integer-exact in both engines. `wedgesCol` is BIGINT. `budget` is the
+    * RUN's wedge budget ([[Graphs.maxExactWedgesFor]], read from the same
+    * session the query will use) — generating from the constant made the
+    * oracle silently replay a different regime whenever the conf was
+    * overridden (r17 ADVICE); q_triangle_auto is a GENERATED oracle now.
     */
-  private def sqlTriangleIp(wedgesCol: String): String = {
-    val t = graft.operators.Graphs.DefaultMaxExactWedges
+  private def sqlTriangleIp(wedgesCol: String, budget: Long): String = {
     val ladder = graft.operators.Graphs.AutoIpLadder.dropRight(1).map { ip =>
-      s"WHEN $wedgesCol <= ${t * (1L << (2 * ip))} THEN $ip"
+      s"WHEN $wedgesCol <= ${budget * (1L << (2 * ip))} THEN $ip"
     }.mkString(" ")
-    s"(CASE WHEN $wedgesCol <= $t THEN 0 $ladder " +
+    s"(CASE WHEN $wedgesCol <= $budget THEN 0 $ladder " +
       s"ELSE ${graft.operators.Graphs.AutoIpLadder.last} END)"
   }
 
@@ -3649,46 +3666,9 @@ object SparkEntry {
         |  (n_sampled >= 25) AS sample_ok
         |FROM t""".stripMargin,
 
-    // the triangle regime gate replayed end-to-end: the SAME wedge volume
-    // (degree-oriented DAG, Σ od(od-1)//2 — integer exact), the SAME CASE
-    // ladder ([[Graphs.chooseTriangleIp]]), and the chosen branch's count
-    // (exact triple join, or the md5-deterministic DOULION sample at the
-    // chosen 1/p with its quality fields)
-    "q_triangle_auto" ->
-      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-         |          FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk),
-         |deg AS (SELECT node, count(*) AS dg
-         |        FROM (SELECT u AS node FROM edges
-         |              UNION ALL SELECT v AS node FROM edges)
-         |        GROUP BY 1),
-         |ori AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
-         |                 THEN e.u ELSE e.v END AS s
-         |        FROM edges e
-         |        JOIN deg du ON du.node = e.u
-         |        JOIN deg dv ON dv.node = e.v),
-         |w AS (SELECT CAST(coalesce(sum(od * (od - 1)), 0) // 2 AS BIGINT) AS n_wedges
-         |      FROM (SELECT count(*) AS od FROM ori GROUP BY s)),
-         |decision AS (SELECT n_wedges, ${sqlTriangleIp("n_wedges")} AS ip FROM w),
-         |ex AS (SELECT count(*) AS c FROM edges e1
-         |       JOIN edges e2 ON e2.u = e1.v
-         |       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
-         |sampled AS (SELECT u, v FROM edges
-         |  WHERE CAST(concat('0x', substring(md5('tri:' || CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
-         |    < (CAST(1 AS BIGINT) << (60 - (SELECT ip FROM decision)))),
-         |sc AS (SELECT count(*) AS c FROM sampled e1
-         |       JOIN sampled e2 ON e2.u = e1.v
-         |       JOIN sampled e3 ON e3.u = e1.u AND e3.v = e2.v)
-         |SELECT d.n_wedges, 'exact' AS regime, CAST(0 AS BIGINT) AS inv_p_log2,
-         |  CAST(ex.c AS BIGINT) AS n_triangles, CAST(ex.c AS BIGINT) AS n_sampled,
-         |  TRUE AS sample_ok
-         |FROM decision d, ex WHERE d.ip = 0
-         |UNION ALL
-         |SELECT d.n_wedges, 'sampled' AS regime, CAST(d.ip AS BIGINT) AS inv_p_log2,
-         |  CAST(sc.c * (CAST(1 AS BIGINT) << (3 * d.ip)) AS BIGINT) AS n_triangles,
-         |  CAST(sc.c AS BIGINT) AS n_sampled,
-         |  (sc.c >= ${Graphs.ApproxMinSampled}) AS sample_ok
-         |FROM decision d, sc WHERE d.ip > 0""".stripMargin,
+    // q_triangle_auto's oracle is GENERATED (triangleAutoOracle): the CASE
+    // ladder embeds the RUN's wedge budget read from the session conf, not
+    // the compile-time default (r17 ADVICE)
 
     // heaviest co-order pairs with support; (n DESC, u, v) tiebreak makes
     // the LIMIT deterministic
@@ -4285,7 +4265,8 @@ object SparkEntry {
       (Seq("q_ann_pq", "q_ann_pq_rerank", "q_ann_ivfpq"), () => pqOracles(s, d)),
       (Seq("q_ann_recall"), () => annRecallOracle(s, d)),
       (Seq("q_ann_recall_sweep"), () => annRecallSweepOracle(s, d)),
-      (Seq("q_media_frame_pixels"), () => mjpegOracle()))
+      (Seq("q_media_frame_pixels"), () => mjpegOracle()),
+      (Seq("q_triangle_auto"), () => triangleAutoOracle(s)))
     groups.foldLeft((Map.empty[String, String], Map.empty[String, String])) {
       case ((ok, errs), (names, gen)) =>
         try (ok ++ gen(), errs)
@@ -4299,7 +4280,60 @@ object SparkEntry {
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] =
     pageRankOracle(s, d) ++ lshOracles(s, d) ++ centroidOracles(s, d) ++
       pqOracles(s, d) ++ annRecallOracle(s, d) ++ annRecallSweepOracle(s, d) ++
-      mjpegOracle()
+      mjpegOracle() ++ triangleAutoOracle(s)
+
+  /** q_triangle_auto, generated: the triangle regime gate replayed
+    * end-to-end — the SAME wedge volume (degree-oriented DAG,
+    * Σ od(od−1)//2, integer exact), the SAME CASE ladder
+    * ([[Graphs.chooseTriangleIp]]) embedding THIS session's wedge budget
+    * ([[Graphs.maxExactWedgesFor]] — the conf, not the compile-time
+    * default; r17 ADVICE), and the chosen branch's count (exact triple
+    * join, or the md5-deterministic DOULION sample at the chosen 1/p with
+    * its quality fields). `rel_err_pct` replays
+    * [[Graphs.triangleRelErrPct]] as pure integer comparisons: the
+    * smallest e ∈ [1,100] with e²·n ≥ 100², via a correlated min over
+    * range(1,101) — no IEEE sqrt on either engine.
+    */
+  private def triangleAutoOracle(s: SparkSession): Map[String, String] = {
+    val budget = Graphs.maxExactWedgesFor(s)
+    Map("q_triangle_auto" ->
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |edges AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+         |          FROM pe a JOIN pe b ON a.ok = b.ok AND a.pk < b.pk),
+         |deg AS (SELECT node, count(*) AS dg
+         |        FROM (SELECT u AS node FROM edges
+         |              UNION ALL SELECT v AS node FROM edges)
+         |        GROUP BY 1),
+         |ori AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+         |                 THEN e.u ELSE e.v END AS s
+         |        FROM edges e
+         |        JOIN deg du ON du.node = e.u
+         |        JOIN deg dv ON dv.node = e.v),
+         |w AS (SELECT CAST(coalesce(sum(od * (od - 1)), 0) // 2 AS BIGINT) AS n_wedges
+         |      FROM (SELECT count(*) AS od FROM ori GROUP BY s)),
+         |decision AS (SELECT n_wedges, ${sqlTriangleIp("n_wedges", budget)} AS ip FROM w),
+         |ex AS (SELECT count(*) AS c FROM edges e1
+         |       JOIN edges e2 ON e2.u = e1.v
+         |       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sampled AS (SELECT u, v FROM edges
+         |  WHERE CAST(concat('0x', substring(md5('tri:' || CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT)
+         |    < (CAST(1 AS BIGINT) << (60 - (SELECT ip FROM decision)))),
+         |sc AS (SELECT count(*) AS c FROM sampled e1
+         |       JOIN sampled e2 ON e2.u = e1.v
+         |       JOIN sampled e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT d.n_wedges, 'exact' AS regime, CAST(0 AS BIGINT) AS inv_p_log2,
+         |  CAST(ex.c AS BIGINT) AS n_triangles, CAST(ex.c AS BIGINT) AS n_sampled,
+         |  TRUE AS sample_ok, CAST(0 AS BIGINT) AS rel_err_pct
+         |FROM decision d, ex WHERE d.ip = 0
+         |UNION ALL
+         |SELECT d.n_wedges, 'sampled' AS regime, CAST(d.ip AS BIGINT) AS inv_p_log2,
+         |  CAST(sc.c * (CAST(1 AS BIGINT) << (3 * d.ip)) AS BIGINT) AS n_triangles,
+         |  CAST(sc.c AS BIGINT) AS n_sampled,
+         |  (sc.c >= ${Graphs.ApproxMinSampled}) AS sample_ok,
+         |  CAST(coalesce((SELECT min(t.e) FROM range(1, 101) t(e)
+         |                 WHERE t.e * t.e * sc.c >= 10000), 100) AS BIGINT) AS rel_err_pct
+         |FROM decision d, sc WHERE d.ip > 0""".stripMargin)
+  }
 
   /** q_media_frame_pixels, generated: the 64 palette colors' DECODED
     * per-pixel sums are probed through the real JPEG codec driver-side

@@ -23,6 +23,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Tables.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same override knob as Bench: a gate-branch demo (e.g. a forced-small
+    // triangle wedge budget) must drive the QUERIES and the GENERATED
+    // oracles from one session conf, or the oracle replays the wrong
+    // regime (r17 ADVICE)
+    Tables.applyEnvConfOverrides(spark, "verify")
     new java.io.File(outDir).mkdirs()
     // A failed query must leave an explicit error record, never a silent gap
     // (round-1 lesson: q_window_lag vanished from the correctness report).

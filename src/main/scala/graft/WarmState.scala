@@ -38,5 +38,8 @@ object WarmState {
     graft.sources.Federation.resetStaged()
     graft.operators.Similarity.resetModelMemos()
     graft.operators.Graphs.resetScaleCache()
+    // per-dataset triangle sizing memo (r17 verdict task 5) — a cold rerun
+    // of the exact face must re-measure, not read another face's probe
+    graft.operators.Graphs.resetWedgeStats()
   }
 }

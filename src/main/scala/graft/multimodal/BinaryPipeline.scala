@@ -135,6 +135,33 @@ object BinaryPipeline {
       img
     }
 
+    /** Decode a JPEG through a REUSED per-thread reader. `ImageIO.read`
+      * pays per call for work that is per-CODEC, not per-image: an SPI
+      * registry search, a fresh reader instance, and a disk-backed
+      * `FileCacheImageInputStream` (a temp FILE per decode under the
+      * default `getUseCache`). At the MJPEG fixture's tiny frames that
+      * setup is ~30× the pixel work — the q_media_frame_pixels face at
+      * 100× was reader setup, not decode (r17 verdict task 7). One
+      * thread-local reader + an in-memory input stream amortizes all
+      * three; readers are not thread-safe, which is exactly what the
+      * thread-local provides (bounded by executor thread count).
+      * BinaryPipelineSpec pins raster equality against [[readImage]].
+      */
+    def readJpegReused(payload: Array[Byte]): BufferedImage = {
+      val r = jpegReaders.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
+      try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+    }
+
+    private val jpegReaders = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = ImageIO.getImageReadersByFormatName("jpeg")
+        require(it.hasNext, "no JPEG ImageReader installed")
+        it.next()
+      }
+    }
+
     /** Encode a raster as PNG bytes. */
     def writePng(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
@@ -509,10 +536,21 @@ object BinaryPipeline {
                 content_sum = sampleSum, checksum = base._4, sampled_frames = 0L)
             case _ =>
               val vh = VideoHeaders.decode(r.payload)
+              // sampled_frames is the SAMPLER's yield, per codec path (r17
+              // ADVICE): MJPEG content dispatches to real frame splitting
+              // in [[sampleFrames]], so the fused count must be the real
+              // frame count there, not the chunk-stub closed form
+              val sampled =
+                if (Mjpeg.looksLikeMjpegAt(r.payload, vh.contentOffset,
+                    vh.contentLength))
+                  Mjpeg.splitJpegFrames(java.util.Arrays.copyOfRange(
+                    r.payload, vh.contentOffset,
+                    vh.contentOffset + vh.contentLength)).size.toLong
+                else sampledChunkCount(vh.contentLength.toLong)
               MediaFeatures(base._1, base._2, base._3, vh.width, vh.height,
                 frames = 0L, decoded_bytes = vh.contentLength.toLong,
                 content_sum = 0L, checksum = base._4,
-                sampled_frames = sampledChunkCount(vh.contentLength.toLong))
+                sampled_frames = sampled)
           }
         }
       }
@@ -849,7 +887,15 @@ object BinaryPipeline {
       * the text/GRFT fixtures: 0xFF is not a valid UTF-8 lead byte.
       */
     def looksLikeMjpeg(content: Array[Byte]): Boolean =
-      content.length >= 4 && content(0) == 0xff.toByte && content(1) == 0xd8.toByte
+      looksLikeMjpegAt(content, 0, content.length)
+
+    /** The same dispatch test against a slice in place — so callers that
+      * only need the verdict (extractFeatures' sampled-frames count) don't
+      * copy the content out of the payload first.
+      */
+    def looksLikeMjpegAt(payload: Array[Byte], off: Int, len: Int): Boolean =
+      len >= 4 && off >= 0 && off + 2 <= payload.length &&
+        payload(off) == 0xff.toByte && payload(off + 1) == 0xd8.toByte
 
     /** Split concatenated JPEGs on their SOI..EOI extents. Baseline JPEG
       * entropy data byte-stuffs 0xFF as FF 00, so FF D9 inside a frame IS
@@ -921,10 +967,13 @@ object BinaryPipeline {
     import s.implicits._
     sampleFrames(media)
       .mapPartitions { it =>
+        // per-frame decode through the REUSED thread-local JPEG reader:
+        // the per-call SPI search + temp-file cache of ImageIO.read was
+        // the face's dominant cost at 100× (r17 verdict task 7)
         it.map { fr =>
           timers.decode {
             val (w, h, px) = MediaCodecs.rasterFeatures(
-              MediaCodecs.readImage(fr.frame_bytes))
+              MediaCodecs.readJpegReused(fr.frame_bytes))
             (fr.media_id, w.toLong, h.toLong, px)
           }
         }

@@ -26,8 +26,13 @@ object Graphs {
   private def timed[T](query: String, phase: String)(body: => T): T = {
     val t0 = System.nanoTime()
     val r = body
+    val secs = (System.nanoTime() - t0) / 1e9
+    // also land the phase in the bench artifact (no-op outside a Bench
+    // scope): the r17 verdict's co-order drift adjudication needed the
+    // face's own decomposition IN the committed record, not just stderr
+    graft.BenchPhases.add("p_" + phase, secs)
     System.err.println(
-      f"[graft.graphs] $query $phase%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      f"[graft.graphs] $query $phase%-14s $secs%7.2fs")
     r
   }
 
@@ -101,7 +106,7 @@ object Graphs {
     */
   def triangleCount(s: SparkSession, d: String): DataFrame =
     triangleCountEdges(coOrderEdges(s, d), broadcastMaxEdgesFor(s),
-      maxWedges = maxExactWedgesFor(s))
+      maxWedges = maxExactWedgesFor(s), statsKey = Some(d))
 
   /** The edge-iterator admission cap, deployment-sized: the broadcast path
     * holds the whole oriented adjacency (m longs + array overhead) in every
@@ -180,6 +185,40 @@ object Graphs {
     if (wedges <= maxExact) 0
     else AutoIpLadder.find(ip => wedges <= maxExact * (1L << (2 * ip)))
       .getOrElse(AutoIpLadder.last)
+
+  /** DOULION estimate's error bar as an integer percent (r17 verdict task
+    * 4): the estimator's relative standard error is ≈ 1/√n_sampled
+    * (triangle survival at p³ is Poisson-ish and the variance bound of
+    * Tsourakakis et al. 2009 reduces to it when sampled triangles dominate
+    * the shared-edge term, which `sample_ok`'s n ≥ 25 floor guarantees).
+    * Emitted in the suite's integer style — the smallest e ∈ [1, 100] with
+    * e²·n ≥ 100² (= ⌈100/√n⌉, but computed by pure integer comparisons so
+    * the oracle's replay is bit-exact, never an IEEE-rounding coin flip);
+    * n = 0 caps at 100 ("all variance" — same verdict as sample_ok=false).
+    */
+  def triangleRelErrPct(nSampled: Long): Long =
+    if (nSampled <= 0L) 100L
+    else (1L to 100L).find(e => e * e * nSampled >= 10000L).getOrElse(100L)
+
+  // ---- per-dataset wedge-stat memo (r17 verdict task 5) -------------------
+  //
+  // The exact face's REFUSAL at 100× cost 20.8 s: edge checkpoint + degree
+  // orientation + the gate aggregate, run only to learn a number
+  // (268.3 B wedges) that q_triangle_auto had measured seconds earlier in
+  // the same session over the same staged edge landing. The memo makes the
+  // sizing a per-dataset fact, like the PageRank scale: whichever triangle
+  // face measures (m, wedges) first records it, and a later exact face
+  // consults it BEFORE building anything — an over-budget graph refuses in
+  // milliseconds with the identical sizing message. Contract: a caller
+  // passing `statsKey` asserts the edge frame IS the canonical co-order
+  // edge list of that dataset (SparkEntry passes the staged landing); the
+  // same immutable-dataset assumption as [[scaleCache]], and
+  // [[graft.WarmState.resetForColdRerun]] drops it for cold reruns.
+
+  private val wedgeStatsCache = TrieMap.empty[String, (Long, Long)]
+
+  /** Drop the memoized (edges, wedges) sizing — cold-rerun uniformity. */
+  private[graft] def resetWedgeStats(): Unit = wedgeStatsCache.clear()
 
   /** "Frequently bought together": the k heaviest co-order part pairs with
     * their support counts. The pair aggregation is the weighted form of
@@ -292,17 +331,34 @@ object Graphs {
       mods: Seq[Int] = HeavyPairSweepMods,
       candidates: Int = HeavyPairCandidates): DataFrame = {
     import s.implicits._
-    val exact = coOrderPairs(s, d)
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+    // Truth — the full pair aggregation — is the sweep's dominant cost, and
+    // the mod = 1 candidate stage is DEFINITIONALLY the same aggregation (a
+    // 1/1 basket sample sees true counts). Checkpoint the truth once and
+    // derive the mod-1 pool from it (identical (count desc, u, v) order and
+    // limit), instead of re-running heavyPairCandidates over every basket:
+    // that removes one full basket expansion + pair shuffle — the sweep's
+    // expansion work drops from 1+1+½+¼ to 1+½+¼ truth-equivalents (r17
+    // verdict task 2: the face drifted 61 → 77.6 s steady at 100×). The
+    // checkpoint also feeds the final probe join, so the truth subtree runs
+    // exactly once either way.
+    val (exact, exactIds) = timed("heavy_recall", "truth_ckpt")(
+      IterCheckpoint.checkpoint(coOrderPairs(s, d)
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))))
     val cands = mods.map { m =>
-      heavyPairCandidates(s, d, m, candidates)
-        .select(col("u"), col("v"), lit(m).as("sample_mod"), lit(1).as("hit"))
+      val pool =
+        if (m == 1) exact
+          .orderBy(col("n_orders").desc, col("u"), col("v")).limit(candidates)
+          .select(col("u"), col("v"))
+        else heavyPairCandidates(s, d, m, candidates).select(col("u"), col("v"))
+      pool.select(col("u"), col("v"), lit(m).as("sample_mod"), lit(1).as("hit"))
     }.reduce(_.unionByName(_))
-    exact.crossJoin(broadcast(mods.toDF("sample_mod")))
+    val out = exact.crossJoin(broadcast(mods.toDF("sample_mod")))
       .join(broadcast(cands), Seq("sample_mod", "u", "v"), "left_outer")
       .groupBy(col("sample_mod"), col("n_orders"))
       .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_cand"),
         (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+    IterCheckpoint.supersede(s, "coOrderHeavyRecall", exactIds)
+    out
   }
 
   // ---- regime gate for the heavy-pair lever (r14 verdict task 4) ---------
@@ -732,8 +788,20 @@ object Graphs {
   def triangleCountEdges(edges: DataFrame,
       broadcastMaxEdges: Long = BroadcastRowCap,
       sketchWedgeFactor: Long = SketchWedgeFactor,
-      maxWedges: Long = Long.MaxValue): DataFrame = {
+      maxWedges: Long = Long.MaxValue,
+      statsKey: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
+    // memoized-sizing fast path (r17 verdict task 5): when another triangle
+    // face already measured this dataset's wedge volume, an over-budget
+    // exact count refuses HERE — before the edge checkpoint, orientation or
+    // gate job — with the identical sizing message
+    statsKey.flatMap(wedgeStatsCache.get).foreach { case (m, w) =>
+      if (w > maxWedges) {
+        System.err.println(s"[graft.graphs] triangle refusing from memoized " +
+          s"sizing for $statsKey: m=$m wedges=$w budget=$maxWedges")
+        throw TriangleWedgeBudgetExceeded(w, maxWedges, m)
+      }
+    }
     // checkpoint the CANONICAL edge list first: it is the expensive subtree
     // (for the co-order graph, the basket expansion + distinct), it doubles
     // as the closing-edge probe set verbatim, and a count over its
@@ -761,8 +829,15 @@ object Graphs {
       IterCheckpoint.supersede(s, "triangleCount", oriIds)
     } else IterCheckpoint.supersede(s, "triangleCount", edgIds ++ oriIds)
     // the gate job: exact wedge volume Σ C(outdeg, 2) in one aggregate over
-    // the checkpointed DAG (n-row shuffle of longs)
-    val nWedges = timed("triangle", "gate_stats")(wedgeVolumeOf(ori))
+    // the checkpointed DAG (n-row shuffle of longs) — or the memoized
+    // per-dataset measurement when a prior face already ran it
+    val nWedges = statsKey.flatMap(wedgeStatsCache.get) match {
+      case Some((_, w)) => w
+      case None =>
+        val w = timed("triangle", "gate_stats")(wedgeVolumeOf(ori))
+        statsKey.foreach(k => wedgeStatsCache.put(k, (nEdges, w)))
+        w
+    }
     // exact-wedge admission gate (r16 task 1): the wedge volume IS the
     // exact count's work on EITHER path, so past the budget the face
     // refuses with the sizing — before the intersect/shuffle starts
@@ -868,7 +943,15 @@ object Graphs {
     */
   val MaxWedgeGateRaises = 6
 
-  def triangleCountApproxEdges(edges: DataFrame, invPLog2: Int = 2): DataFrame = {
+  /** `maxRaises` bounds the spill-gate escalation (default
+    * [[MaxWedgeGateRaises]]); the AUTO face passes 0 — its output column
+    * `inv_p_log2` and the oracle both replay the CHOOSER's rate, so a
+    * silent internal raise would misreport the rate actually used (r17
+    * ADVICE). With escalation off, a spill-refused chooser rate surfaces
+    * as the designed refusal it is, sizing intact.
+    */
+  def triangleCountApproxEdges(edges: DataFrame, invPLog2: Int = 2,
+      maxRaises: Int = MaxWedgeGateRaises): DataFrame = {
     require(invPLog2 >= 0 && invPLog2 <= 19, s"invPLog2 $invPLog2 out of range")
     def sampledAt(ip: Int) = edges.filter(
       call_function("graft_hex15",
@@ -889,7 +972,7 @@ object Graphs {
     // reads the flag, not the knob. Escalations land in the bench artifact
     // via the `wedge_gate_raises` / `inv_p_log2_used` phase stamps.
     var ip = invPLog2
-    val ipCeiling = math.min(invPLog2 + MaxWedgeGateRaises, 19)
+    val ipCeiling = math.min(invPLog2 + math.max(maxRaises, 0), 19)
     var counted: DataFrame = null
     while (counted == null) {
       try counted = triangleCountEdges(sampledAt(ip), cap)
@@ -929,13 +1012,21 @@ object Graphs {
     */
   def triangleCountAuto(s: SparkSession, d: String): DataFrame =
     triangleCountAutoEdges(coOrderEdges(s, d), broadcastMaxEdgesFor(s),
-      maxExactWedgesFor(s))
+      maxExactWedgesFor(s), statsKey = Some(d))
 
   /** Core over any canonical edge list — factored so GraphsSpec forces both
-    * regimes on handcrafted graphs.
+    * regimes on handcrafted graphs. `statsKey` memoizes the measured
+    * (m, wedges) per dataset so a later exact face's refusal reads the
+    * staged sizing instead of re-deriving it ([[wedgeStatsCache]]). The
+    * sampled branch runs the chooser's rate with spill-gate escalation OFF
+    * (maxRaises = 0): `inv_p_log2` and the oracle replay the chooser, so an
+    * internal raise would misreport the rate actually used — a spill-gated
+    * chooser rate surfaces as the sized designed refusal instead (r17
+    * ADVICE). `rel_err_pct` is [[triangleRelErrPct]]'s integer error bar
+    * (0 on the exact branch — the count is not an estimate).
     */
   def triangleCountAutoEdges(edges: DataFrame, cap: Long,
-      maxExact: Long): DataFrame = {
+      maxExact: Long, statsKey: Option[String] = None): DataFrame = {
     val s = edges.sparkSession
     val (edg, edgIds) = timed("tri_auto", "edge_ckpt")(
       IterCheckpoint.checkpoint(edges))
@@ -944,6 +1035,7 @@ object Graphs {
       if (nEdges == 0) 0L
       else timed("tri_auto", "regime_probe")(
         wedgeVolumeOf(orientByDegree(edg, nEdges <= cap)))
+    statsKey.foreach(k => wedgeStatsCache.put(k, (nEdges, wedges)))
     val ip = chooseTriangleIp(wedges, maxExact)
     graft.BenchPhases.add("tri_wedges", wedges.toDouble)
     graft.BenchPhases.add("tri_regime_ip", ip.toDouble)
@@ -954,7 +1046,7 @@ object Graphs {
         val c = triangleCountEdges(edg, cap).head().getLong(0)
         (c, c, true)
       } else {
-        val r = triangleCountApproxEdges(edg, ip).head()
+        val r = triangleCountApproxEdges(edg, ip, maxRaises = 0).head()
         (r.getLong(0), r.getLong(1), r.getBoolean(2))
       }
     IterCheckpoint.supersede(s, "triangleAuto", edgIds)
@@ -964,7 +1056,8 @@ object Graphs {
       lit(ip.toLong).as("inv_p_log2"),
       lit(nTri).as("n_triangles"),
       lit(nSampled).as("n_sampled"),
-      lit(sampleOk).as("sample_ok"))
+      lit(sampleOk).as("sample_ok"),
+      lit(if (ip == 0) 0L else triangleRelErrPct(nSampled)).as("rel_err_pct"))
   }
 
   /** Build the closing-edge Bloom sketch (m keys, fpp 0.01 ⇒ m·~10 bits)

@@ -126,4 +126,31 @@ class BenchPhasesSpec extends AnyFunSuite {
     a.initCause(b)
     assert(!Bench.isRefusal(a))
   }
+
+  test("staging-net contract arithmetic (r17 verdict task 1)") {
+    // query_secs = wall - staging, clamped at zero
+    assert(Bench.stagingNet(99.5, 49.0) === 50.5)
+    assert(Bench.stagingNet(10.0, 0.0) === 10.0)
+    assert(Bench.stagingNet(10.0, 12.0) === 0.0, "net clamps at zero")
+    assert(Bench.stagingNet(10.0, -5.0) === 10.0, "negative staging ignored")
+    // over_contract fires on the staging-NET clock: a 78.7 s face carrying
+    // 50 s of Derby staging is NOT over a 30 s ceiling
+    assert(Bench.overContractNet(78.7, None, 50.0, 30.0) === None)
+    // a face genuinely over: cold 99.5 with 49 staging -> net 50.5 breaches
+    assert(Bench.overContractNet(99.5, None, 49.0, 30.0) === Some(50.5))
+    // an error-free retry under the net ceiling clears the face
+    assert(Bench.overContractNet(45.0, Some((29.0, None)), 0.0, 30.0) === None)
+    // an ERRORED retry cannot clear it; the reported number is the best net
+    assert(Bench.overContractNet(45.0, Some((20.0, Some("boom"))), 0.0, 30.0)
+      === Some(45.0))
+    // both runs breach net -> min of the nets is reported (retry re-stages
+    // under cold-reset, so the same staging nets out of both)
+    assert(Bench.overContractNet(99.5, Some((90.0, None)), 49.0, 30.0)
+      === Some(41.0))
+    // forked-child staging rides the raw phases JSON this process wrote
+    assert(Bench.stagingFromRawPhases(
+      """{"p_x":1.5,"staging":12.345,"stream_wall":3.0}""") === Some(12.345))
+    assert(Bench.stagingFromRawPhases("""{"p_x":1.5}""") === None)
+  }
+
 }

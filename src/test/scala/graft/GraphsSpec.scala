@@ -405,6 +405,69 @@ class GraphsSpec extends SparkSpecBase {
     assert(sm.getLong(3) === sm.getLong(4) * 64L,
       "estimate = n_sampled * (1/p)^3 at p=1/4")
     assert(sm.getBoolean(5) === (sm.getLong(4) >= Graphs.ApproxMinSampled))
+    // DOULION error bar (r17 verdict task 4): exact branch is not an
+    // estimate (0); sampled branch carries the 1/sqrt(n) integer bar
+    assert(ex.getAs[Long]("rel_err_pct") === 0L)
+    assert(sm.getAs[Long]("rel_err_pct") ===
+      Graphs.triangleRelErrPct(sm.getLong(4)))
+  }
+
+  test("DOULION error bar: smallest integer e with e^2*n >= 100^2, n=0 caps at 100") {
+    assert(Graphs.triangleRelErrPct(0L) === 100L)
+    assert(Graphs.triangleRelErrPct(1L) === 100L)   // 100/sqrt(1)
+    assert(Graphs.triangleRelErrPct(4L) === 50L)    // exact square
+    assert(Graphs.triangleRelErrPct(25L) === 20L)   // the sample_ok floor
+    assert(Graphs.triangleRelErrPct(26L) === 20L)   // ceil, not round
+    assert(Graphs.triangleRelErrPct(101L) === 10L)  // 100/sqrt(101)=9.95 -> 10
+    assert(Graphs.triangleRelErrPct(10000L) === 1L)
+    assert(Graphs.triangleRelErrPct(Long.MaxValue / 2) === 1L,
+      "huge n must not overflow the integer ladder")
+  }
+
+  test("wedge-stat memo: a later exact face refuses from the staged sizing without rebuilding") {
+    // the auto face measures (m, wedges) under a statsKey; the exact face
+    // with the SAME key and a tight budget must refuse IMMEDIATELY — pinned
+    // by handing it an edge frame whose evaluation would throw, which the
+    // memoized fast path never triggers (r17 verdict task 5)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val key = "graphs-spec-memo-" + System.nanoTime()
+    try {
+      Graphs.triangleCountAutoEdges(k4.toDF("u", "v"),
+        Graphs.BroadcastRowCap, maxExact = 1000L, statsKey = Some(key)).head()
+      val poisoned = spark.range(1)
+        .select((lit(1L) / col("id")).cast("long").as("u"), col("id").as("v"))
+        .filter(expr("assert_true(false)").isNull)
+      val e = intercept[Graphs.TriangleWedgeBudgetExceeded] {
+        Graphs.triangleCountEdges(poisoned, maxWedges = 3L,
+          statsKey = Some(key)).head()
+      }
+      assert(e.nWedges === 4L && e.maxWedges === 3L && e.nEdges === 6L,
+        "refusal must carry the MEMOIZED sizing")
+      // cold-rerun uniformity: after the WarmState reset the memo is gone
+      // and the same call measures the real frame again
+      graft.WarmState.resetForColdRerun()
+      assert(Graphs.triangleCountEdges(k4.toDF("u", "v"), maxWedges = 4L,
+        statsKey = Some(key)).head().getLong(0) === 4L)
+    } finally graft.operators.Graphs.resetWedgeStats()
+  }
+
+  test("auto path runs the chooser's rate with escalation OFF: spill refusal surfaces, sized") {
+    // maxRaises = 0 (the auto face's contract, r17 ADVICE): a spill-gated
+    // chooser rate must RETHROW instead of silently raising ip past what
+    // inv_p_log2 and the oracle replay
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    spark.conf.set(Graphs.ScratchConfKey, "1")
+    spark.conf.set("spark.graft.triangle.broadcastMaxEdges", "0")
+    try {
+      val e = intercept[Graphs.WedgeSpillBudgetExceeded] {
+        Graphs.triangleCountApproxEdges(k4.toDF("u", "v"), invPLog2 = 0,
+          maxRaises = 0).head()
+      }
+      assert(e.isInstanceOf[graft.DesignedRefusal])
+    } finally {
+      spark.conf.unset(Graphs.ScratchConfKey)
+      spark.conf.unset("spark.graft.triangle.broadcastMaxEdges")
+    }
   }
 
   test("scratch probe: two local dirs on one filesystem count its space ONCE") {
