@@ -76,10 +76,19 @@ object Graphs {
     * identical dataflow.
     */
   private def coOrderPairsOf(li: DataFrame): DataFrame =
+    coOrderPairsWithOrder(li).select(col("u"), col("v"))
+
+  /** The same expansion KEEPING the order key on every pair row — so a
+    * consumer can aggregate truth and deterministic basket-sample counts
+    * (order-residue conditionals) in ONE pass instead of re-expanding per
+    * sample rate ([[coOrderHeavyRecall]]).
+    */
+  private def coOrderPairsWithOrder(li: DataFrame): DataFrame =
     li.groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
-      .select(col("u"),
+      .select(col("l_orderkey").as("ok"),
+        posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("ok"), col("u"),
         explode(expr("slice(ps, i + 2, size(ps) - i - 1)")).as("v"))
 
   /** Global triangle count via the degree-ordered node-iterator — the
@@ -331,25 +340,30 @@ object Graphs {
       mods: Seq[Int] = HeavyPairSweepMods,
       candidates: Int = HeavyPairCandidates): DataFrame = {
     import s.implicits._
-    // Truth — the full pair aggregation — is the sweep's dominant cost, and
-    // the mod = 1 candidate stage is DEFINITIONALLY the same aggregation (a
-    // 1/1 basket sample sees true counts). Checkpoint the truth once and
-    // derive the mod-1 pool from it (identical (count desc, u, v) order and
-    // limit), instead of re-running heavyPairCandidates over every basket:
-    // that removes one full basket expansion + pair shuffle — the sweep's
-    // expansion work drops from 1+1+½+¼ to 1+½+¼ truth-equivalents (r17
-    // verdict task 2: the face drifted 61 → 77.6 s steady at 100×). The
-    // checkpoint also feeds the final probe join, so the truth subtree runs
-    // exactly once either way.
-    val (exact, exactIds) = timed("heavy_recall", "truth_ckpt")(
-      IterCheckpoint.checkpoint(coOrderPairs(s, d)
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))))
+    // ONE basket expansion for the whole sweep (r17 verdict task 2: the
+    // face drifted 61 → 77.6 s steady at 100×; the old shape re-expanded
+    // per rate — 1 truth + 1 + ½ + ¼ candidate expansions). The sample
+    // predicates are deterministic order-key residues, so every swept
+    // rate's candidate count is a CONDITIONAL SUM over the order-tagged
+    // pair stream: one expansion, one pair-keyed shuffle, truth and all
+    // sampled counts in the same aggregate row. The checkpointed stats
+    // then feed the mod-1 pool (true counts — definitionally the same
+    // aggregation), every sampled pool (ns_m > 0, ns_m desc — identical
+    // rows and order to the per-rate aggregation it replaces; GraphsSpec
+    // + the oracle pin it), and the final probe join.
+    val sampleCols = mods.filter(_ != 1).map(m =>
+      sum(when(col("ok") % m === 0, 1L).otherwise(0L)).as(s"ns_$m"))
+    val (stats, exactIds) = timed("heavy_recall", "truth_ckpt")(
+      IterCheckpoint.checkpoint(coOrderPairsWithOrder(Tables.lineitem(s, d))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("n_orders"), sampleCols: _*)))
+    val exact = stats.select(col("u"), col("v"), col("n_orders"))
     val cands = mods.map { m =>
       val pool =
-        if (m == 1) exact
+        if (m == 1) stats
           .orderBy(col("n_orders").desc, col("u"), col("v")).limit(candidates)
-          .select(col("u"), col("v"))
-        else heavyPairCandidates(s, d, m, candidates).select(col("u"), col("v"))
+        else stats.filter(col(s"ns_$m") > 0)
+          .orderBy(col(s"ns_$m").desc, col("u"), col("v")).limit(candidates)
       pool.select(col("u"), col("v"), lit(m).as("sample_mod"), lit(1).as("hit"))
     }.reduce(_.unionByName(_))
     val out = exact.crossJoin(broadcast(mods.toDF("sample_mod")))
