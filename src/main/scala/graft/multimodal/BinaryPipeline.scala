@@ -147,17 +147,48 @@ object BinaryPipeline {
       * thread-local provides (bounded by executor thread count).
       * BinaryPipelineSpec pins raster equality against [[readImage]].
       */
-    def readJpegReused(payload: Array[Byte]): BufferedImage = {
-      val r = jpegReaders.get()
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new ByteArrayInputStream(payload))
-      try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
-    }
+    def readJpegReused(payload: Array[Byte]): BufferedImage =
+      readReused(jpegReaders, payload)
 
     private val jpegReaders = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader = {
         val it = ImageIO.getImageReadersByFormatName("jpeg")
         require(it.hasNext, "no JPEG ImageReader installed")
+        it.next()
+      }
+    }
+
+    /** Format-sniffing decode through the reused per-thread readers: PNG
+      * magic → pooled PNG reader, JPEG SOI → pooled JPEG reader, anything
+      * else falls back to the generic [[readImage]] (full SPI search —
+      * correctness for arbitrary payloads, the reused path is the
+      * throughput lane for the two formats the pipeline actually ships).
+      * Same per-call-overhead argument as [[readJpegReused]]; the image
+      * branch of extractFeatures/featuresAndResize decodes one PNG per
+      * payload, so the setup tax was paid corpus-wide there too.
+      */
+    def readImageReused(payload: Array[Byte]): BufferedImage =
+      if (payload.length >= 8 && payload(0) == 0x89.toByte &&
+          payload(1) == 'P'.toByte && payload(2) == 'N'.toByte &&
+          payload(3) == 'G'.toByte)
+        readReused(pngReaders, payload)
+      else if (payload.length >= 2 && payload(0) == 0xff.toByte &&
+          payload(1) == 0xd8.toByte)
+        readJpegReused(payload)
+      else readImage(payload)
+
+    private def readReused(pool: ThreadLocal[javax.imageio.ImageReader],
+        payload: Array[Byte]): BufferedImage = {
+      val r = pool.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(payload))
+      try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+    }
+
+    private val pngReaders = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader = {
+        val it = ImageIO.getImageReadersByFormatName("png")
+        require(it.hasNext, "no PNG ImageReader installed")
         it.next()
       }
     }
@@ -525,7 +556,11 @@ object BinaryPipeline {
         timers.decode {
           r.kind match {
             case "image" =>
-              val (w, h, pixelSum) = MediaCodecs.decodeImage(r.payload)
+              // reused-reader decode (readImageReused): the per-call SPI
+              // search + temp-file stream of ImageIO.read was corpus-wide
+              // overhead here exactly as on the MJPEG frames
+              val (w, h, pixelSum) = MediaCodecs.rasterFeatures(
+                MediaCodecs.readImageReused(r.payload))
               MediaFeatures(base._1, base._2, base._3, w, h,
                 frames = 1L, decoded_bytes = w.toLong * h * 3,
                 content_sum = pixelSum, checksum = base._4, sampled_frames = 0L)
@@ -637,7 +672,7 @@ object BinaryPipeline {
         val csum = FakeDecoder.checksum(r.payload)
         timers.decode { r.kind match {
           case "image" =>
-            val img = MediaCodecs.readImage(r.payload) // the ONLY decode
+            val img = MediaCodecs.readImageReused(r.payload) // the ONLY decode
             val (w, h, pixelSum) = MediaCodecs.rasterFeatures(img)
             val out = MediaCodecs.resizeRaster(img, maxDim)
             MediaPipelineRow(r.media_id, r.kind, nBytes, w, h,

@@ -284,6 +284,14 @@ class BinaryPipelineSpec extends SparkSpecBase {
     val r1 = MediaCodecs.readJpegReused(p1)
     val r2 = MediaCodecs.readJpegReused(p2)
     assert(r1.getWidth == 8 && r2.getWidth == 16)
+    // the format-sniffing entry dispatches PNG and JPEG to the reused
+    // readers and produces the identical raster either way
+    val png = MediaCodecs.encodePng(7, 5, 0x123456)
+    val a2 = MediaCodecs.readImage(png)
+    val b2 = MediaCodecs.readImageReused(png)
+    for (y <- 0 until a2.getHeight; x <- 0 until a2.getWidth)
+      assert(a2.getRGB(x, y) == b2.getRGB(x, y))
+    assert(MediaCodecs.readImageReused(p1).getWidth == 8, "JPEG dispatch")
   }
 
   test("mjpegFrameStats equals the palette closed form over the corpus") {
