@@ -116,7 +116,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String], Boolean) = {
+        : (Double, Option[String], Boolean, Option[Map[String, Double]]) = {
       val budget = math.min(perQueryTimeout, math.max(remainingSec, 0L))
       val t0 = System.nanoTime()
       var err: Option[String] = None
@@ -187,20 +187,25 @@ object Bench {
         // session covers in-query accumulation.
         System.gc()
       } catch { case _: Throwable => () }
-      (secs, err, refused)
+      // snapshot THIS run's phases before any retry's begin() discards them:
+      // per-OBSERVATION staging capture (r18 verdict task 3 + ADVICE) — a
+      // cold run that rode another face's landing and a cold-reset retry
+      // that re-staged must each be adjudicated against their OWN stamp,
+      // not whichever run happened to execute last
+      (secs, err, refused, BenchPhases.snapshot(name))
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !forkFaces(n) }
       .map { case (name, fn) =>
-        val (secs, err, refused) = runOne(name, fn)
+        val (secs, err, refused, ph) = runOne(name, fn)
         System.err.println(f"[bench] $name%-30s ${secs}%8.2fs " +
           s"${err.map(e => if (refused) s"REFUSED $e" else e).getOrElse("ok")}")
-        BenchPhases.snapshot(name).foreach { ph =>
-          val line = ph.toSeq.sortBy(_._1)
+        ph.foreach { m =>
+          val line = m.toSeq.sortBy(_._1)
             .map { case (p, v) => f"$p=$v%.2f" }.mkString(" ")
           System.err.println(s"[bench]   phases: $line")
         }
-        (name, secs, err, refused, fn)
+        (name, secs, err, refused, fn, ph)
       }
 
     // perf budget (BENCH_BUDGET.md): every query must finish under the
@@ -242,21 +247,21 @@ object Bench {
     // passes its swing list explicitly and must not pay N extra 60 s faces).
     val rerunSlowest = sys.env.getOrElse("SPARK_GRAFT_RERUN_SLOWEST", "5").toInt
     val autoSlow: Set[String] = results
-      .collect { case (n, v, None, _, _) => (n, v) }
+      .collect { case (n, v, None, _, _, _) => (n, v) }
       .sortBy(-_._2).take(math.max(rerunSlowest, 0)).map(_._1).toSet
     if (autoSlow.nonEmpty) System.err.println(
       s"[bench] auto-rerun of slowest $rerunSlowest: ${autoSlow.toSeq.sorted.mkString(",")}")
     val retried = results.collect {
-      case (name, v, None, _, fn) if v > ceiling || rerun(name) || autoSlow(name) =>
+      case (name, v, None, _, fn, _) if v > ceiling || rerun(name) || autoSlow(name) =>
         val why = if (v > ceiling) f"first ${v}%.1fs > ${ceiling}%.0fs"
           else if (rerun(name)) "rerun-requested" else "auto-slowest"
         try WarmState.resetForColdRerun()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm-state reset failed (rerun may be warm): $e") }
-        val (second, err2, _) = runOne(name, fn)
+        val (second, err2, _, ph2) = runOne(name, fn)
         System.err.println(
           f"[bench] RETRY ($why) $name%-30s ${second}%8.2fs ${err2.getOrElse("ok")}")
-        (name, v, second, err2)
+        (name, v, second, err2, ph2)
     }
     pool.shutdownNow()
 
@@ -305,11 +310,11 @@ object Bench {
     // merge the dedicated-JVM outcomes with the in-process loop's: ONE
     // artifact carries every face, the forked ones listed in dedicated_jvm
     val allCold: Seq[(String, Double, Option[String], Boolean)] =
-      (results.map { case (k, v, e, r, _) => (k, v, e, r) } ++
+      (results.map { case (k, v, e, r, _, _) => (k, v, e, r) } ++
         forked.map(f => (f.name, f.cold, f.err, f.refused))).sortBy(_._1)
     val retriedAll: Seq[(String, Double, Double, Option[String])] =
-      retried.map { case (n, f0, s2, e2) => (n, f0, s2, e2) } ++
-        forked.collect { case Forked(n, c, _, _, Some((s2, e2)), _) => (n, c, s2, e2) }
+      retried.map { case (n, f0, s2, e2, _) => (n, f0, s2, e2) } ++
+        forked.collect { case Forked(n, c, _, _, Some((s2, e2)), _, _) => (n, c, s2, e2) }
     val retryBySecond = retriedAll.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap
     // The acceptance WINDOW can sit above the contract ceiling (the 100×
     // replica runs accept 420 s where the sf0.1 contract is 30 s). r12
@@ -337,14 +342,21 @@ object Bench {
     // charged to whichever face drew it. r17 verdict task 1: three of the
     // five slowest 100× "faces" were mostly dataset setup, so the contract
     // adjudication below runs on query_secs = wall − staging while the
-    // headline `queries`/`value` stay honest cold wall. The phase snapshot
-    // reflects the face's LAST run; a cold-reset retry re-stages, so the
-    // same staging applies to both observations.
+    // headline `queries`/`value` stay honest cold wall. Captured PER RUN
+    // (r18 verdict task 3): each observation — the cold run and any
+    // cold-reset retry — nets out its OWN stamp, so a cold run that rode
+    // another face's landing (no stamp) is never netted by the staging its
+    // retry re-paid.
+    def stagingIn(ph: Option[Map[String, Double]]): Option[Double] =
+      ph.flatMap(_.get("staging"))
     val stagingOf: Map[String, Double] =
-      (results.flatMap { case (k, _, _, _, _) =>
-        BenchPhases.snapshot(k).flatMap(_.get("staging")).map(k -> _) } ++
+      (results.flatMap { case (k, _, _, _, _, ph) =>
+        stagingIn(ph).map(k -> _) } ++
        forked.flatMap(f => f.phasesRaw.flatMap(stagingFromRawPhases).map(f.name -> _)))
         .toMap
+    val stagingRetryOf: Map[String, Double] =
+      (retried.flatMap { case (n, _, _, _, ph2) => stagingIn(ph2).map(n -> _) } ++
+       forked.flatMap(f => f.secondStaging.map(f.name -> _))).toMap
     val qs = allCold.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     // designed refusals (admission gates firing as specified, sizing string
     // preserved) live in `refused`; `errors` is real failures ONLY — an
@@ -357,18 +369,31 @@ object Bench {
     val total = allCold.map(_._2).sum
     // contract adjudication is STAGING-NET (r17 verdict task 1): a face
     // lands in over_contract only when every error-free observation still
-    // breaches the ceiling after its one-time dataset staging is netted
-    // out; the reported number is the best staging-net observation
+    // breaches the ceiling after ITS OWN run's staging stamp is netted out
+    // (per-run capture, r18 verdict task 3); the reported number is the
+    // best staging-net observation
     val over = allCold.collect { case (k, v, None, _) => (k, v) }.flatMap {
       case (k, v) =>
-        overContractNet(v, retryBySecond.get(k),
-          stagingOf.getOrElse(k, 0.0), ceiling).map(net => (k, net))
+        val retry = retryBySecond.get(k).map { case (s2, e2) =>
+          (s2, e2, stagingRetryOf.getOrElse(k, 0.0)) }
+        overContractNet(v, stagingOf.getOrElse(k, 0.0), retry, ceiling)
+          .map(net => (k, net))
     }
-    val windowOver = over.filter { case (_, v) => v > windowSec }
+    // the hard acceptance flag stays on the WALL clock (r18 ADVICE: the
+    // window mirrors an external driver kill/timeout, which fires on wall
+    // seconds regardless of how much of them were staging) — a face is
+    // budget_exceeded when every error-free observation's WALL breaches
+    // the window; the staging-net policy applies to over_contract only
+    val windowOver = allCold.collect { case (k, v, None, _) => (k, v) }.flatMap {
+      case (k, v) =>
+        val walls = v +: retryBySecond.get(k)
+          .collect { case (s2, None) => s2 }.toSeq
+        if (walls.forall(_ > windowSec)) Some(k -> walls.min) else None
+    }
     windowOver.foreach { case (k, v) =>
-      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs staging-net > ${windowSec}%.0fs window (both runs)") }
-    over.filter { case (_, v) => v <= windowSec }.foreach { case (k, v) =>
-      System.err.println(f"[bench] over contract $k ${v}%.1fs staging-net > ${ceiling}%.0fs ceiling (inside ${windowSec}%.0fs window)") }
+      System.err.println(f"[bench] BUDGET EXCEEDED $k ${v}%.1fs wall > ${windowSec}%.0fs window (both runs)") }
+    over.filterNot { case (k, _) => windowOver.exists(_._1 == k) }.foreach { case (k, v) =>
+      System.err.println(f"[bench] over contract $k ${v}%.1fs staging-net > ${ceiling}%.0fs ceiling (wall inside ${windowSec}%.0fs window)") }
     val overJson = windowOver.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val contractJson = over.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val retriesJson = retriedAll.map { case (n, first, s2, _) =>
@@ -383,24 +408,30 @@ object Bench {
       jstr(n) + ":" + (if (e2.isEmpty) math.min(first, s2) else first)
     }.mkString("{", ",", "}")
     // per-phase attribution for instrumented queries (streaming faces):
-    // the phase map reflects each query's LAST run in this session (a
-    // budget retry overwrites the first run's phases), so a slow face in
-    // the artifact carries its own decomposition — staging vs stream wall
-    // vs Spark's per-batch durations — instead of leaving driver-window
-    // inflation to speculation (r10 verdict task 1)
+    // `phases` carries each face's COLD-run decomposition (captured at
+    // runOne time, r18 verdict task 3 — the headline `queries` numbers are
+    // cold walls, so the decomposition shown next to them must be the same
+    // run's); a retried face's own retry decomposition lands separately in
+    // `phases_retry`, so both observations explain themselves.
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
-    val phasesJson = (results.flatMap { case (k, _, _, _, _) =>
-      BenchPhases.snapshot(k).map { ph =>
-        jstr(k) + ":" + ph.toSeq.sortBy(_._1)
-          .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}")
-      }
+    def phMap(ph: Map[String, Double]): String = ph.toSeq.sortBy(_._1)
+      .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}")
+    val phasesJson = (results.flatMap { case (k, _, _, _, _, ph) =>
+      ph.map(m => jstr(k) + ":" + phMap(m))
     } ++ forked.flatMap(f => f.phasesRaw.map(raw => jstr(f.name) + ":" + raw)))
       .mkString("{", ",", "}")
+    val phasesRetryJson = retried.flatMap { case (n, _, _, _, ph2) =>
+      ph2.map(m => jstr(n) + ":" + phMap(m))
+    }.mkString("{", ",", "}")
     val storeJson = stateStore.map(jstr).getOrElse("null")
     val dedicatedJson = forked.map(f => jstr(f.name)).mkString("[", ",", "]")
-    // staging reported once, artifact-level, per face that drew it; and the
-    // staging-net clock for EVERY face (== cold where nothing was staged)
+    // staging reported once, artifact-level, per face that drew it —
+    // `staging` is the COLD run's stamp, `staging_retry` the cold-reset
+    // retry's own re-staging (per-run capture) — and the staging-net clock
+    // for EVERY face (== cold where nothing was staged in the cold run)
     val stagingJson = stagingOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    val stagingRetryJson = stagingRetryOf.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     val querySecsJson = allCold.map { case (k, v, _, _) =>
       jstr(k) + ":" + r3(stagingNet(v, stagingOf.getOrElse(k, 0.0))) }
@@ -415,7 +446,7 @@ object Bench {
     val steadyTotal = allCold.map { case (k, v, _, _) =>
       steadyByBest.getOrElse(k, v) }.sum
     val artifactPath = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT", "bench_last.json")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":${r3(steadyTotal)},"queries":$qs,"query_secs":$querySecsJson,"staging":$stagingJson,"errors":$errs,"refused":$refusedJson,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"state_store":$storeJson,"rerun_staging":"cold-reset","rerun_slowest":$rerunSlowest,"dedicated_jvm":$dedicatedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":${r3(steadyTotal)},"queries":$qs,"query_secs":$querySecsJson,"staging":$stagingJson,"staging_retry":$stagingRetryJson,"errors":$errs,"refused":$refusedJson,"ceiling_sec":$ceiling,"window_sec":$windowSec,"budget_exceeded":$overJson,"over_contract":$contractJson,"budget_retries":$retriesJson,"steady":$steadyJson,"phases":$phasesJson,"phases_retry":$phasesRetryJson,"state_store":$storeJson,"rerun_staging":"cold-reset","rerun_slowest":$rerunSlowest,"dedicated_jvm":$dedicatedJson,"sf":"$sfDir"}"""
     println(line)
     // the round-7 driver artifact captured only a 2000-char TAIL of this
     // output, losing the per-query map and most of the error entries
@@ -440,10 +471,14 @@ object Bench {
           props.setProperty("second", s2.toString)
           e2.foreach(e => props.setProperty("second_error", e))
         }
-        BenchPhases.snapshot(name).foreach { ph =>
-          props.setProperty("phases", ph.toSeq.sortBy(_._1)
-            .map { case (p, v) => jstr(p) + ":" + r3(v) }.mkString("{", ",", "}"))
+        // per-run capture crosses the fork boundary too: `phases` is the
+        // child's COLD-run map (feeds the parent's `phases`/`staging`),
+        // `second_staging` the retry's own stamp (feeds per-run netting)
+        results.headOption.flatMap(_._6).foreach { ph =>
+          props.setProperty("phases", phMap(ph))
         }
+        stagingRetryOf.get(name).foreach(v =>
+          props.setProperty("second_staging", v.toString))
       }
       val out = new java.io.FileOutputStream(path)
       try props.store(out, "graft.Bench forked-face result")
@@ -473,13 +508,15 @@ object Bench {
 
   /** Outcome of one dedicated-JVM face: cold seconds, error, optional
     * second run (when the face was on the rerun list or breached the
-    * ceiling inside the child), and the child's phase map as a raw JSON
-    * object string.
+    * ceiling inside the child), the child's COLD-run phase map as a raw
+    * JSON object string, and the retry's own staging stamp (per-run
+    * capture across the fork boundary).
     */
   private[graft] final case class Forked(name: String, cold: Double,
       err: Option[String], refused: Boolean,
       second: Option[(Double, Option[String])],
-      phasesRaw: Option[String])
+      phasesRaw: Option[String],
+      secondStaging: Option[Double] = None)
 
   /** A face's contract clock net of its one-time dataset staging, clamped
     * at zero (a staging stamp can exceed a retried face's best wall when
@@ -490,17 +527,21 @@ object Bench {
     math.max(secs - math.max(staging, 0.0), 0.0)
 
   /** The staging-net over-contract decision for one face (r17 verdict task
-    * 1): Some(best staging-net seconds) when EVERY error-free observation —
-    * the cold run and any error-free retry — still breaches the ceiling
-    * after staging is netted out; None otherwise. An errored retry
-    * contributes nothing (same as the old rule: it cannot clear a face).
-    * BenchPhasesSpec pins the arithmetic.
+    * 1, per-RUN staging since r19 — r18 verdict task 3): Some(best
+    * staging-net seconds) when EVERY error-free observation — the cold run
+    * netted by ITS OWN staging stamp, any error-free retry netted by the
+    * retry's own — still breaches the ceiling; None otherwise. An errored
+    * retry contributes nothing (same as the old rule: it cannot clear a
+    * face). BenchPhasesSpec pins the arithmetic, including the asymmetric
+    * case that motivated the change: a cold run that rode another face's
+    * landing (no stamp of its own) nets nothing, while its re-staged
+    * retry nets exactly what it re-paid.
     */
-  private[graft] def overContractNet(cold: Double,
-      retry: Option[(Double, Option[String])], staging: Double,
+  private[graft] def overContractNet(cold: Double, coldStaging: Double,
+      retry: Option[(Double, Option[String], Double)],
       ceiling: Double): Option[Double] = {
-    val nets = stagingNet(cold, staging) +:
-      retry.collect { case (s2, None) => stagingNet(s2, staging) }.toSeq
+    val nets = stagingNet(cold, coldStaging) +:
+      retry.collect { case (s2, None, st2) => stagingNet(s2, st2) }.toSeq
     if (nets.forall(_ > ceiling)) Some(nets.min) else None
   }
 
@@ -595,7 +636,9 @@ object Bench {
         props.getProperty("refused") == "true",
         Option(props.getProperty("second")).map(s =>
           (s.toDouble, Option(props.getProperty("second_error")))),
-        Option(props.getProperty("phases")))
+        Option(props.getProperty("phases")),
+        Option(props.getProperty("second_staging"))
+          .flatMap(s => scala.util.Try(s.toDouble).toOption))
     } catch {
       case e: Throwable =>
         Forked(face, 0.0, Some(s"fork failed: $e".take(300)), false, None, None)

@@ -75,28 +75,73 @@ object BenchPhases {
     * `p_stateUpdates` (state rows × per-row cost; r17 verdict task 3). A
     * face settling several streams sums their peaks — total state the face
     * maintained.
+    *
+    * Bounded-buffer caveat: `recentProgress` retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100) entries,
+    * so this one-shot fold under-reports faces with >100 micro-batches —
+    * [[settle]] folds the buffer INCREMENTALLY while awaiting instead
+    * (r18 ADVICE) and only falls back to the same arithmetic through
+    * [[ProgressFold]]; this entry point stays for short-lived queries.
     */
   def attribute(q: StreamingQuery): Unit = {
-    val progs = q.recentProgress
-    add("n_batches", progs.length.toDouble)
-    progs.foreach { p =>
-      p.durationMs.forEach((k, v) => add("p_" + k, v.toDouble / 1000.0))
-      p.stateOperators.foreach { so =>
-        add("p_stateCommit", so.commitTimeMs.toDouble / 1000.0)
-        add("p_stateUpdates", so.allUpdatesTimeMs.toDouble / 1000.0)
-      }
-    }
-    val peakRows = progs.foldLeft(0L) { (m, p) =>
-      math.max(m, p.stateOperators.map(_.numRowsTotal).sum) }
-    if (peakRows > 0L) add("p_stateRows", peakRows.toDouble)
+    val f = new ProgressFold
+    f.fold(q.recentProgress)
+    f.stamp()
   }
 
-  /** `awaitTermination` under a `stream_wall` phase + progress attribution —
+  /** Incremental, batch-deduplicated accumulator over a query's progress
+    * telemetry: folding the bounded `recentProgress` buffer repeatedly
+    * while the query runs sees every batch exactly once (keyed on
+    * (runId, batchId)), so the peak/sum stamps stay correct past the
+    * buffer's 100-entry retention (r18 ADVICE). Batches produced faster
+    * than one poll interval per retention window would still rotate out —
+    * at 500 ms polls that is >200 batches/s, far past any face here.
+    */
+  private final class ProgressFold {
+    private val seen = scala.collection.mutable.HashSet.empty[(java.util.UUID, Long)]
+    private var nBatches = 0L
+    private val durations = scala.collection.mutable.Map.empty[String, Double]
+    private var stateCommit = 0.0
+    private var stateUpdates = 0.0
+    private var peakRows = 0L
+    def fold(progs: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit =
+      progs.foreach { p =>
+        if (seen.add((p.runId, p.batchId))) {
+          nBatches += 1
+          p.durationMs.forEach((k, v) =>
+            durations.update(k, durations.getOrElse(k, 0.0) + v.toDouble / 1000.0))
+          p.stateOperators.foreach { so =>
+            stateCommit += so.commitTimeMs.toDouble / 1000.0
+            stateUpdates += so.allUpdatesTimeMs.toDouble / 1000.0
+          }
+          peakRows = math.max(peakRows, p.stateOperators.map(_.numRowsTotal).sum)
+        }
+      }
+    def stamp(): Unit = {
+      add("n_batches", nBatches.toDouble)
+      durations.foreach { case (k, v) => add("p_" + k, v) }
+      if (stateCommit > 0.0) add("p_stateCommit", stateCommit)
+      if (stateUpdates > 0.0) add("p_stateUpdates", stateUpdates)
+      if (peakRows > 0L) add("p_stateRows", peakRows.toDouble)
+    }
+  }
+
+  /** Start-to-settle under a `stream_wall` phase + progress attribution —
     * the drop-in for the harness's `Sinks.streamX(...).awaitTermination()`
-    * call shape. */
-  def settle(q: StreamingQuery): Unit = {
-    timed("stream_wall")(q.awaitTermination())
-    attribute(q)
+    * call shape. By-name so a `settle(Sinks.streamX(...))` call times the
+    * stream's START (source listing, batch planning) inside `stream_wall`
+    * too; progress is folded incrementally every 500 ms so a face with
+    * more micro-batches than the progress buffer retains still reports
+    * true sums and the true state-row peak (r18 ADVICE).
+    */
+  def settle(query: => StreamingQuery): Unit = {
+    val f = new ProgressFold
+    timed("stream_wall") {
+      val q = query
+      while (!q.awaitTermination(500L)) f.fold(q.recentProgress)
+      f.fold(q.recentProgress)
+    }
+    f.stamp()
   }
 
   /** Phases recorded for `query` in its latest `begin` scope, if any. */

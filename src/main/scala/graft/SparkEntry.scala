@@ -1451,9 +1451,11 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions",
       streamStatePartitions(landing).toString)
     try withStreamScanSized(s, landing) {
-      val q = BenchPhases.timed("stream_wall")(
-        graft.streaming.EventStreamJob.runAvailableNow(df, name, mode))
-      BenchPhases.attribute(q)
+      // settle() times start→termination under stream_wall (as the timed
+      // runAvailableNow call did) and folds progress incrementally, so
+      // >100-batch faces report true sums and the true state peak
+      BenchPhases.settle(
+        graft.streaming.EventStreamJob.startAvailableNow(df, name, mode))
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val out = s.table(name)
     s.catalog.dropTempView(name)

@@ -718,7 +718,11 @@ object BinaryPipeline {
         val vh = VideoHeaders.decode(r.payload)
         val content = java.util.Arrays.copyOfRange(r.payload,
           vh.contentOffset, vh.contentOffset + vh.contentLength)
-        if (Mjpeg.looksLikeMjpeg(content))
+        // in-place slice check (not on the copy): copyOfRange zero-pads a
+        // content extent that overruns the payload, and the padded copy
+        // would still pass the SOI test — the overrun case must fall back
+        // to the chunk path instead (r18 ADVICE, same guard as features)
+        if (Mjpeg.looksLikeMjpegAt(r.payload, vh.contentOffset, vh.contentLength))
           // REAL codec path: MJPEG frames are self-delimiting JPEGs — emit
           // every actual frame at its actual byte extent (frameSize/stride
           // are chunk-stub parameters and do not apply)
@@ -926,10 +930,14 @@ object BinaryPipeline {
 
     /** The same dispatch test against a slice in place — so callers that
       * only need the verdict (extractFeatures' sampled-frames count) don't
-      * copy the content out of the payload first.
+      * copy the content out of the payload first. Requires the WHOLE slice
+      * to lie inside the payload (r18 ADVICE): callers copyOfRange the
+      * extent next, and copyOfRange zero-PADS past the array end — a
+      * corrupt contentLength would otherwise split frames over fabricated
+      * zero bytes instead of falling back to the chunk path.
       */
     def looksLikeMjpegAt(payload: Array[Byte], off: Int, len: Int): Boolean =
-      len >= 4 && off >= 0 && off + 2 <= payload.length &&
+      len >= 4 && off >= 0 && len <= payload.length - off &&
         payload(off) == 0xff.toByte && payload(off + 1) == 0xd8.toByte
 
     /** Split concatenated JPEGs on their SOI..EOI extents. Baseline JPEG

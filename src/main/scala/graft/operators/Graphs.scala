@@ -809,11 +809,15 @@ object Graphs {
     // face already measured this dataset's wedge volume, an over-budget
     // exact count refuses HERE — before the edge checkpoint, orientation or
     // gate job — with the identical sizing message
-    statsKey.flatMap(wedgeStatsCache.get).foreach { case (m, w) =>
-      if (w > maxWedges) {
-        System.err.println(s"[graft.graphs] triangle refusing from memoized " +
-          s"sizing for $statsKey: m=$m wedges=$w budget=$maxWedges")
-        throw TriangleWedgeBudgetExceeded(w, maxWedges, m)
+    statsKey.foreach { key =>
+      wedgeStatsCache.get(key).foreach { case (m, w) =>
+        if (w > maxWedges) {
+          // interpolate the bound key, not the Option, so the sizing line
+          // reads "for sf100" rather than "for Some(sf100)" (r18 ADVICE)
+          System.err.println(s"[graft.graphs] triangle refusing from memoized " +
+            s"sizing for $key: m=$m wedges=$w budget=$maxWedges")
+          throw TriangleWedgeBudgetExceeded(w, maxWedges, m)
+        }
       }
     }
     // checkpoint the CANONICAL edge list first: it is the expensive subtree

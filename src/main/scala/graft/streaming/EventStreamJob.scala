@@ -294,13 +294,21 @@ object EventStreamJob extends Serializable {
     * (cron-batch semantics) into a named memory sink; returns the query.
     */
   def runAvailableNow(df: DataFrame, name: String, outputMode: String): StreamingQuery = {
-    val q = df.writeStream
+    val q = startAvailableNow(df, name, outputMode)
+    q.awaitTermination()
+    q
+  }
+
+  /** [[runAvailableNow]] without the await — for callers that settle through
+    * [[graft.BenchPhases.settle]], which must observe the query WHILE it
+    * runs (incremental progress folding past the bounded buffer, r18
+    * ADVICE) instead of receiving it terminated.
+    */
+  def startAvailableNow(df: DataFrame, name: String, outputMode: String): StreamingQuery =
+    df.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    q
-  }
 }

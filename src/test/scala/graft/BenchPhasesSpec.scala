@@ -135,18 +135,31 @@ class BenchPhasesSpec extends AnyFunSuite {
     assert(Bench.stagingNet(10.0, -5.0) === 10.0, "negative staging ignored")
     // over_contract fires on the staging-NET clock: a 78.7 s face carrying
     // 50 s of Derby staging is NOT over a 30 s ceiling
-    assert(Bench.overContractNet(78.7, None, 50.0, 30.0) === None)
+    assert(Bench.overContractNet(78.7, 50.0, None, 30.0) === None)
     // a face genuinely over: cold 99.5 with 49 staging -> net 50.5 breaches
-    assert(Bench.overContractNet(99.5, None, 49.0, 30.0) === Some(50.5))
+    assert(Bench.overContractNet(99.5, 49.0, None, 30.0) === Some(50.5))
     // an error-free retry under the net ceiling clears the face
-    assert(Bench.overContractNet(45.0, Some((29.0, None)), 0.0, 30.0) === None)
+    assert(Bench.overContractNet(45.0, 0.0, Some((29.0, None, 0.0)), 30.0) === None)
     // an ERRORED retry cannot clear it; the reported number is the best net
-    assert(Bench.overContractNet(45.0, Some((20.0, Some("boom"))), 0.0, 30.0)
+    assert(Bench.overContractNet(45.0, 0.0, Some((20.0, Some("boom"), 0.0)), 30.0)
       === Some(45.0))
-    // both runs breach net -> min of the nets is reported (retry re-stages
-    // under cold-reset, so the same staging nets out of both)
-    assert(Bench.overContractNet(99.5, Some((90.0, None)), 49.0, 30.0)
+    // both runs breach net -> min of the PER-RUN nets is reported; each
+    // observation nets its OWN staging stamp (r18 verdict task 3)
+    assert(Bench.overContractNet(99.5, 49.0, Some((90.0, None, 49.0)), 30.0)
       === Some(41.0))
+    // the asymmetric case the per-run capture exists for: the cold run rode
+    // another face's landing (no stamp of its own — nets nothing), the
+    // cold-reset retry re-staged and nets its own 30 s; the best net is the
+    // retry's 37.0, NOT cold-minus-retry-staging (the last-run-stamp bug
+    // reported 4.5 for q_triangle_auto at r18, SURVEY §22.1)
+    assert(Bench.overContractNet(34.5, 0.0, Some((67.0, None, 30.0)), 32.0)
+      === Some(34.5))
+    assert(Bench.overContractNet(50.0, 0.0, Some((67.0, None, 30.0)), 32.0)
+      === Some(37.0))
+    // and a cold run netted by a stamp that does NOT belong to the retry:
+    // retry staged nothing, so its wall stands un-netted
+    assert(Bench.overContractNet(99.5, 49.0, Some((40.0, None, 0.0)), 30.0)
+      === Some(40.0))
     // forked-child staging rides the raw phases JSON this process wrote
     assert(Bench.stagingFromRawPhases(
       """{"p_x":1.5,"staging":12.345,"stream_wall":3.0}""") === Some(12.345))
