@@ -1048,4 +1048,248 @@ object BinaryPipeline {
           encodeFake((id % 640).toInt + 1, (id % 480).toInt + 1, content), source)
       }
   }
+
+  // ------------------------------------------------------ audio (WAV/PCM)
+
+  /** One WAV payload per document — the audio modality's typed row. A
+    * separate fixture family from [[syntheticRealMedia]]'s constant-sample
+    * WAVs: these carry multi-channel, multi-rate, text-derived WAVEFORMS,
+    * so per-channel features (peak, energy, RMS) are non-degenerate and
+    * the near-dup face fingerprints real decoded signal.
+    */
+  case class AudioRecord(media_id: Long, payload: Array[Byte], source: String)
+
+  /** Per-(payload, channel) features off the REAL decode — the audio
+    * analog of [[MediaFeatures]]. Integer/fixed-point by construction so
+    * the DuckDB oracle replays every value exactly: `duration_ms` is
+    * integer floor-division, `peak`/`sum_samples`/`sum_sq` are exact
+    * integer folds over the decoded PCM, and `rms` is one exactly-rounded
+    * IEEE division + sqrt of those integers.
+    */
+  case class AudioChannelFeatures(
+      media_id: Long,
+      channel: Int,
+      channels: Int,
+      sample_rate: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      peak: Long,
+      sum_samples: Long,
+      sum_sq: Long,
+      rms: Double)
+
+  /** WAV/PCM16 codec plumbing beyond the mono helper in [[MediaCodecs]]:
+    * interleaved multi-channel encode, and decode through a REUSED
+    * per-thread `AudioFileReader` — `AudioSystem.getAudioInputStream`
+    * re-walks the provider registry per call (the §22.7 ImageIO lesson,
+    * applied to `javax.sound`); the JDK's WAV reader is located once per
+    * executor thread via the public `spi.AudioFileReader` service and
+    * reused for every payload. BinaryPipelineSpec pins sample-exact
+    * equality between the reused path and the `AudioSystem` path.
+    */
+  object AudioCodecs {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+
+    /** The fixture's swept sample rates (all divide 1000·frames exactly
+      * into the floor the oracle replays). */
+    val Rates: Array[Int] = Array(8000, 16000, 32000)
+
+    /** Encode channel-interleaved PCM16 samples as a WAV file. */
+    def encodeWavPcm16(interleaved: Array[Short], channels: Int,
+        rateHz: Float): Array[Byte] = {
+      require(channels > 0 && interleaved.length % channels == 0,
+        s"interleaved length ${interleaved.length} not a multiple of $channels")
+      val pcm = new Array[Byte](2 * interleaved.length)
+      var i = 0
+      while (i < interleaved.length) {
+        pcm(2 * i) = (interleaved(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((interleaved(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rateHz, 16, channels, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+        (interleaved.length / channels).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    // the JDK ships its WAV reader as a java.desktop service provider; one
+    // ServiceLoader walk per thread finds it, probing each candidate with
+    // a 2-frame WAV (a reader that rejects the probe can't read the
+    // fixtures either). Null → the AudioSystem fallback below.
+    private lazy val probeWav: Array[Byte] =
+      encodeWavPcm16(Array[Short](0, 0), 1, 8000f)
+    private val wavReaders =
+      new ThreadLocal[javax.sound.sampled.spi.AudioFileReader] {
+        override def initialValue(): javax.sound.sampled.spi.AudioFileReader = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          while (it.hasNext) {
+            val r = it.next()
+            try {
+              r.getAudioInputStream(new ByteArrayInputStream(probeWav)).close()
+              return r
+            } catch {
+              case _: UnsupportedAudioFileException => ()
+              case _: java.io.IOException => ()
+            }
+          }
+          null
+        }
+      }
+
+    /** Open a payload through the reused per-thread reader (provider walk
+      * amortized), falling back to the full `AudioSystem` search when no
+      * provider volunteered at thread init. */
+    def audioInputReused(payload: Array[Byte]): AudioInputStream = {
+      val r = wavReaders.get()
+      if (r == null) AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      else r.getAudioInputStream(new ByteArrayInputStream(payload))
+    }
+
+    /** Decode a WAV payload to (channels, rateHz, frames, interleaved
+      * PCM16 LE bytes) — fails loudly on any non-PCM16-LE shape, same
+      * contract as the image codecs. */
+    def decodePcm16(payload: Array[Byte]): (Int, Int, Long, Array[Byte]) = {
+      val ais = audioInputReused(payload)
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels >= 1,
+          s"unexpected WAV shape: $fmt")
+        (fmt.getChannels, fmt.getSampleRate.toInt, ais.getFrameLength,
+          ais.readAllBytes())
+      } finally ais.close()
+    }
+  }
+
+  /** The audio fixture's closed forms (shared between the synthesizer, the
+    * feature face's expectations, and the generated-free static oracles):
+    *   - channels  = doc_id % 2 + 1 (mono / stereo alternating);
+    *   - rate      = [[AudioCodecs.Rates]][doc_id % 3];
+    *   - frames    = byte-length of the document text (pure ASCII, so
+    *                 length(text) in both engines);
+    *   - channel 0 sample at frame t = (byte_t − 128) · 256 — the text
+    *     byte recentred to signed and scaled to the PCM16 range, so the
+    *     decoded signal inverts EXACTLY back to the text;
+    *   - channel 1 sample (stereo) = (127 − byte_t) · 256 — the one's-
+    *     complement mirror, so the two channels carry distinct (not
+    *     merely copied) waveforms the per-channel rollups tell apart.
+    * Everything downstream (features, fingerprints) is therefore
+    * closed-form in (doc_id, text) and the DuckDB oracle replays it from
+    * `documents` without any codec.
+    */
+  def audioSyntheticSample(b: Int, channel: Int): Short =
+    if (channel == 0) (((b & 0xff) - 128) << 8).toShort
+    else ((127 - (b & 0xff)) << 8).toShort
+
+  def syntheticAudio(spark: SparkSession, dir: String,
+      timers: CodecTimers = CodecTimers.Disabled): Dataset[AudioRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, source) =>
+          timers.synth {
+            val bytes = text.getBytes("UTF-8")
+            val channels = (id % 2).toInt + 1
+            val rate = AudioCodecs.Rates((id % 3).toInt)
+            val interleaved = new Array[Short](bytes.length * channels)
+            var t = 0
+            while (t < bytes.length) {
+              var c = 0
+              while (c < channels) {
+                interleaved(t * channels + c) = audioSyntheticSample(bytes(t), c)
+                c += 1
+              }
+              t += 1
+            }
+            AudioRecord(id,
+              AudioCodecs.encodeWavPcm16(interleaved, channels, rate.toFloat),
+              source)
+          }
+        }
+      }
+  }
+
+  /** Decode + per-channel feature extraction over an audio Dataset — the
+    * audio `q_media_features` analog, one row per (payload, channel).
+    * Row-local `mapPartitions` (decoder state per thread via the reused
+    * reader), no shuffle: the output IS the per-channel rollup, so at
+    * 100 TB this is a pure map over the payload table.
+    */
+  def audioChannelFeatures(media: Dataset[AudioRecord],
+      timers: CodecTimers = CodecTimers.Disabled): Dataset[AudioChannelFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        timers.decode {
+          val (channels, rate, frames, pcm) = AudioCodecs.decodePcm16(r.payload)
+          val peak = new Array[Long](channels)
+          val sum = new Array[Long](channels)
+          val sumSq = new Array[Long](channels)
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val c = (i / 2) % channels
+            val s = (((pcm(i) & 0xff) | (pcm(i + 1).toInt << 8)).toShort).toLong
+            if (math.abs(s) > peak(c)) peak(c) = math.abs(s)
+            sum(c) += s
+            sumSq(c) += s * s
+            i += 2
+          }
+          (0 until channels).map { c =>
+            AudioChannelFeatures(r.media_id, c, channels, rate, frames,
+              frames * 1000L / rate, peak(c), sum(c), sumSq(c),
+              math.sqrt(sumSq(c).toDouble / frames))
+          }
+        }
+      }
+    }
+  }
+
+  /** Audio fingerprint near-dup: decode channel 0, quantize each frame's
+    * sample to a 6-bit amplitude level, fingerprint the level STRING with
+    * the 60-bit SimHash over its 4-grams, and band/verify through the
+    * capped machinery shared with text SimHash — the [[mediaNearDupPairs]]
+    * shape with the gram stream coming from decoded SIGNAL, not payload
+    * text. The quantization is what a real audio fingerprint (spectral
+    * band energies) plugs into; here it is amplitude-bucketing, which the
+    * oracle replays because sample t inverts to text byte t and the level
+    * is `byte // 4` ([[audioSyntheticSample]]).
+    */
+  def audioNearDupPairs(media: Dataset[AudioRecord], maxHamming: Int = 6)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    val decoded = media.mapPartitions { it =>
+      it.map { r =>
+        val (channels, _, frames, pcm) = AudioCodecs.decodePcm16(r.payload)
+        val sb = new java.lang.StringBuilder(frames.toInt)
+        var t = 0
+        while (t < frames) {
+          val i = t * channels * 2 // channel 0 of frame t
+          val s = ((pcm(i) & 0xff) | (pcm(i + 1).toInt << 8)).toShort
+          // invert the fixture scaling ((b−128)·256) back to the byte,
+          // then 6-bit quantize: level = b/4, printable as chr(48+level)
+          val b = (s >> 8) + 128
+          sb.append((48 + b / 4).toChar)
+          t += 1
+        }
+        (r.media_id, sb.toString)
+      }
+    }.toDF("media_id", "content")
+    val grams = expr(
+      "CASE WHEN length(content) >= 4 " +
+        "THEN transform(sequence(1, length(content) - 3), i -> substring(content, i, 4)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")
+    val fps = graft.operators.Dedup
+      .simhashLongOver(decoded, "media_id", grams)
+      .withColumnRenamed("media_id", "id")
+    graft.operators.Dedup
+      .simhashNearDupPairs(fps, "audioNearDupPairs", maxHamming)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+  }
 }

@@ -224,16 +224,22 @@ object Dedup {
       hotBandCap: Int = HotBandCap): DataFrame = {
     // (doc_id, sset, skey): skey = exact set identity, order-normalized.
     // Shingles never contain NUL, so the join is collision-free up to md5.
-    val (keyed, keyedIds) = IterCheckpoint.checkpoint(
+    // shingle + representative build stamped: a bench record's face
+    // decomposition then splits p_shingle_ckpt (corpus tokenize/collapse —
+    // built once, read by banding AND member expansion) from the
+    // consumer's own stamps (p_pairs_ckpt in clusterLabels)
+    val (keyed, keyedIds) = graft.BenchPhases.timed("p_shingle_ckpt")(
+      IterCheckpoint.checkpoint(
       Tables.documents(s, d)
         .select(col("doc_id"), shingles3(col("text")).as("sset"))
         .filter(size(col("sset")) > 0)
-        .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset"))))))
+        .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset")))))))
     // one representative per distinct set (min doc_id for reproducibility;
     // Jaccard is order-independent so any member's array would do)
-    val (reps, repIds) = IterCheckpoint.checkpoint(
+    val (reps, repIds) = graft.BenchPhases.timed("p_shingle_ckpt")(
+      IterCheckpoint.checkpoint(
       keyed.groupBy(col("skey"))
-        .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset")))
+        .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset"))))
     supersede(s, "minhashLshPairs", keyedIds ++ repIds)
     val banded = repBands(reps)
     val cand = cappedBandPairs(banded, hotBandCap)
@@ -603,22 +609,32 @@ object Dedup {
     */
   def lshBandingSweep(s: SparkSession, d: String, threshold: Double = 0.35,
       configs: Seq[(Int, Int)] = BandingSweepConfigs): DataFrame = {
-    val (keyed, keyedIds) = IterCheckpoint.checkpoint(
-      keyedShingles(Tables.documents(s, d)))
-    val (reps, repIds) = IterCheckpoint.checkpoint(
-      keyed.groupBy(col("skey"))
-        .agg(min(col("doc_id")).as("rid"),
-          min_by(col("sset"), col("doc_id")).as("sset")))
-    val postings = reps.select(col("rid"), explode(col("sset")).as("shingle"))
-      .repartition(col("rid"))
-    val minsAgg = (0 until NumHashes).map(k =>
-      min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
-    val (sigs, sigIds) = IterCheckpoint.checkpoint(
-      postings.groupBy(col("rid")).agg(minsAgg.head, minsAgg.tail: _*))
+    // phase stamps (r18 verdict task 4): the face's 100× seconds are
+    // adjudicated "truth/sweep class" — the materializing checkpoints are
+    // timed so the committed record itself shows where they go
+    // (p_signatures = shingle/rep/minhash build, p_candidates = the four
+    // band self-joins, p_truth = the exact inverted-index baseline)
+    val ((keyed, keyedIds), (reps, repIds), (sigs, sigIds)) =
+      graft.BenchPhases.timed("p_signatures") {
+        val k0 = IterCheckpoint.checkpoint(
+          keyedShingles(Tables.documents(s, d)))
+        val r0 = IterCheckpoint.checkpoint(
+          k0._1.groupBy(col("skey"))
+            .agg(min(col("doc_id")).as("rid"),
+              min_by(col("sset"), col("doc_id")).as("sset")))
+        val postings = r0._1.select(col("rid"), explode(col("sset")).as("shingle"))
+          .repartition(col("rid"))
+        val minsAgg = (0 until NumHashes).map(k =>
+          min(md5Hash60(col("shingle"), lit(k))).as(s"h$k"))
+        val s0 = IterCheckpoint.checkpoint(
+          postings.groupBy(col("rid")).agg(minsAgg.head, minsAgg.tail: _*))
+        (k0, r0, s0)
+      }
     // candAll feeds two consumers (the cost aggregate and the truth join);
     // checkpointed so the four band self-joins run once, not twice (r14
     // review) — candidate pairs are rep-level and tiny
-    val (candAll, candIds) = IterCheckpoint.checkpoint(
+    val (candAll, candIds) = graft.BenchPhases.timed("p_candidates")(
+      IterCheckpoint.checkpoint(
       configs.map { case (b, r) =>
         val banded = sigs.select(col("rid"),
           posexplode(array((0 until b).map(i =>
@@ -628,19 +644,24 @@ object Dedup {
           .withColumnRenamed("col", "band_key")
         cappedBandPairs(banded, HotBandCap)
           .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
-      }.reduce(_.unionByName(_)))
-    supersede(s, "lshBandingSweep", keyedIds ++ repIds ++ sigIds ++ candIds)
+      }.reduce(_.unionByName(_))))
     val cost = candAll.groupBy(col("bands"), col("rows_per_band"))
       .agg(count(lit(1)).as("n_cand_pairs"))
     val docRid = keyed.select(col("doc_id"), col("skey"))
       .join(reps.select(col("skey"), col("rid")), Seq("skey"))
-    val truthRep = ngramJaccardPairs(s, d, threshold)
+    // the truth baseline is the face's dominant term at 100× — checkpointed
+    // under its own stamp so the record carries the truth-vs-candidates
+    // split instead of prose (truth pairs are leak-sized, so the extra
+    // materialization is noise next to the inverted-index join it times)
+    val (truthRep, truthIds) = graft.BenchPhases.timed("p_truth")(
+      IterCheckpoint.checkpoint(ngramJaccardPairs(s, d, threshold)
       .join(docRid.select(col("doc_id").as("doc_a"), col("rid").as("ra")), Seq("doc_a"))
       .join(docRid.select(col("doc_id").as("doc_b"), col("rid").as("rb")), Seq("doc_b"))
       .filter(col("ra") =!= col("rb"))
       .select(least(col("ra"), col("rb")).as("rid_a"),
         greatest(col("ra"), col("rb")).as("rid_b"), col("jaccard"))
-      .distinct()
+      .distinct()))
+    supersede(s, "lshBandingSweep", keyedIds ++ repIds ++ sigIds ++ candIds ++ truthIds)
     import s.implicits._
     truthRep.crossJoin(broadcast(configs.toDF("bands", "rows_per_band")))
       .join(candAll.withColumn("hit", lit(1)),
@@ -1119,7 +1140,14 @@ object Dedup {
     // pair plan ONCE as a normal fully-AQE query, then truncates lineage, so
     // the symmetric union below reads materialized (long, long) rows twice
     // instead of compiling the producer twice.
-    val (p, pIds) = IterCheckpoint.checkpoint(pairs)
+    // the pair plan (MinHash banding for the dedup/closure faces) is the
+    // face's dominant term — its materialization gets its own bench stamp,
+    // and the per-round stamps below then show the propagation itself is
+    // checkpoint-bounded log-rounds work, not re-derivation (r18 verdict
+    // task 4: the record, not prose, should show the pair table is built
+    // ONCE and every round reads materialized rows)
+    val (p, pIds) = graft.BenchPhases.timed("p_pairs_ckpt")(
+      IterCheckpoint.checkpoint(pairs))
     // symmetric adjacency — the min label must flow both directions; off the
     // checkpoint this is a trivial narrow scan, no cache needed
     val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -1175,8 +1203,14 @@ object Dedup {
       labels = next
       ids = nextIds
       round += 1
+      // per-iteration attribution in the bench record (no-op elsewhere):
+      // bounded by maxRounds keys, and the sum of p_labels_r* vs
+      // p_pairs_ckpt is the closure face's build-vs-propagate split
+      graft.BenchPhases.add(f"p_labels_r$round%02d",
+        (System.nanoTime() - tRound) / 1e9)
       dbg(f"round $round sum $s converged $converged ${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
+    graft.BenchPhases.add("n_label_rounds", round.toDouble)
     IterCheckpoint.free(sess, pIds)
     // the FINAL round's checkpoint must outlive this call (the returned
     // frame reads it); register it so the next clusterLabels invocation on

@@ -434,6 +434,11 @@ object Layouts {
     */
   private def zOrderedPath(s: SparkSession, d: String): String =
     graft.sources.StagedDirs.once(s, d, "li_zorder") { dir =>
+      // p_layout_build, NOT "staging": the range-partition-and-sort IS the
+      // face's own work and stays in the contract clock — the stamp makes
+      // its share readable in the record (r18 verdict task 6). Fires once
+      // per (session, dataset): the StagedDirs memo; LayoutsSpec pins it.
+      graft.BenchPhases.timed("p_layout_build") {
       val df = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_extendedprice"))
@@ -443,6 +448,7 @@ object Layouts {
       graft.sources.Sinks.writeCompacted(df, dir, "zv",
         rowsPerFile = math.max(1L, (total + zFilesFor(total) - 1) / zFilesFor(total)),
         total)
+      }
     }
 
   /** Per-file (min, max) of both grid coordinates — the data-skipping

@@ -243,6 +243,26 @@ object EventStreamJob extends Serializable {
     * joins. The batch face is the identical join predicate on static frames
     * (asserted equal in `EventStreamSpec`).
     */
+  /** View-side watermark slack of the stream-stream joins, overridable per
+    * session (`spark.graft.stream.viewWatermark`). State ∝ slack is THE
+    * stream-join sizing lever at 100 TB: the join holds every view row
+    * until the view watermark passes the join bound, so a wider slack
+    * (tolerating later-arriving views) buys robustness with state rows,
+    * linearly. Any slack ≥ the default leaves the SETTLED output unchanged
+    * — the watermark governs eviction, and every join match is within the
+    * 1-hour interval bound the predicate states — which is what makes the
+    * A/B demonstration a pure state-volume measurement (`p_stateRows` at
+    * two slacks, same settled rows; MultiBatchStreamSpec pins the
+    * equivalence, BENCH_BUDGET records the measured pair). Tightening
+    * BELOW the bound would drop late matches — that direction is a
+    * correctness knob, not a sizing one, and stays out of scope.
+    */
+  val ViewWatermarkConfKey = "spark.graft.stream.viewWatermark"
+  val DefaultViewWatermark = "2 hours"
+  private def viewWatermark(events: DataFrame): String =
+    events.sparkSession.conf.getOption(ViewWatermarkConfKey)
+      .getOrElse(DefaultViewWatermark)
+
   def purchaseViewJoinStream(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -251,7 +271,7 @@ object EventStreamJob extends Serializable {
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
+      .withWatermark("v_ts", viewWatermark(events))
     purchases.join(views,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&
@@ -280,7 +300,7 @@ object EventStreamJob extends Serializable {
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
+      .withWatermark("v_ts", viewWatermark(events))
     purchases.join(views,
       col("user_id") === col("v_user") &&
         col("v_ts") <= col("p_ts") &&

@@ -55,4 +55,21 @@ class AnnSweepSpec extends SparkSpecBase {
     assert(counts.size == 1, s"ragged spine: $counts")
     assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
   }
+
+  test("shared-artifact sweep equals the direct per-knob composition (r19)") {
+    // the r19 restructure scores each knob family ONCE at its top knob and
+    // derives every swept point as a tag filter — this pin is the proof
+    // that the nested-candidate-set argument holds row-for-row against
+    // nine independently-built pipelines (including n_hits, not just the
+    // monotonicity the other tests check)
+    val direct = Similarity.annRecallSweepDirect(spark, Sf)
+      .select("method", "query_id", "n_hits")
+      .as[(String, Long, Long)].collect().toSet
+    val shared = Similarity.annRecallSweep(spark, Sf)
+      .select("method", "query_id", "n_hits")
+      .as[(String, Long, Long)].collect().toSet
+    assert(shared == direct,
+      s"diff: shared-only=${(shared -- direct).take(5)} " +
+        s"direct-only=${(direct -- shared).take(5)}")
+  }
 }

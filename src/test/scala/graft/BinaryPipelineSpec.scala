@@ -416,4 +416,80 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(a.forall(p => p._3 >= 0 && p._3 <= 6))
     assert(a.forall(p => p._1 < p._2), "pairs not canonical")
   }
+
+  test("audio: reused per-thread reader decodes sample-exactly like AudioSystem (PCM pin)") {
+    // the javax.sound analog of the readJpegReused raster pin: the
+    // provider located once per thread must hand back the IDENTICAL
+    // decoded stream the full AudioSystem search would
+    for (id <- Seq(3L, 4L)) { // mono and stereo fixtures
+      val channels = (id % 2).toInt + 1
+      val bytes = "the quick brown fox 0123".getBytes("UTF-8")
+      val interleaved = new Array[Short](bytes.length * channels)
+      for (t <- bytes.indices; c <- 0 until channels)
+        interleaved(t * channels + c) = BinaryPipeline.audioSyntheticSample(bytes(t), c)
+      val payload = BinaryPipeline.AudioCodecs.encodeWavPcm16(
+        interleaved, channels, 8000f)
+      val viaSystem = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val sysBytes = try viaSystem.readAllBytes() finally viaSystem.close()
+      val (ch2, rate2, frames2, pcm2) = BinaryPipeline.AudioCodecs.decodePcm16(payload)
+      assert(ch2 == channels && rate2 == 8000)
+      assert(frames2 == bytes.length.toLong)
+      assert(java.util.Arrays.equals(pcm2, sysBytes),
+        "reused-reader PCM differs from the AudioSystem decode")
+    }
+  }
+
+  test("audio: encode->decode inverts the synthetic waveform to the text bytes") {
+    // the closed-form contract every audio oracle rests on: channel-0
+    // sample t decodes back to text byte t ((s >> 8) + 128), channel 1 to
+    // its one's-complement mirror
+    val text = "Closed-form waveform 42!"
+    val bytes = text.getBytes("UTF-8")
+    val interleaved = new Array[Short](bytes.length * 2)
+    for (t <- bytes.indices; c <- 0 until 2)
+      interleaved(t * 2 + c) = BinaryPipeline.audioSyntheticSample(bytes(t), c)
+    val payload = BinaryPipeline.AudioCodecs.encodeWavPcm16(interleaved, 2, 16000f)
+    val (ch, _, frames, pcm) = BinaryPipeline.AudioCodecs.decodePcm16(payload)
+    assert(ch == 2 && frames == bytes.length.toLong)
+    val rebuilt = new Array[Byte](bytes.length)
+    for (t <- bytes.indices) {
+      val i = t * ch * 2
+      val s0 = (((pcm(i) & 0xff) | (pcm(i + 1).toInt << 8)).toShort).toInt
+      rebuilt(t) = ((s0 >> 8) + 128).toByte
+      val s1 = (((pcm(i + 2) & 0xff) | (pcm(i + 3).toInt << 8)).toShort).toInt
+      assert((s1 >> 8) == 127 - (bytes(t) & 0xff), s"ch1 mirror broken at $t")
+    }
+    assert(new String(rebuilt, "UTF-8") == text)
+  }
+
+  test("audio: per-channel features match hand-computed sums on a tiny fixture") {
+    val media = BinaryPipeline.syntheticAudio(spark, Sf)
+      .filter(_.media_id < 6)
+    val feats = BinaryPipeline.audioChannelFeatures(media)
+      .collect().map(f => (f.media_id, f.channel) -> f).toMap
+    val docs = Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 6)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes("UTF-8")
+      val channels = (id % 2).toInt + 1
+      val rate = BinaryPipeline.AudioCodecs.Rates((id % 3).toInt)
+      for (c <- 0 until channels) {
+        val samples = bytes.map(b =>
+          BinaryPipeline.audioSyntheticSample(b, c).toLong)
+        val f = feats((id, c))
+        assert(f.channels == channels && f.sample_rate == rate)
+        assert(f.n_frames == bytes.length.toLong)
+        assert(f.duration_ms == bytes.length.toLong * 1000L / rate)
+        assert(f.peak == samples.map(math.abs).max)
+        assert(f.sum_samples == samples.sum)
+        assert(f.sum_sq == samples.map(s => s * s).sum)
+        assert(f.rms == math.sqrt(samples.map(s => s * s).sum.toDouble / bytes.length))
+      }
+      // exactly `channels` rows for this payload, no phantom channel
+      assert(!feats.contains((id, channels)))
+    }
+  }
 }

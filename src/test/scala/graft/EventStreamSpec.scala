@@ -124,6 +124,34 @@ class EventStreamSpec extends SparkSpecBase {
       s"peak state rows must be stamped for the stream-stream join: $ph")
   }
 
+  test("view-watermark slack is a pure state knob: wider slack, same settled rows") {
+    // the 100 TB stream-join sizing lever (r18 verdict task 5): state ∝
+    // watermark slack, settled output invariant for any slack ≥ default.
+    // Pinned here so the 100× A/B (BENCH_BUDGET) rests on a proven
+    // equivalence, not on two runs happening to agree.
+    def run(tag: String): (Set[(Long, Long, Long)], Double) = {
+      graft.BenchPhases.begin(s"q_slack_spec_$tag")
+      val rows =
+        try SparkEntry.queries("q_stream_join")(spark, Sf)
+          .select(col("purchase_id"), col("view_id"), col("user_id"))
+          .as[(Long, Long, Long)].collect().toSet
+        finally graft.BenchPhases.end()
+      val peak = graft.BenchPhases.snapshot(s"q_slack_spec_$tag")
+        .flatMap(_.get("p_stateRows")).getOrElse(0.0)
+      (rows, peak)
+    }
+    val (baseRows, basePeak) = run("base")
+    spark.conf.set(EventStreamJob.ViewWatermarkConfKey, "6 hours")
+    try {
+      val (wideRows, widePeak) = run("wide")
+      assert(wideRows == baseRows,
+        "settled output must be slack-invariant for slack >= default")
+      assert(basePeak > 0.0 && widePeak > 0.0, s"peaks: $basePeak / $widePeak")
+      assert(widePeak >= basePeak,
+        s"wider slack must hold at least as much state: $widePeak < $basePeak")
+    } finally spark.conf.unset(EventStreamJob.ViewWatermarkConfKey)
+  }
+
   test("dropDuplicatesWithinWatermark is the streaming insert-ignore (A1)") {
     // duplicated event_ids across a small batch, raw nanos like the real table
     val base = 1700000000000000000L // nanos

@@ -118,6 +118,27 @@ class LayoutsSpec extends SparkSpecBase {
     assert(r.getLong(0) == 39L && r.getLong(1) == 0L && r.getLong(2) == 65535L)
   }
 
+  test("z-order layout build stamps p_layout_build exactly once (memoized)") {
+    // the stamp stays IN the contract clock (the layout build is the
+    // face's own work, r18 verdict task 6) and must not re-fire on the
+    // memoized second call — the record's number is one build, not N
+    graft.BenchPhases.begin("q_zorder_spec_a")
+    try Layouts.zOrderBoxQuery(spark, Sf).collect()
+    finally graft.BenchPhases.end()
+    val first = graft.BenchPhases.snapshot("q_zorder_spec_a").getOrElse(Map.empty)
+    graft.BenchPhases.begin("q_zorder_spec_b")
+    try Layouts.zOrderBoxQuery(spark, Sf).collect()
+    finally graft.BenchPhases.end()
+    val second = graft.BenchPhases.snapshot("q_zorder_spec_b").getOrElse(Map.empty)
+    // either this test staged the layout (stamp here) or an earlier test
+    // already did (no stamp anywhere) — in both cases the SECOND call must
+    // not stamp, which is the fires-once property under the StagedDirs memo
+    assert(!second.contains("p_layout_build"),
+      s"memoized second call re-stamped the layout build: $second")
+    if (first.contains("p_layout_build"))
+      assert(first("p_layout_build") > 0.0)
+  }
+
   test("z-order box query: answer is layout-independent, scan skips most files") {
     val df = Layouts.zOrderBoxQuery(spark, Sf)
     val expected = Tables.lineitem(spark, Sf)
