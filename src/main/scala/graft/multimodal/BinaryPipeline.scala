@@ -1095,11 +1095,55 @@ object BinaryPipeline {
       * into the floor the oracle replays). */
     val Rates: Array[Int] = Array(8000, 16000, 32000)
 
-    /** Encode channel-interleaved PCM16 samples as a WAV file. */
+    /** Encode channel-interleaved PCM16 samples as a WAV file — the
+      * canonical 44-byte RIFF/fmt/data header written DIRECTLY. The
+      * `AudioSystem.write` path produces byte-identical files (spec-pinned
+      * mono AND stereo) but pays ~4.5 ms/call of stream plumbing, which at
+      * the 100× fixture family was 2269 task-seconds of staging CPU for
+      * 50 MB of WAVs; the header is 11 little-endian fields, so the
+      * fixture synthesizer writes them itself and the REAL codec stays on
+      * the decode side where it earns its keep ([[audioInputReused]]).
+      */
     def encodeWavPcm16(interleaved: Array[Short], channels: Int,
         rateHz: Float): Array[Byte] = {
       require(channels > 0 && interleaved.length % channels == 0,
         s"interleaved length ${interleaved.length} not a multiple of $channels")
+      val dataBytes = 2 * interleaved.length
+      val rate = rateHz.toInt
+      val blockAlign = 2 * channels
+      val out = new Array[Byte](44 + dataBytes)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def tag(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+      tag(0, "RIFF"); le32(4, 36 + dataBytes); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16)
+      le16(20, 1)                       // PCM
+      le16(22, channels)
+      le32(24, rate)
+      le32(28, rate * blockAlign)       // byte rate
+      le16(32, blockAlign)
+      le16(34, 16)                      // bits per sample
+      tag(36, "data"); le32(40, dataBytes)
+      var i = 0
+      while (i < interleaved.length) {
+        out(44 + 2 * i) = (interleaved(i) & 0xff).toByte
+        out(44 + 2 * i + 1) = ((interleaved(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** The `AudioSystem.write` form of [[encodeWavPcm16]] — kept as the
+      * spec's byte-equality reference (the direct header writer must
+      * produce exactly what the JDK encoder produces). */
+    private[graft] def encodeWavPcm16ViaJdk(interleaved: Array[Short],
+        channels: Int, rateHz: Float): Array[Byte] = {
       val pcm = new Array[Byte](2 * interleaved.length)
       var i = 0
       while (i < interleaved.length) {

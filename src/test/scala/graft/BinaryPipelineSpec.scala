@@ -417,6 +417,23 @@ class BinaryPipelineSpec extends SparkSpecBase {
     assert(a.forall(p => p._1 < p._2), "pairs not canonical")
   }
 
+  test("audio: direct RIFF header writer is byte-identical to AudioSystem.write") {
+    // the fixture synthesizer writes the 44-byte canonical header itself
+    // (AudioSystem.write cost ~4.5 ms/call of stream plumbing at the 100x
+    // staging); this pin is the license for that shortcut — byte equality
+    // against the JDK encoder, mono and stereo, multiple rates
+    for ((channels, rate) <- Seq((1, 8000f), (2, 16000f), (1, 32000f))) {
+      val bytes = "direct header equivalence".getBytes("UTF-8")
+      val interleaved = new Array[Short](bytes.length * channels)
+      for (t <- bytes.indices; c <- 0 until channels)
+        interleaved(t * channels + c) = BinaryPipeline.audioSyntheticSample(bytes(t), c)
+      val direct = BinaryPipeline.AudioCodecs.encodeWavPcm16(interleaved, channels, rate)
+      val jdk = BinaryPipeline.AudioCodecs.encodeWavPcm16ViaJdk(interleaved, channels, rate)
+      assert(java.util.Arrays.equals(direct, jdk),
+        s"direct RIFF writer diverges from AudioSystem.write at ch=$channels rate=$rate")
+    }
+  }
+
   test("audio: reused per-thread reader decodes sample-exactly like AudioSystem (PCM pin)") {
     // the javax.sound analog of the readJpegReused raster pin: the
     // provider located once per thread must hand back the IDENTICAL
