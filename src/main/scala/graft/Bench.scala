@@ -314,7 +314,8 @@ object Bench {
         forked.map(f => (f.name, f.cold, f.err, f.refused))).sortBy(_._1)
     val retriedAll: Seq[(String, Double, Double, Option[String])] =
       retried.map { case (n, f0, s2, e2, _) => (n, f0, s2, e2) } ++
-        forked.collect { case Forked(n, c, _, _, Some((s2, e2)), _, _) => (n, c, s2, e2) }
+        forked.collect { case f if f.second.isDefined =>
+          (f.name, f.cold, f.second.get._1, f.second.get._2) }
     val retryBySecond = retriedAll.map { case (n, _, s2, e2) => n -> (s2, e2) }.toMap
     // The acceptance WINDOW can sit above the contract ceiling (the 100×
     // replica runs accept 420 s where the sf0.1 contract is 30 s). r12
@@ -420,9 +421,11 @@ object Bench {
       ph.map(m => jstr(k) + ":" + phMap(m))
     } ++ forked.flatMap(f => f.phasesRaw.map(raw => jstr(f.name) + ":" + raw)))
       .mkString("{", ",", "}")
-    val phasesRetryJson = retried.flatMap { case (n, _, _, _, ph2) =>
+    val phasesRetryJson = (retried.flatMap { case (n, _, _, _, ph2) =>
       ph2.map(m => jstr(n) + ":" + phMap(m))
-    }.mkString("{", ",", "}")
+    } ++ forked.flatMap(f =>
+      f.secondPhasesRaw.map(raw => jstr(f.name) + ":" + raw)))
+      .mkString("{", ",", "}")
     val storeJson = stateStore.map(jstr).getOrElse("null")
     val dedicatedJson = forked.map(f => jstr(f.name)).mkString("[", ",", "]")
     // staging reported once, artifact-level, per face that drew it —
@@ -473,10 +476,15 @@ object Bench {
         }
         // per-run capture crosses the fork boundary too: `phases` is the
         // child's COLD-run map (feeds the parent's `phases`/`staging`),
-        // `second_staging` the retry's own stamp (feeds per-run netting)
+        // `second_staging` the retry's own stamp (feeds per-run netting),
+        // and `second_phases` the retry's full decomposition — without it
+        // a forked face's retry could not be told apart from "retried but
+        // decomposition dropped" in the merged artifact (r19 ADVICE)
         results.headOption.flatMap(_._6).foreach { ph =>
           props.setProperty("phases", phMap(ph))
         }
+        retried.collectFirst { case (`name`, _, _, _, Some(ph2)) => ph2 }
+          .foreach(ph2 => props.setProperty("second_phases", phMap(ph2)))
         stagingRetryOf.get(name).foreach(v =>
           props.setProperty("second_staging", v.toString))
       }
@@ -516,7 +524,8 @@ object Bench {
       err: Option[String], refused: Boolean,
       second: Option[(Double, Option[String])],
       phasesRaw: Option[String],
-      secondStaging: Option[Double] = None)
+      secondStaging: Option[Double] = None,
+      secondPhasesRaw: Option[String] = None)
 
   /** A face's contract clock net of its one-time dataset staging, clamped
     * at zero (a staging stamp can exceed a retried face's best wall when
@@ -638,7 +647,8 @@ object Bench {
           (s.toDouble, Option(props.getProperty("second_error")))),
         Option(props.getProperty("phases")),
         Option(props.getProperty("second_staging"))
-          .flatMap(s => scala.util.Try(s.toDouble).toOption))
+          .flatMap(s => scala.util.Try(s.toDouble).toOption),
+        Option(props.getProperty("second_phases")))
     } catch {
       case e: Throwable =>
         Forked(face, 0.0, Some(s"fork failed: $e".take(300)), false, None, None)

@@ -104,6 +104,7 @@ object BenchPhases {
     private var stateCommit = 0.0
     private var stateUpdates = 0.0
     private var peakRows = 0L
+    private var hasState = false
     def fold(progs: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Unit =
       progs.foreach { p =>
         if (seen.add((p.runId, p.batchId))) {
@@ -111,6 +112,7 @@ object BenchPhases {
           p.durationMs.forEach((k, v) =>
             durations.update(k, durations.getOrElse(k, 0.0) + v.toDouble / 1000.0))
           p.stateOperators.foreach { so =>
+            hasState = true
             stateCommit += so.commitTimeMs.toDouble / 1000.0
             stateUpdates += so.allUpdatesTimeMs.toDouble / 1000.0
           }
@@ -120,9 +122,14 @@ object BenchPhases {
     def stamp(): Unit = {
       add("n_batches", nBatches.toDouble)
       durations.foreach { case (k, v) => add("p_" + k, v) }
-      if (stateCommit > 0.0) add("p_stateCommit", stateCommit)
-      if (stateUpdates > 0.0) add("p_stateUpdates", stateUpdates)
-      if (peakRows > 0L) add("p_stateRows", peakRows.toDouble)
+      // presence of the state keys is itself signal (consumers detect
+      // stateful faces by it — r19 ADVICE): stamp them, zero included,
+      // whenever any state operator was OBSERVED, not only when positive
+      if (hasState) {
+        add("p_stateCommit", stateCommit)
+        add("p_stateUpdates", stateUpdates)
+        add("p_stateRows", peakRows.toDouble)
+      }
     }
   }
 
@@ -136,12 +143,15 @@ object BenchPhases {
     */
   def settle(query: => StreamingQuery): Unit = {
     val f = new ProgressFold
-    timed("stream_wall") {
+    // stamp in a finally: a stream that dies mid-run must still land its
+    // incrementally folded attribution (batch counts, state rows) in the
+    // artifact — that partial map is exactly what explains the failure
+    // (r19 ADVICE)
+    try timed("stream_wall") {
       val q = query
       while (!q.awaitTermination(500L)) f.fold(q.recentProgress)
       f.fold(q.recentProgress)
-    }
-    f.stamp()
+    } finally f.stamp()
   }
 
   /** Phases recorded for `query` in its latest `begin` scope, if any. */

@@ -386,16 +386,25 @@ object SparkEntry {
     //    stream-stream LEFT OUTER interval join: the settled output must
     //    also contain every never-matched purchase with a NULL view — which
     //    only finalizes once the watermark proves no match can still arrive.
-    //    Two trailing sentinel batches (fake users, ts +1d/+2d past the real
-    //    max) push the watermark far enough that every REAL purchase's fate
-    //    is decided; the sentinels themselves are filtered from the result.
-    //    Watermark updates take effect one batch late, hence TWO sentinels.
+    //    Two trailing sentinel batches (fake users, ts = max + slack + 1d/2d)
+    //    push the watermark far enough that every REAL purchase's fate
+    //    is decided at the CONFIGURED slack; the sentinels themselves are
+    //    filtered from the result. Watermark updates take effect one batch
+    //    late, hence TWO sentinels.
     "q_stream_left_join" -> ((s, d) => {
       import graft.streaming.EventStreamJob
       // volume_bound: see q_stream_join — same state-volume contract, plus
       // the sentinel batches that finalize never-matched purchases
       graft.BenchPhases.add("volume_bound", 1.0)
-      val landing = stagedLanding("left_join_mb", d) { dir =>
+      // the sentinel horizon SCALES with the configured view-watermark
+      // slack (r19 verdict task 5): a null row finalizes only once the
+      // view watermark — which trails the sentinel by the slack — passes
+      // the purchase's join window, so the flush horizon must be
+      // maxTs + slack + margin at ANY slack, not a fixed +1/2 days. The
+      // landing is keyed by the slack so a slack-ladder session re-stages
+      // instead of replaying sentinels sized for a different slack.
+      val slackNs = EventStreamJob.viewWatermarkNanos(s)
+      val landing = stagedLanding(s"left_join_mb_$slackNs", d) { dir =>
         val raw = Tables.eventsRawNanos(s, d)
         val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
         val one = s.range(1)
@@ -405,10 +414,10 @@ object SparkEntry {
             lit(0.0).as("value"), lit(null).cast("string").as("props"))
         val day = 86400L * 1000000000L
         stageEventSlices(s, d, dir, StreamSlices, extraLast = Seq(
-          sent(-1L, -1L, "purchase", maxTs + day)
-            .unionByName(sent(-2L, -2L, "view", maxTs + day)),
-          sent(-3L, -3L, "purchase", maxTs + 2 * day)
-            .unionByName(sent(-4L, -4L, "view", maxTs + 2 * day))))
+          sent(-1L, -1L, "purchase", maxTs + slackNs + day)
+            .unionByName(sent(-2L, -2L, "view", maxTs + slackNs + day)),
+          sent(-3L, -3L, "purchase", maxTs + slackNs + 2 * day)
+            .unionByName(sent(-4L, -4L, "view", maxTs + slackNs + 2 * day))))
       }
       settledStream(s,
         EventStreamJob.purchaseViewLeftJoinStream(
@@ -499,12 +508,15 @@ object SparkEntry {
     // probes the standing corpus's band index — candidates ∝ batch, never
     // corpus²; see Dedup.incrementalNearDup
     "q_dedup_incremental" -> ((s, d) => Dedup.incrementalNearDup(s, d)),
-    "q_dedup_clusters" -> ((s, d) =>
-      Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))),
+    // labels propagate over the REP graph and members map through their
+    // set representative (cluster(doc) = label(rep(doc)) — r20 task 1:
+    // output-identical to the member-graph form, spec-pinned, but with NO
+    // doc-pair expansion, so the face stays linear at any duplication
+    // density where the enumerating form predicted ~280M pairs at 300×)
+    "q_dedup_clusters" -> ((s, d) => Dedup.dedupClustersRep(s, d)),
     // representative selection after clustering: keep the longest member
     // per near-dup cluster (ties -> min doc_id) via one max_by aggregation
-    "q_dedup_keep_best" -> ((s, d) =>
-      Dedup.dedupKeepBest(s, d, Dedup.minhashLshPairs(s, d))),
+    "q_dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBestRep(s, d)),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     // measured LSH quality: recall of the banding scheme per true-Jaccard
     // band against the exact inverted-index pairs (the dedup q_ann_recall)
@@ -1084,6 +1096,20 @@ object SparkEntry {
     // fixture waveform inverts exactly to the text bytes.
     "q_audio_neardup" -> ((s, d) =>
       graft.multimodal.BinaryPipeline.audioNearDupPairs(
+        s.read.parquet(audioLanding(s, d))
+          .as[graft.multimodal.BinaryPipeline.AudioRecord](
+            org.apache.spark.sql.Encoders.product)
+          .repartition(mediaWidth(s)))
+        .withColumn("hamming", col("hamming").cast("long"))),
+
+    // SPECTRAL audio near-dup (r19 verdict task 6): channel-0 PCM → integer
+    // DFT per 32-sample window (twiddles serialized into the oracle as
+    // literals) → peak-bin sequence → SimHash over its 4-grams through the
+    // same gated band machinery. The amplitude face above fingerprints the
+    // waveform; this one fingerprints the SPECTRUM — what a real audio
+    // near-dup system keys on.
+    "q_audio_spectral" -> ((s, d) =>
+      graft.multimodal.BinaryPipeline.audioSpectralPairs(
         s.read.parquet(audioLanding(s, d))
           .as[graft.multimodal.BinaryPipeline.AudioRecord](
             org.apache.spark.sql.Encoders.product)
@@ -2793,6 +2819,62 @@ object SparkEntry {
          |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
          |  FROM cand)
          |WHERE hamming <= 6""".stripMargin,
+
+    // SPECTRAL audio near-dup: samples rebuilt from text (channel-0 closed
+    // form), then the IDENTICAL integer DFT — the twiddle table below is
+    // GENERATED from BinaryPipeline.twiddleCos/Sin, so both engines share
+    // the same integers and the argmax bin per window matches exactly;
+    // peak-bin string then rides the same 4-gram SimHash machinery as
+    // q_audio_neardup
+    "q_audio_spectral" -> {
+      val bp = graft.multimodal.BinaryPipeline
+      val tw = (1 to bp.SpectralBins).flatMap(k =>
+        (0 until bp.SpectralWindow).map(n =>
+          s"($k,$n,${bp.twiddleCos(k)(n)},${bp.twiddleSin(k)(n)})")).mkString(", ")
+      s"""WITH tw(k, n, c, s) AS (VALUES $tw),
+         |doc AS (
+         |  SELECT doc_id AS media_id, text, length(text) // 32 AS nw
+         |  FROM documents WHERE length(text) // 32 >= 4),
+         |xs AS (
+         |  SELECT media_id, (i - 1) // 32 AS win, (i - 1) % 32 AS n,
+         |    CAST((ascii(substring(text, CAST(i AS INT), 1)) - 128) * 256 AS BIGINT) AS v
+         |  FROM (SELECT media_id, text, unnest(range(1, nw * 32 + 1)) AS i FROM doc)),
+         |m2 AS (
+         |  SELECT media_id, win, k, re * re + im * im AS mag2 FROM (
+         |    SELECT xs.media_id, xs.win, tw.k,
+         |      SUM(xs.v * tw.c) AS re, SUM(xs.v * tw.s) AS im
+         |    FROM xs JOIN tw ON tw.n = xs.n
+         |    GROUP BY 1, 2, 3)),
+         |pk AS (
+         |  SELECT media_id, win, k AS bin FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY media_id, win
+         |      ORDER BY mag2 DESC, k) AS rn FROM m2) WHERE rn = 1),
+         |q AS (
+         |  SELECT media_id,
+         |    string_agg(chr(48 + CAST(bin AS INT)), '' ORDER BY win) AS content
+         |  FROM pk GROUP BY media_id),
+         |g AS (
+         |  SELECT media_id,
+         |    list_transform(list_distinct(
+         |      list_transform(range(1, length(content) - 2),
+         |        i -> substring(content, CAST(i AS INT), 4))),
+         |      t -> ${sqlMd5Hash60("t", "0")}) AS th
+         |  FROM q),
+         |sh AS (SELECT media_id, $sqlSimhashExpr AS simhash FROM g),
+         |bands AS (
+         |  SELECT media_id, simhash, r.q AS band, substring(simhash, r.q*15+1, 15) AS band_key
+         |  FROM sh, range(0, 4) r(q)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.media_id < b.media_id)
+         |SELECT media_a, media_b, hamming FROM (
+         |  SELECT media_a, media_b, CAST(len(list_filter(range(1, 61),
+         |    i -> substring(sim_a, i, 1) <> substring(sim_b, i, 1))) AS BIGINT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 6""".stripMargin
+    },
 
     "q_ann_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm2 FROM embeddings),

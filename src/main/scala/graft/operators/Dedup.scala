@@ -62,9 +62,14 @@ object Dedup {
   def shingles3(text: Column): Column =
     element_at(
       transform(array(TextAnalysis.tokens(text)), t =>
-        array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
-          concat_ws(" ",
-            element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))),
+        // the < 3 guard matters beyond semantics: sequence(0, size-3) with
+        // size < 3 builds a DESCENDING sequence (Spark's sequence walks
+        // toward the stop), and the negative indices blow up element_at —
+        // a 2-token doc must yield an empty shingle set, not an error
+        when(size(t) < 3, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(sequence(lit(0), size(t) - 3), i =>
+            concat_ws(" ",
+              element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))),
       1)
 
   val NumHashes = 16
@@ -220,8 +225,22 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
-  def minhashLshPairs(s: SparkSession, d: String,
-      hotBandCap: Int = HotBandCap): DataFrame = {
+  /** Checkpointed shared front of every MinHash face: the keyed shingle
+    * sets, one representative per DISTINCT set, and the VERIFIED rep-level
+    * pair graph (band join + exact Jaccard over representative sets).
+    * Everything here is distinct-set-bounded at any duplication density —
+    * the doc-level quadratic lives only in the enumeration face that
+    * explicitly asks for it (and now gates it, see [[minhashLshPairs]]).
+    */
+  private[graft] final case class MinhashRepGraph(
+      keyed: DataFrame, reps: DataFrame, repPairs: DataFrame)
+
+  /** Build the rep-level graph; returns the checkpoint ids of the keyed /
+    * rep tables WITHOUT registering them — the caller composes them with
+    * its own checkpoints and [[supersede]]s once under its pipeline tag.
+    */
+  private[graft] def minhashRepGraph(s: SparkSession, d: String,
+      hotBandCap: Int): (MinhashRepGraph, Set[Int]) = {
     // (doc_id, sset, skey): skey = exact set identity, order-normalized.
     // Shingles never contain NUL, so the join is collision-free up to md5.
     // shingle + representative build stamped: a bench record's face
@@ -240,21 +259,69 @@ object Dedup {
       IterCheckpoint.checkpoint(
       keyed.groupBy(col("skey"))
         .agg(min(col("doc_id")).as("rid"), min_by(col("sset"), col("doc_id")).as("sset"))))
-    supersede(s, "minhashLshPairs", keyedIds ++ repIds)
     val banded = repBands(reps)
     val cand = cappedBandPairs(banded, hotBandCap)
-    // verify on representative sets; carry both skeys for the expansion
+    // verify on representative sets; carry rids for the label graph and
+    // both skeys for the member expansion
     val repPairs = cand
       .join(reps.select(col("rid").as("rid_a"), col("skey").as("skey_a"),
         col("sset").as("set_a")), Seq("rid_a"))
       .join(reps.select(col("rid").as("rid_b"), col("skey").as("skey_b"),
         col("sset").as("set_b")), Seq("rid_b"))
-      .select(col("skey_a"), col("skey_b"),
+      .select(col("rid_a"), col("rid_b"), col("skey_a"), col("skey_b"),
         (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.35)
+    (MinhashRepGraph(keyed, reps, repPairs), keyedIds ++ repIds)
+  }
+
+  /** Doc-pair ENUMERATION face. The member expansion is Θ(Σ m_a·m_b +
+    * Σ C(m,2)) BY CONTRACT — on a duplication-dense corpus that output
+    * volume, not any join or shuffle, is the wall (the r19 300× replica
+    * predicted ~280 M member pairs where the rep graph holds ~10⁴ rows;
+    * `q_contamination_closure` burned its 420 s window on exactly this
+    * expansion before r20 moved every label consumer to
+    * [[dedupClustersRep]]). So, exactly like its SimHash twin
+    * [[simhashNearDupPairs]], the expansion is volume-gated: the verified
+    * rep pairs are checkpointed (the band join was going to run exactly
+    * once anyway), the EXACT output cardinality Σ m_a·m_b + Σ C(m,2) is
+    * computed in one aggregate over those pairs plus the per-set member
+    * counts, and the expansion only runs if it fits [[PairRowsConfKey]]
+    * (default [[DefaultMaxPairRows]]) — fail-fast with the sizing in the
+    * refusal instead of a window-burning enumeration. Consumers that never
+    * need doc pairs (cluster labels and everything downstream of them)
+    * stay on the rep graph and have no quadratic term at all.
+    */
+  def minhashLshPairs(s: SparkSession, d: String,
+      hotBandCap: Int = HotBandCap): DataFrame = {
+    val (g, frontIds) = minhashRepGraph(s, d, hotBandCap)
+    // materialize the verified rep pairs ONCE: the gate's sizing aggregate
+    // and the member expansion both read them
+    val (repPairs, rpIds) = IterCheckpoint.checkpoint(g.repPairs)
+    supersede(s, "minhashLshPairs", frontIds ++ rpIds)
+    val members = g.keyed.select(col("skey"), col("doc_id"))
+    val sizes = g.keyed.groupBy(col("skey")).agg(count(lit(1)).as("m"))
+    // EXACT predicted output: Σ m_a·m_b over verified cross-set rep pairs
+    // + Σ C(m,2) over every set (intra pairs emit regardless of banding —
+    // identical sets are Jaccard-1.0 duplicates by identity)
+    val crossRow = repPairs
+      .join(sizes.select(col("skey").as("skey_a"), col("m").as("m_a")), Seq("skey_a"))
+      .join(sizes.select(col("skey").as("skey_b"), col("m").as("m_b")), Seq("skey_b"))
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("rows"),
+        count(lit(1)).as("f")).head()
+    val intraRow = sizes
+      .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("rows"),
+        count(lit(1)).as("g")).head()
+    val predicted = crossRow.getLong(0) + intraRow.getLong(0)
+    val budget = pairRowsBudget(s)
+    if (predicted > budget) {
+      // refusal leaves no pinned generation behind (the simhash/triangle
+      // gate discipline): release the checkpoints before throwing
+      supersede(s, "minhashLshPairs", Set.empty)
+      throw PairVolumeBudgetExceeded(predicted, budget, crossRow.getLong(1),
+        intraRow.getLong(1), "minhashLshPairs")
+    }
     // cross-set doc pairs: representative order does not imply doc order
-    val members = keyed.select(col("skey"), col("doc_id"))
     val cross = repPairs
       .join(members.select(col("skey").as("skey_a"), col("doc_id").as("id_a")), Seq("skey_a"))
       .join(members.select(col("skey").as("skey_b"), col("doc_id").as("id_b")), Seq("skey_b"))
@@ -718,6 +785,17 @@ object Dedup {
   val PairRowsConfKey = "spark.graft.simhash.maxPairRows"
   val DefaultMaxPairRows: Long = 2000000000L
 
+  /** The session's pair-output budget (shared by the SimHash AND MinHash
+    * enumeration gates — one knob, one contract number). */
+  private[graft] def pairRowsBudget(s: SparkSession): Long =
+    s.conf.getOption(PairRowsConfKey).flatMap { v =>
+      val parsed = scala.util.Try(v.toLong).toOption
+      if (parsed.isEmpty) System.err.println(
+        s"[graft.dedup] ignoring malformed $PairRowsConfKey='$v'; " +
+          s"using default $DefaultMaxPairRows")
+      parsed
+    }.getOrElse(DefaultMaxPairRows)
+
   /** Fail-fast refusal of a pair enumeration predicted to exceed the output
     * budget. Message front-loads the sizing so Bench's 300-char error
     * truncation keeps predicted-vs-budget in the artifact.
@@ -866,13 +944,7 @@ object Dedup {
       .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("rows"),
         count(lit(1)).as("g")).head()
     val predicted = crossRow.getLong(0) + intraRow.getLong(0)
-    val budget = s.conf.getOption(PairRowsConfKey).flatMap { v =>
-      val parsed = scala.util.Try(v.toLong).toOption
-      if (parsed.isEmpty) System.err.println(
-        s"[graft.dedup] ignoring malformed $PairRowsConfKey='$v'; " +
-          s"using default $DefaultMaxPairRows")
-      parsed
-    }.getOrElse(DefaultMaxPairRows)
+    val budget = pairRowsBudget(s)
     if (predicted > budget) {
       // refusal leaves no pinned generation behind (the triangle gate's
       // clean-free discipline): release both checkpoints before throwing
@@ -1227,6 +1299,50 @@ object Dedup {
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("cl"), col("doc_id")).as("cluster_id"))
 
+  /** Near-dup cluster labels over the REPRESENTATIVE graph — the r20
+    * structural fix for the clusterLabels quadratic (r19 300× probe:
+    * `q_contamination_closure` timed out at 420 s because the member-pair
+    * expansion is Θ(members²/sets) under duplication, BEFORE propagation
+    * ever ran). Labels propagate over the rep-level verified pairs only
+    * (distinct-set-bounded at any duplication density) and every document
+    * maps through its set representative: `cluster(doc) = label(rep(doc))`.
+    *
+    * Output-identity argument (spec-pinned in DedupClustersSpec against the
+    * member-graph form on both a hand-built corpus and the driver corpus):
+    * each rep is its set's MIN doc_id; the member graph's intra-set edges
+    * connect members only to co-members, and its cross-set edges connect
+    * members of set A to members of set B exactly when the rep pair (A, B)
+    * verified — so the member-graph component of any doc is the union of
+    * the member sets of its rep's rep-graph component, and the component
+    * minimum over members equals the component minimum over reps (every
+    * set's minimum member IS its rep). Docs whose rep has no rep-graph
+    * edge keep `rid` (their set's min member — exactly what the member
+    * graph's intra-only component yields); docs with no shingles (empty
+    * sset) keep their own id, as before.
+    *
+    * Scale shape: the pair table entering [[clusterLabels]] is now
+    * rep-level (the r19 300× replica: ~10⁴ rep pairs vs ~2.8×10⁸ member
+    * pairs), and the member mapping is ONE narrow (skey → rid) hash join —
+    * linear in the corpus, no quadratic term at any duplication density.
+    */
+  def dedupClustersRep(s: SparkSession, d: String, maxRounds: Int = 16,
+      hotBandCap: Int = HotBandCap): DataFrame = {
+    val (g, frontIds) = minhashRepGraph(s, d, hotBandCap)
+    supersede(s, "dedupClustersRep", frontIds)
+    val repLabels = clusterLabels(
+      g.repPairs.select(col("rid_a").as("doc_a"), col("rid_b").as("doc_b")),
+      maxRounds)
+      .select(col("doc_id").as("rid"), col("cluster_id").as("cl"))
+    val members = g.keyed.select(col("doc_id"), col("skey"))
+      .join(g.reps.select(col("skey"), col("rid")), Seq("skey"))
+      .select(col("doc_id"), col("rid"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(members, Seq("doc_id"), "left_outer")
+      .join(repLabels, Seq("rid"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cl"), col("rid"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Representative selection after near-dup clustering — the step a real
     * training-data pipeline runs right after [[dedupClusters]]: each cluster
     * keeps its BEST member, here the longest (max token count; ties → min
@@ -1239,11 +1355,20 @@ object Dedup {
     * so the whole selection is a single narrow shuffle at any corpus size.
     */
   def dedupKeepBest(s: SparkSession, d: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    keepBestOver(s, d, dedupClusters(s, d, pairs))
+
+  /** [[dedupKeepBest]] over the rep-graph labels ([[dedupClustersRep]]) —
+    * the face's production form: same output, no member-pair expansion. */
+  def dedupKeepBestRep(s: SparkSession, d: String): DataFrame =
+    keepBestOver(s, d, dedupClustersRep(s, d))
+
+  private def keepBestOver(s: SparkSession, d: String,
+      clusters: DataFrame): DataFrame = {
     val len = Tables.documents(s, d)
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    dedupClusters(s, d, pairs)
+    clusters
       .join(len, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(

@@ -381,7 +381,7 @@ object TrainingData {
     * analyses) is therefore to split by DEDUP CLUSTER, not by document;
     * this face is the audit that says how much a doc-level split leaks.
     *
-    * Emits every val/test doc whose [[Dedup.dedupClusters]] cluster also
+    * Emits every val/test doc whose [[Dedup.dedupClustersRep]] cluster also
     * contains ≥1 train doc, with the offending train-member count — the
     * rows a pipeline either drops from eval or re-splits by cluster id.
     *
@@ -424,7 +424,7 @@ object TrainingData {
           (col("n_docs") * col("n_docs"))).cast("long"))
 
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    val labeled = Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))
+    val labeled = Dedup.dedupClustersRep(s, d)
       .join(hashSplit(s, d).select(col("doc_id"), col("split")), Seq("doc_id"))
     val trainPerCluster = labeled.filter(col("split") === "train")
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_train_dups"))
@@ -435,7 +435,7 @@ object TrainingData {
 
   /** Leakage-FREE deterministic split — the FIX for exactly what
     * [[splitLeakage]] measures: assignment hashes the doc's near-dup
-    * CLUSTER id ([[Dedup.dedupClusters]] labels), so every member of a
+    * CLUSTER id ([[Dedup.dedupClustersRep]] labels), so every member of a
     * cluster lands in the same split by construction and a near-duplicate
     * of a test doc can never sit in train. This is how production corpora
     * are actually split (split AFTER dedup-clustering, by group key);
@@ -455,7 +455,7 @@ object TrainingData {
       trainFrac: Double = 0.9, valFrac: Double = 0.05): DataFrame = {
     val u = (Dedup.md5Hash60(col("cluster_id").cast("string"), lit(0)).cast("double")
       / lit(1152921504606846976.0)) // 2^60, exactly representable
-    Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d)).select(
+    Dedup.dedupClustersRep(s, d).select(
       col("doc_id"), col("cluster_id"),
       u.as("u"),
       when(u < trainFrac, lit("train"))
@@ -491,7 +491,7 @@ object TrainingData {
       evalMaxDocId: Long = 50): DataFrame = {
     val hits = contamination(s, d, evalMaxDocId)
       .select(col("doc_id"), lit(true).as("direct"))
-    val clusters = Dedup.dedupClusters(s, d, Dedup.minhashLshPairs(s, d))
+    val clusters = Dedup.dedupClustersRep(s, d)
     val hitClusters = clusters
       .join(hits, Seq("doc_id"), "left_outer")
       .filter(col("direct").isNotNull || col("doc_id") < evalMaxDocId)

@@ -509,4 +509,67 @@ class BinaryPipelineSpec extends SparkSpecBase {
       assert(!feats.contains((id, channels)))
     }
   }
+
+  test("audio spectral: peak bin matches a hand-computed DFT on pure tones") {
+    // a pure integer cosine at bin k concentrates |DFT|² at k — the
+    // constellation property the fingerprint rests on, checked for every
+    // analyzed bin, plus the tie rule (constant signal ⇒ all analyzed
+    // bins near-zero, lowest k wins)
+    val N = BinaryPipeline.SpectralWindow
+    for (k0 <- 1 to BinaryPipeline.SpectralBins) {
+      val tone = Array.tabulate(N)(n =>
+        Math.round(20000.0 * Math.cos(2.0 * Math.PI * k0 * n / N)).toInt)
+      val peaks = BinaryPipeline.spectralPeakBins(tone)
+      assert(peaks.toSeq == Seq(k0), s"bin $k0 tone peaked at ${peaks.toSeq}")
+    }
+    // hand-computed cross-check of one window at k=3 against the exact
+    // integer arithmetic (same twiddles the SQL oracle serializes)
+    val tone3 = Array.tabulate(N)(n =>
+      Math.round(20000.0 * Math.cos(2.0 * Math.PI * 3 * n / N)).toInt)
+    val mags = (1 to BinaryPipeline.SpectralBins).map { k =>
+      val re = (0 until N).map(n =>
+        tone3(n).toLong * BinaryPipeline.twiddleCos(k)(n)).sum
+      val im = (0 until N).map(n =>
+        tone3(n).toLong * BinaryPipeline.twiddleSin(k)(n)).sum
+      k -> (re * re + im * im)
+    }.toMap
+    assert(mags(3) == mags.values.max && mags(3) > 0L)
+    // constant (DC-only) signal: every analyzed bin ties, lowest k wins
+    assert(BinaryPipeline.spectralPeakBins(Array.fill(N)(5000)).toSeq == Seq(1))
+    // two concatenated windows fingerprint independently
+    val two = Array.tabulate(N)(n =>
+      Math.round(15000.0 * Math.cos(2.0 * Math.PI * 2 * n / N)).toInt) ++
+      Array.tabulate(N)(n =>
+        Math.round(15000.0 * Math.cos(2.0 * Math.PI * 7 * n / N)).toInt)
+    assert(BinaryPipeline.spectralPeakBins(two).toSeq == Seq(2, 7))
+    // sub-window tail is dropped (no partial-window fingerprint)
+    assert(BinaryPipeline.spectralPeakBins(new Array[Int](N - 1)).isEmpty)
+  }
+
+  test("audio spectral pairs: identical waveforms pair at hamming 0, short docs excluded") {
+    val media = BinaryPipeline.syntheticAudio(spark, Sf).filter(_.media_id < 40)
+    val pairs = BinaryPipeline.audioSpectralPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // the corpus has duplicated texts below id 40 on the driver fixture —
+    // any identical-text pair shares the full sample stream, hence the
+    // full spectral fingerprint, hence hamming 0
+    val texts = Tables.documents(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val dupPairs = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .filter { case (a, b) => texts.collectFirst {
+        case (`a`, t) => t.length / BinaryPipeline.SpectralWindow >= 4 }.getOrElse(false) }
+      .toSeq
+    dupPairs.foreach { p =>
+      assert(pairs.get(p).contains(0), s"identical-text pair $p not at hamming 0")
+    }
+    // every reported hamming is within the verify bound
+    pairs.values.foreach(h => assert(h >= 0 && h <= 6))
+    // docs shorter than 4 windows never appear
+    val shortIds = texts.collect {
+      case (id, t) if t.length / BinaryPipeline.SpectralWindow < 4 => id }.toSet
+    pairs.keys.foreach { case (a, b) =>
+      assert(!shortIds.contains(a) && !shortIds.contains(b)) }
+  }
 }

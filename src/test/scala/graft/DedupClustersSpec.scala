@@ -125,6 +125,85 @@ class DedupClustersSpec extends SparkSpecBase {
       "maxDf output must be a subset with exact values")
   }
 
+  test("rep-graph labels equal member-graph labels on the driver corpus") {
+    // r20 task 1: cluster(doc) = label(rep(doc)) must be output-identical
+    // to propagating over the full member-pair expansion — on the real
+    // corpus, adversarially (multiset compare of every (doc, cluster) row)
+    val rep = landed(Dedup.dedupClustersRep(spark, Sf))
+    val member = landed(Dedup.dedupClusters(spark, Sf,
+      Dedup.minhashLshPairs(spark, Sf)))
+    assert(rep == member)
+    assert(rep.nonEmpty)
+  }
+
+  test("rep-graph labels equal member-graph labels on a hand-built corpus") {
+    import org.apache.spark.sql.functions._
+    // a corpus exercising every equality-argument branch: an exact-dup set
+    // bridged to another exact-dup set by a near-dup edge (the cross-set
+    // case), a multi-member set with NO cross edge (intra-only component),
+    // a singleton, and a shingle-less doc
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four"
+    val near = base.replace(" four", " nine") // 1 of 28 shingles differs
+    val other = "red orange yellow green blue indigo violet black white " +
+      "gray pink brown cyan magenta teal maroon navy olive silver gold"
+    val docs = Seq(
+      (1L, base), (2L, base),        // set A (rep 1)
+      (3L, near), (4L, near),        // set B (rep 3), near-dup of A
+      (5L, other),                   // singleton set
+      (6L, "hi there"),              // < 3 tokens: no shingles
+      (7L, "apple banana cherry date elderberry fig grape honeydew"),
+      (8L, "apple banana cherry date elderberry fig grape honeydew")) // intra-only set
+    val dir = java.nio.file.Files.createTempDirectory("graft_handcorpus")
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val d = dir.toString
+    val rep = landed(Dedup.dedupClustersRep(spark, d))
+    val member = landed(Dedup.dedupClusters(spark, d,
+      Dedup.minhashLshPairs(spark, d)))
+    assert(rep == member)
+    val byDoc = rep.keySet.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L),
+      s"hand-computed clusters diverged: $byDoc")
+    graft.sources.WarmDirs.deleteRecursively(d)
+  }
+
+  test("keep-best over rep-graph labels equals the member-graph form") {
+    val rep = landed(Dedup.dedupKeepBestRep(spark, Sf))
+    val member = landed(Dedup.dedupKeepBest(spark, Sf,
+      Dedup.minhashLshPairs(spark, Sf)))
+    assert(rep == member)
+    assert(rep.nonEmpty)
+  }
+
+  test("minhash pair-volume gate: refuses over budget with EXACT sizing, admits at the boundary") {
+    // r20 task 2: the enumerating MinHash face predicts Σ m_a·m_b + Σ C(m,2)
+    // from the verified rep pairs + member counts BEFORE expanding a row —
+    // the same contract its SimHash twin has carried since r15
+    val n = Dedup.minhashLshPairs(spark, Sf).count()
+    assert(n > 0, "degenerate fixture: no near-dup pairs to gate")
+    try {
+      spark.conf.set(Dedup.PairRowsConfKey, (n - 1).toString)
+      val e = intercept[Dedup.PairVolumeBudgetExceeded] {
+        Dedup.minhashLshPairs(spark, Sf).count()
+      }
+      assert(e.predictedRows === n, "gate prediction diverged from the real count")
+      assert(e.budgetRows === n - 1)
+      assert(e.pipeline === "minhashLshPairs")
+      val msg = e.toString.take(300)
+      assert(msg.contains(s"predicted=$n") && msg.contains(s"budget=${n - 1}"),
+        s"sizing truncated out of the artifact line: $msg")
+      // boundary: budget == predicted admits (only strictly-over refuses)
+      spark.conf.set(Dedup.PairRowsConfKey, n.toString)
+      assert(Dedup.minhashLshPairs(spark, Sf).count() === n)
+    } finally spark.conf.unset(Dedup.PairRowsConfKey)
+  }
+
   private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
     Dedup.clusterLabels(pairs.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect().toMap

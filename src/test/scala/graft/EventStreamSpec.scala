@@ -152,6 +152,32 @@ class EventStreamSpec extends SparkSpecBase {
     } finally spark.conf.unset(EventStreamJob.ViewWatermarkConfKey)
   }
 
+  test("left-outer join settles 1:1 at a non-default slack (horizon scales with slack)") {
+    // r19 verdict task 5: before r20 the trailing sentinels were sized for
+    // the DEFAULT slack, so a 240 h override left unmatched purchases
+    // un-finalized at stream end (1475/1981 at sf0.01). The horizon now
+    // scales (max ts + slack + margin), so the settled output must equal
+    // the batch left join — null rows included — at ANY slack ≥ default.
+    def run(tag: String): Set[(Long, Long, Long)] = {
+      graft.BenchPhases.begin(s"q_lslack_spec_$tag")
+      // null view_id canonicalized to -1 (the tuple encoder wants longs)
+      try SparkEntry.queries("q_stream_left_join")(spark, Sf)
+        .select(col("purchase_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"), col("user_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      finally graft.BenchPhases.end()
+    }
+    val base = run("base")
+    assert(base.exists(_._2 == -1L),
+      "fixture must contain never-matched purchases (null view rows)")
+    spark.conf.set(EventStreamJob.ViewWatermarkConfKey, "240 hours")
+    try {
+      val wide = run("wide240h")
+      assert(wide == base,
+        "left-outer settled output must be slack-invariant once the flush horizon scales")
+    } finally spark.conf.unset(EventStreamJob.ViewWatermarkConfKey)
+  }
+
   test("dropDuplicatesWithinWatermark is the streaming insert-ignore (A1)") {
     // duplicated event_ids across a small batch, raw nanos like the real table
     val base = 1700000000000000000L // nanos
