@@ -98,15 +98,26 @@ class PlanQualitySpec extends SparkSpecBase {
     // verification joins the (persisted) shingle sets back per surviving
     // candidate — arrays there are the point; everything else (signature
     // aggregation, band self-join, candidate dedup) must shuffle scalars
-    // only. (At spec scale small sides broadcast, so candidate shuffles may
-    // not exist at all — the contract is that NO array moves outside the
-    // explicitly set-carrying verify exchanges.)
-    val shuffles = shuffleOutputs(q("q_dedup_minhash_lsh"))
-    assert(shuffles.nonEmpty)
-    val offenders = shuffles.filter(out => arrayCols(out).nonEmpty &&
-      !out.exists(a => Set("sset", "set_a", "set_b").contains(a.name)))
-    assert(offenders.isEmpty,
-      s"array outside the verify set joins: ${offenders.map(arrayCols)}")
+    // only. Since r20 the verified rep pairs are checkpointed before the
+    // gated member expansion, so the band/verify exchanges no longer appear
+    // in the face's final plan — the discipline is pinned where those
+    // shuffles actually live (the rep-graph front, built unregistered and
+    // freed below) AND on the enumeration plan itself (whose small sides
+    // may all broadcast at spec scale — then it holds vacuously there).
+    val allowed = Set("sset", "set_a", "set_b")
+    def offenders(df: DataFrame) = shuffleOutputs(df).filter(out =>
+      arrayCols(out).nonEmpty && !out.exists(a => allowed.contains(a.name)))
+    val (g, ids) = graft.operators.Dedup.minhashRepGraph(
+      spark, Sf, graft.operators.Dedup.HotBandCap)
+    try {
+      assert(shuffleOutputs(g.repPairs).nonEmpty)
+      val frontOff = offenders(g.repPairs)
+      assert(frontOff.isEmpty,
+        s"array outside the verify set joins (rep front): ${frontOff.map(arrayCols)}")
+      val enumOff = offenders(q("q_dedup_minhash_lsh"))
+      assert(enumOff.isEmpty,
+        s"array outside the verify set joins (enumeration): ${enumOff.map(arrayCols)}")
+    } finally graft.operators.IterCheckpoint.free(spark, ids)
   }
 
   test("simhash pairs move arrays only in the grouped-expansion exchanges") {
