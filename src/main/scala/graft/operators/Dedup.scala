@@ -253,6 +253,17 @@ object Dedup {
         .select(col("doc_id"), shingles3(col("text")).as("sset"))
         .filter(size(col("sset")) > 0)
         .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset")))))))
+    val (g, ids) = minhashRepGraphKeyed(keyed, hotBandCap)
+    (g, keyedIds ++ ids)
+  }
+
+  /** [[minhashRepGraph]] over a CHECKPOINTED (doc_id, sset, skey) keyed
+    * table the caller already owns — r20 factoring so [[lshRecall]] feeds
+    * BOTH its fronts from ONE corpus tokenize/shingle pass instead of
+    * running it twice (once per front).
+    */
+  private[graft] def minhashRepGraphKeyed(keyed: DataFrame,
+      hotBandCap: Int): (MinhashRepGraph, Set[Int]) = {
     // one representative per distinct set (min doc_id for reproducibility;
     // Jaccard is order-independent so any member's array would do)
     val (reps, repIds) = graft.BenchPhases.timed("p_shingle_ckpt")(
@@ -272,7 +283,7 @@ object Dedup {
         (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
       .filter(col("jaccard") >= 0.35)
-    (MinhashRepGraph(keyed, reps, repPairs), keyedIds ++ repIds)
+    (MinhashRepGraph(keyed, reps, repPairs), repIds)
   }
 
   /** Doc-pair ENUMERATION face. The member expansion is Θ(Σ m_a·m_b +
@@ -295,6 +306,17 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, d: String,
       hotBandCap: Int = HotBandCap): DataFrame = {
     val (g, frontIds) = minhashRepGraph(s, d, hotBandCap)
+    minhashLshPairsOver(s, g, frontIds)
+  }
+
+  /** Gate + enumeration tail of [[minhashLshPairs]] over an already-built
+    * rep graph — r20 factoring so [[lshRecall]] can feed it a front built
+    * from the shared shingle base. `frontIds` are the checkpoint ids this
+    * call should own (register/free); any ids the caller keeps (the shared
+    * base) must NOT be in it.
+    */
+  private[graft] def minhashLshPairsOver(s: SparkSession, g: MinhashRepGraph,
+      frontIds: Set[Int]): DataFrame = {
     // materialize the verified rep pairs ONCE: the gate's sizing aggregate
     // and the member expansion both read them
     val (repPairs, rpIds) = IterCheckpoint.checkpoint(g.repPairs)
@@ -523,6 +545,24 @@ object Dedup {
         .filter(size(col("sset")) > 0)
         .withColumn("skey",
           md5(concat_ws("\u0000", array(col("lang")), array_sort(col("sset"))))))
+    val (repPairs, repIds) = ngramRepPairsKeyed(keyed, threshold,
+      hotShingleCap, maxDf)
+    supersede(s, "ngramJaccardPairs", keyedIds ++ repIds)
+    ngramExpandPairs(keyed, repPairs)
+  }
+
+  /** Rep-level verified pairs (skey_a, skey_b, jaccard) over a CHECKPOINTED
+    * (doc_id, lang, sset, skey) keyed table — the exact inverted-index front
+    * of [[ngramJaccardPairs]] WITHOUT the member expansion (r20 factoring:
+    * [[lshRecall]] shares one corpus shingle pass between this front and the
+    * MinHash front, and [[lshBandingSweep]] consumes truth at REP level, so
+    * neither re-runs the shingle pass nor, for the sweep, the doc-pair
+    * expansion). Caller owns the keyed checkpoint's lifetime; the returned
+    * ids are the maxDf path's rep checkpoint (empty otherwise) and must be
+    * registered by the caller.
+    */
+  private[graft] def ngramRepPairsKeyed(keyed: DataFrame, threshold: Double,
+      hotShingleCap: Int, maxDf: Option[Long]): (DataFrame, Set[Int]) = {
     val needReps = maxDf.isDefined
     // the rep table is read by postings + (maxDf only) the verify join — at
     // most twice; off the keyed checkpoint both reads are one narrow agg
@@ -531,7 +571,6 @@ object Dedup {
       .withColumn("n", size(col("sset")))
     val (repsCk, repIds) =
       if (needReps) IterCheckpoint.checkpoint(reps) else (reps, Set.empty[Int])
-    supersede(s, "ngramJaccardPairs", keyedIds ++ repIds)
     val postings = repsCk.select(col("lang"), col("skey"), col("n"),
       explode(col("sset")).as("shingle"))
     // per-(lang, shingle) document frequency — the population the cap and the
@@ -587,6 +626,13 @@ object Dedup {
               size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
           .filter(col("jaccard") >= threshold)
     }
+    (repPairs, repIds)
+  }
+
+  /** Doc-pair member expansion (cross + intra) of rep-level pairs over the
+    * keyed member table — the enumeration tail of [[ngramJaccardPairs]].
+    */
+  private def ngramExpandPairs(keyed: DataFrame, repPairs: DataFrame): DataFrame = {
     val members = keyed.select(col("skey"), col("doc_id"))
     val cross = repPairs
       .join(members.select(col("skey").as("skey_a"), col("doc_id").as("id_a")), Seq("skey_a"))
@@ -619,8 +665,29 @@ object Dedup {
     * and rollup add two narrow hash shuffles on (doc_a, doc_b) longs.
     */
   def lshRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = ngramJaccardPairs(s, d, threshold = 0.35)
-    val found = minhashLshPairs(s, d)
+    // ONE corpus tokenize/shingle pass (r20): the old shape ran shingles3
+    // over every document twice — once inside ngramJaccardPairs (lang-keyed
+    // truth) and once inside minhashLshPairs (plain-keyed LSH front). The
+    // shared base carries BOTH set-identity keys; each front reads the
+    // checkpoint narrowly. Downstream expressions are verbatim the
+    // standalone faces', so both sides' outputs are bit-identical.
+    val (base, baseIds) = graft.BenchPhases.timed("p_shingle_ckpt")(
+      IterCheckpoint.checkpoint(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sset"))
+          .filter(size(col("sset")) > 0)
+          .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset")))))
+          .withColumn("skey_lang",
+            md5(concat_ws("\u0000", array(col("lang")), array_sort(col("sset")))))))
+    val nKeyed = base.select(col("doc_id"), col("lang"), col("sset"),
+      col("skey_lang").as("skey"))
+    val (truthPairs, truthIds) =
+      ngramRepPairsKeyed(nKeyed, threshold = 0.35, HotBandCap, None)
+    val truth = ngramExpandPairs(nKeyed, truthPairs)
+    val (g, mIds) = minhashRepGraphKeyed(
+      base.select(col("doc_id"), col("sset"), col("skey")), HotBandCap)
+    supersede(s, "lshRecall", baseIds ++ truthIds ++ mIds)
+    val found = minhashLshPairsOver(s, g, Set.empty)
       .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
     truth
       .withColumn("jband",
@@ -681,10 +748,19 @@ object Dedup {
     // timed so the committed record itself shows where they go
     // (p_signatures = shingle/rep/minhash build, p_candidates = the four
     // band self-joins, p_truth = the exact inverted-index baseline)
-    val ((keyed, keyedIds), (reps, repIds), (sigs, sigIds)) =
+    val ((base, baseIds), (reps, repIds), (sigs, sigIds)) =
       graft.BenchPhases.timed("p_signatures") {
+        // ONE corpus tokenize/shingle pass (r20): the base carries both the
+        // plain set key (minhash/banding front) and the lang-blocked key
+        // (the exact truth front) — the old shape tokenized the corpus a
+        // second time inside ngramJaccardPairs
         val k0 = IterCheckpoint.checkpoint(
-          keyedShingles(Tables.documents(s, d)))
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sset"))
+            .filter(size(col("sset")) > 0)
+            .withColumn("skey", md5(concat_ws("\u0000", array_sort(col("sset")))))
+            .withColumn("skey_lang",
+              md5(concat_ws("\u0000", array(col("lang")), array_sort(col("sset"))))))
         val r0 = IterCheckpoint.checkpoint(
           k0._1.groupBy(col("skey"))
             .agg(min(col("doc_id")).as("rid"),
@@ -714,21 +790,35 @@ object Dedup {
       }.reduce(_.unionByName(_))))
     val cost = candAll.groupBy(col("bands"), col("rows_per_band"))
       .agg(count(lit(1)).as("n_cand_pairs"))
-    val docRid = keyed.select(col("doc_id"), col("skey"))
-      .join(reps.select(col("skey"), col("rid")), Seq("skey"))
     // the truth baseline is the face's dominant term at 100× — checkpointed
     // under its own stamp so the record carries the truth-vs-candidates
-    // split instead of prose (truth pairs are leak-sized, so the extra
-    // materialization is noise next to the inverted-index join it times)
-    val (truthRep, truthIds) = graft.BenchPhases.timed("p_truth")(
-      IterCheckpoint.checkpoint(ngramJaccardPairs(s, d, threshold)
-      .join(docRid.select(col("doc_id").as("doc_a"), col("rid").as("ra")), Seq("doc_a"))
-      .join(docRid.select(col("doc_id").as("doc_b"), col("rid").as("rb")), Seq("doc_b"))
-      .filter(col("ra") =!= col("rb"))
-      .select(least(col("ra"), col("rb")).as("rid_a"),
-        greatest(col("ra"), col("rb")).as("rid_b"), col("jaccard"))
-      .distinct()))
-    supersede(s, "lshBandingSweep", keyedIds ++ repIds ++ sigIds ++ candIds ++ truthIds)
+    // split instead of prose. r20: truth maps to reps at REP level — ngram
+    // rep pairs (lang-blocked) land on plain-set reps through the
+    // FUNCTIONAL skey_lang → skey → rid mapping (every member of a
+    // lang-set group shares one sset, hence one rid), where the old shape
+    // expanded rep pairs to doc pairs inside ngramJaccardPairs only for
+    // the distinct() here to re-collapse them: a Θ(members²)-row detour at
+    // any duplication density, and a second corpus tokenize to boot.
+    val nKeyed = base.select(col("doc_id"), col("lang"), col("sset"),
+      col("skey_lang").as("skey"))
+    val (truthRep, truthIds) = graft.BenchPhases.timed("p_truth") {
+      val (tp, tpIds) = ngramRepPairsKeyed(nKeyed, threshold, HotBandCap, None)
+      val langMap = base.groupBy(col("skey_lang"))
+        .agg(min(col("skey")).as("skey"))
+        .join(reps.select(col("skey"), col("rid")), Seq("skey"))
+        .select(col("skey_lang"), col("rid"))
+      val (ck, ckIds) = IterCheckpoint.checkpoint(
+        tp.join(langMap.select(col("skey_lang").as("skey_a"),
+            col("rid").as("ra")), Seq("skey_a"))
+          .join(langMap.select(col("skey_lang").as("skey_b"),
+            col("rid").as("rb")), Seq("skey_b"))
+          .filter(col("ra") =!= col("rb"))
+          .select(least(col("ra"), col("rb")).as("rid_a"),
+            greatest(col("ra"), col("rb")).as("rid_b"), col("jaccard"))
+          .distinct())
+      (ck, tpIds ++ ckIds)
+    }
+    supersede(s, "lshBandingSweep", baseIds ++ repIds ++ sigIds ++ candIds ++ truthIds)
     import s.implicits._
     truthRep.crossJoin(broadcast(configs.toDF("bands", "rows_per_band")))
       .join(candAll.withColumn("hit", lit(1)),
@@ -1406,11 +1496,14 @@ object Dedup {
     docs
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
+        // per-doc distinct is ROW-LOCAL (each doc is one source row, so
+        // array_distinct == the old global distinct on (doc_id, span_h)) —
+        // r20: the global .distinct() shuffled the whole span inventory
+        // once before any consumer touched it, pure waste at every scale
         explode(when(size(col("t")) >= k,
-          transform(sequence(lit(1), size(col("t")) - k + 1),
-            i => md5(array_join(slice(col("t"), i, lit(k)), " "))))
+          array_distinct(transform(sequence(lit(1), size(col("t")) - k + 1),
+            i => md5(array_join(slice(col("t"), i, lit(k)), " ")))))
           .otherwise(array().cast("array<string>"))).as("span_h"))
-      .distinct()
   }
 
   /** Per-document repeated-span report: of each document's distinct k-token
@@ -1426,8 +1519,17 @@ object Dedup {
   def substringDupStats(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d)
     val sp = spanHashes(docs, k)
-    val perSpan = sp.groupBy(col("span_h")).agg(count(lit(1)).as("n_docs"))
-    val perDoc = sp.join(perSpan, Seq("span_h"))
+    // r20 single-pass shape: the old perSpan-aggregate ⋈ inventory join
+    // re-derived the WHOLE span expansion twice (two Generate branches in
+    // the physical plan — the inventory fed both the count aggregate and
+    // the join's probe side) and moved the inventory across the wire twice
+    // (once as agg partials, once into the join). A count window keyed on
+    // span_h delivers n_docs to every occurrence row in ONE shuffle of the
+    // inventory — rows are distinct per (doc, span) by construction, so the
+    // window count IS the document frequency.
+    val perDoc = sp
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("span_h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))

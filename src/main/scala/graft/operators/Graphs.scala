@@ -882,6 +882,21 @@ object Graphs {
           if (bloomPruned) "bloom-pruned" else "plain-shuffle")
       }
     }
+    triangleCountPlan(edg, ori, nEdges, nWedges, bc, sketchWedgeFactor)
+  }
+
+  /** The counting plan over ALREADY-materialized canonical edges `edg` and
+    * oriented DAG `ori` — factored out (r20) so [[triangleCountAutoEdges]]'s
+    * exact branch reuses the regime probe's checkpointed orientation and
+    * memoized wedge volume instead of re-checkpointing the edges,
+    * re-orienting and re-running the gate aggregate (the probe and the
+    * exact count were doing the identical three jobs back to back).
+    * Callers own every admission/spill gate and all checkpoint lifetimes.
+    */
+  private def triangleCountPlan(edg: DataFrame, ori: DataFrame,
+      nEdges: Long, nWedges: Long, bc: Boolean,
+      sketchWedgeFactor: Long): DataFrame = {
+    val s = edg.sparkSession
     if (bc) {
       // Broadcast path: edge-iterator with adjacency-list intersection.
       // Each oriented edge (s, t) contributes |N⁺(s) ∩ N⁺(t)| — within a
@@ -1049,10 +1064,25 @@ object Graphs {
     val (edg, edgIds) = timed("tri_auto", "edge_ckpt")(
       IterCheckpoint.checkpoint(edges))
     val nEdges = edg.count()
-    val wedges =
-      if (nEdges == 0) 0L
-      else timed("tri_auto", "regime_probe")(
-        wedgeVolumeOf(orientByDegree(edg, nEdges <= cap)))
+    val bc = nEdges <= cap
+    // r20: the probe's orientation is CHECKPOINTED (it used to be a
+    // throwaway subtree under the wedge aggregate), so the exact branch
+    // reuses it via [[triangleCountPlan]] — before, the probe and the
+    // exact branch each built the degree join + orientation AND each ran
+    // the Σ C(outdeg,2) aggregate (the old face paid edge_ckpt twice,
+    // orient twice and gate_stats twice: ~5 s of its 10.4 s steady at
+    // sf0.1 was this duplication). The sampled branch frees the probe
+    // orientation immediately (its subgraph orients separately); the
+    // extra cost there is one m-row (long, long) materialization.
+    val (oriOpt, oriIds) =
+      if (nEdges == 0) (None, Set.empty[Int])
+      else {
+        val (o, ids) = timed("tri_auto", "regime_probe")(
+          IterCheckpoint.checkpoint(orientByDegree(edg, bc)))
+        (Some(o), ids)
+      }
+    val wedges = oriOpt.fold(0L)(o =>
+      timed("tri_auto", "gate_stats")(wedgeVolumeOf(o)))
     statsKey.foreach(k => wedgeStatsCache.put(k, (nEdges, wedges)))
     val ip = chooseTriangleIp(wedges, maxExact)
     graft.BenchPhases.add("tri_wedges", wedges.toDouble)
@@ -1060,14 +1090,35 @@ object Graphs {
     System.err.println(s"[graft.graphs] tri_auto wedges=$wedges budget=" +
       s"$maxExact ip=$ip" + (if (ip == 0) " (exact)" else " (DOULION)"))
     val (nTri, nSampled, sampleOk) =
-      if (ip == 0) {
-        val c = triangleCountEdges(edg, cap).head().getLong(0)
+      if (nEdges == 0) (0L, 0L, true)
+      else if (ip == 0) {
+        val ori = oriOpt.get
+        // the spill gate the standalone exact face runs (shuffle paths
+        // only) — the chooser admits by wedge budget, not by scratch
+        if (!bc) {
+          val bloomPruned = wedges > SketchWedgeFactor * nEdges
+          val predicted = predictedWedgeSpillBytes(nEdges, wedges, bloomPruned)
+          val available = availableScratchBytes(s)
+          if (predicted > available * ScratchFraction) {
+            IterCheckpoint.free(s, edgIds ++ oriIds) // refuse cleanly
+            throw WedgeSpillBudgetExceeded(predicted, available, nEdges,
+              wedges, if (bloomPruned) "bloom-pruned" else "plain-shuffle")
+          }
+        }
+        System.err.println(s"[graft.graphs] triangle path=" +
+          (if (bc) "broadcast"
+           else if (wedges > SketchWedgeFactor * nEdges) "bloom-pruned"
+           else "plain-shuffle") + s" m=$nEdges wedges=$wedges (auto reuse)")
+        val c = triangleCountPlan(edg, ori, nEdges, wedges, bc,
+          SketchWedgeFactor).head().getLong(0)
         (c, c, true)
       } else {
+        IterCheckpoint.free(s, oriIds) // sampled subgraph re-orients itself
         val r = triangleCountApproxEdges(edg, ip, maxRaises = 0).head()
         (r.getLong(0), r.getLong(1), r.getBoolean(2))
       }
-    IterCheckpoint.supersede(s, "triangleAuto", edgIds)
+    IterCheckpoint.supersede(s, "triangleAuto",
+      edgIds ++ (if (ip == 0) oriIds else Set.empty[Int]))
     s.range(1).select(
       lit(wedges).as("n_wedges"),
       lit(if (ip == 0) "exact" else "sampled").as("regime"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
@@ -153,21 +154,35 @@ object TextAnalysis {
     * row — deliberately NOT a mean over per-token doubles, whose
     * summation-order low bits would break the exact-value gate.
     *
-    * Scale shape: tokens explode once and feed both sides — the df table is
-    * a distinct-(token, doc) count with map-side partials, vocab-sized
-    * (~millions of rows at 100 TB: broadcastable, and AQE will pick that);
-    * the occurrences⋈df join shuffles on the token key, where stopword skew
-    * is the AQE skew-join case ([[tfidfTopK]]'s note applies verbatim); the
-    * final per-doc rollup is key-unskewed by construction.
+    * Scale shape (r20): ONE token expansion, immediately collapsed to
+    * per-doc token counts (map-side partials bound the shuffle by distinct
+    * (doc, token) pairs); df rides a count window on the token key over
+    * those already-distinct rows — no second expansion, no distinct
+    * shuffle, no join. Stopword skew concentrates a hot token's rows in
+    * one window partition, but the per-group work is a running count over
+    * ~df rows (bounded by the corpus doc count), the same order as the old
+    * join's skewed probe side.
     */
   def unigramScore(s: SparkSession, d: String): DataFrame = {
-    val occ = Tables.documents(s, d)
+    // r20 single-pass shape: the old occ ⋈ dfreq(occ.distinct) plan expanded
+    // the token inventory TWICE (two Generate branches — once under the
+    // distinct/df aggregate, once as the join's probe side) and paid a
+    // distinct shuffle plus the join. One expansion collapses to per-doc
+    // token counts (map-side partials make the shuffle ~distinct (doc, tok)
+    // pairs — the same volume the old distinct moved); df is then a count
+    // window over tok (rows are distinct per (doc, tok), so the window
+    // count IS the document frequency), and the per-doc rollup weights by
+    // the local count: Σc = n_tokens, Σc·df = the occurrence-weighted
+    // sum_df the oracle computes. Exact integer math throughout, identical
+    // output.
+    val tc = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val dfreq = occ.distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    occ.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    tc.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("tok"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("df")).as("sum_df"))
       .withColumn("mean_df", col("sum_df").cast("double") / col("n_tokens"))
   }
 
