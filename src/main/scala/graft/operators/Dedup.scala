@@ -326,22 +326,25 @@ object Dedup {
     // EXACT predicted output: Σ m_a·m_b over verified cross-set rep pairs
     // + Σ C(m,2) over every set (intra pairs emit regardless of banding —
     // identical sets are Jaccard-1.0 duplicates by identity)
-    val crossRow = repPairs
+    // both sizing aggregates in ONE action (r20) — same fusion as
+    // [[simhashNearDupPairs]]'s gate
+    val gate = repPairs
       .join(sizes.select(col("skey").as("skey_a"), col("m").as("m_a")), Seq("skey_a"))
       .join(sizes.select(col("skey").as("skey_b"), col("m").as("m_b")), Seq("skey_b"))
-      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("rows"),
-        count(lit(1)).as("f")).head()
-    val intraRow = sizes
-      .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("rows"),
-        count(lit(1)).as("g")).head()
-    val predicted = crossRow.getLong(0) + intraRow.getLong(0)
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("cross_rows"),
+        count(lit(1)).as("f"))
+      .crossJoin(sizes
+        .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("intra_rows"),
+          count(lit(1)).as("g")))
+      .head()
+    val predicted = gate.getLong(0) + gate.getLong(2)
     val budget = pairRowsBudget(s)
     if (predicted > budget) {
       // refusal leaves no pinned generation behind (the simhash/triangle
       // gate discipline): release the checkpoints before throwing
       supersede(s, "minhashLshPairs", Set.empty)
-      throw PairVolumeBudgetExceeded(predicted, budget, crossRow.getLong(1),
-        intraRow.getLong(1), "minhashLshPairs")
+      throw PairVolumeBudgetExceeded(predicted, budget, gate.getLong(1),
+        gate.getLong(3), "minhashLshPairs")
     }
     // cross-set doc pairs: representative order does not imply doc order
     val cross = repPairs
@@ -1025,22 +1028,26 @@ object Dedup {
       simhashFingerprintPairs(groups.select(col("h")), maxHamming, hotBandCap))
     supersede(s, pipeline, gIds ++ fIds)
     val sizes = groups.select(col("h"), size(col("ids")).cast("long").as("m"))
-    val crossRow = fpairs
+    // both sizing aggregates in ONE action (r20): each is a 1-row frame off
+    // the same checkpointed inputs, and two head() calls paid two full
+    // job-scheduling roundtrips per gated face
+    val gate = fpairs
       .join(sizes.select(col("h").as("h_a"), col("m").as("m_a")), Seq("h_a"))
       .join(sizes.select(col("h").as("h_b"), col("m").as("m_b")), Seq("h_b"))
-      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("rows"),
-        count(lit(1)).as("f")).head()
-    val intraRow = sizes
-      .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("rows"),
-        count(lit(1)).as("g")).head()
-    val predicted = crossRow.getLong(0) + intraRow.getLong(0)
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("cross_rows"),
+        count(lit(1)).as("f"))
+      .crossJoin(sizes
+        .agg(coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L)).as("intra_rows"),
+          count(lit(1)).as("g")))
+      .head()
+    val predicted = gate.getLong(0) + gate.getLong(2)
     val budget = pairRowsBudget(s)
     if (predicted > budget) {
       // refusal leaves no pinned generation behind (the triangle gate's
       // clean-free discipline): release both checkpoints before throwing
       supersede(s, pipeline, Set.empty)
-      throw PairVolumeBudgetExceeded(predicted, budget, crossRow.getLong(1),
-        intraRow.getLong(1), pipeline)
+      throw PairVolumeBudgetExceeded(predicted, budget, gate.getLong(1),
+        gate.getLong(3), pipeline)
     }
     simhashExpand(groups, fpairs)
   }

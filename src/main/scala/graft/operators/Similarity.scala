@@ -387,47 +387,76 @@ object Similarity {
       iters: Int = 3, sampleFraction: Double = 1.0): Array[Array[Double]] = {
     val data = (if (sampleFraction < 1.0) emb.sample(sampleFraction, seed = 7) else emb)
       .select(col("vec_id"), col("embedding"))
-    var centroids: Array[Array[Double]] = data.orderBy(col("vec_id")).limit(nlist)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // r20: ONE collect of the bounded training sample (≤ 200·nlist vectors
+    // by the callers' fraction cap), then the k-means iterations run on the
+    // driver. The old per-iteration Spark jobs were tiny-data but re-planned
+    // and re-codegen'd an nlist×dim centroid-literal tree every iteration —
+    // model_train was planner/codegen time, not compute, and at ANY corpus
+    // size the sample (the only thing these jobs read) fits the driver by
+    // construction. Arithmetic replicates the old expressions' IEEE order
+    // exactly — dot's left-to-right fold with per-element float→double
+    // promotion, ccos = dot/(norm·norm), Spark's double ordering (NaN
+    // greatest, ±0 equal) with ties to the lowest centroid, and the
+    // vec_id-sorted mean fold — so the trained model is bit-identical
+    // (IvfTrainingSpec pins determinism; the generated oracle embeds these
+    // doubles as literals).
+    val rows = data.orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    var centroids: Array[Array[Double]] = rows.take(nlist).map(_.clone())
     for (_ <- 1 to iters) {
-      val centsLit = array(centroids.map(c =>
-        array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-      val best = data
-        .select(col("vec_id"), col("embedding"), posexplode(centsLit))
-        .withColumn("ccos",
-          dot(col("embedding"), col("col")) / (norm(col("embedding")) * norm(col("col"))))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("pos"), struct(col("ccos"), -col("pos"))).as("cid"))
-      // Per-dimension means, assembled back into ordered vectors. The mean is
-      // an order-FIXED fold (sort by vec_id, then left-fold the sum), not
-      // avg(): float partial-aggregate merge order follows shuffle-fetch
-      // arrival, so avg() can differ in the last ulp run-to-run — and the
-      // trained model must be a reproducible artifact (its literals are
-      // embedded into generated oracle SQL). The sorted list per (cell, dim)
-      // is cell-member-count long — training-sample sized, not corpus sized.
-      val dimMeans = data
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
-        .join(best, Seq("vec_id"))
-        .groupBy(col("cid"), col("dim"))
-        .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
-        // sort OUTSIDE the fold lambda: a non-lambda subtree inside a HOF
-        // argument is re-evaluated per element
-        .select(col("cid"), col("dim"), array_sort(col("vs")).as("vs"))
-        .select(col("cid"), col("dim"),
-          (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v"))
-            / size(col("vs"))).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          x => x.getField("m")).as("cvec"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val cNorms = centroids.map(c => math.sqrt(dotD(c, c)))
+      val sums = Array.ofDim[Array[Double]](centroids.length)
+      val counts = new Array[Long](centroids.length)
+      rows.foreach { e =>
+        val eNorm = math.sqrt(dotD(e, e))
+        var best = 0
+        var bestCos = Double.NaN
+        var first = true
+        var i = 0
+        while (i < centroids.length) {
+          val c = centroids(i)
+          val cc =
+            if (c.length != e.length) Double.NaN // dot's length-mismatch null
+            else dotD(e, c) / (eNorm * cNorms(i))
+          // strict improvement only: ascending order makes ties resolve to
+          // the LOWEST pos, matching max_by(pos, struct(ccos, -pos))
+          if (first || cmpSparkDouble(cc, bestCos) > 0) {
+            best = i; bestCos = cc; first = false
+          }
+          i += 1
+        }
+        if (sums(best) == null) sums(best) = new Array[Double](e.length)
+        val sb = sums(best)
+        var d0 = 0
+        while (d0 < e.length) { sb(d0) += e(d0); d0 += 1 }
+        counts(best) += 1
+      }
       centroids = centroids.zipWithIndex.map { case (old, i) =>
-        dimMeans.getOrElse(i, old)
+        if (counts(i) == 0) old else sums(i).map(_ / counts(i))
       }
     }
     centroids
+  }
+
+  /** Left-to-right dot-product fold — the driver twin of the
+    * [[graft.functions.DotProductFloat]] expression's accumulation order.
+    */
+  private def dotD(x: Array[Double], y: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
+  /** Spark SQL's total order on doubles (NaN greatest, NaN = NaN, ±0
+    * equal) — what `max_by`'s struct comparison applied to the old
+    * training jobs' scores.
+    */
+  private def cmpSparkDouble(a: Double, b: Double): Int = {
+    val an = java.lang.Double.isNaN(a)
+    val bn = java.lang.Double.isNaN(b)
+    if (an && bn) 0 else if (an) 1 else if (bn) -1
+    else if (a < b) -1 else if (a > b) 1 else 0
   }
 
   /** IVF search against TRAINED centroids ([[trainIvfCentroids]]): same
@@ -1162,32 +1191,59 @@ object Similarity {
       sampleFraction: Double = 1.0): Array[Array[Array[Double]]] = {
     val data = (if (sampleFraction < 1.0) emb.sample(sampleFraction, seed = 11) else emb)
       .select(col("vec_id"), col("embedding"))
-    val initRows = data.orderBy(col("vec_id")).limit(PqK)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(initRows.length == PqK, s"need >= $PqK vectors to seed PQ codebooks")
+    // r20: ONE collect of the bounded training sample, iterations on the
+    // driver — same rationale and same bit-identity contract as
+    // [[trainIvfCentroids]] (the old per-iteration jobs re-codegen'd a
+    // PqM×PqK×PqSubDim codebook-literal tree 3×; the sample is ≤ 200·PqK
+    // vectors by the caller's fraction cap). Arithmetic mirrors the old
+    // expressions exactly: subvectors are per-element float→double casts,
+    // d2 is zip_with's left-to-right (a−b)² fold, assignment maximizes
+    // (−d2, −code) under Spark's double ordering (ties → lowest code), and
+    // means are vec_id-ordered folds.
+    val rows = data.orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.length >= PqK, s"need >= $PqK vectors to seed PQ codebooks")
     var books: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) { (m, k) =>
-      initRows(k).slice(m * PqSubDim, (m + 1) * PqSubDim)
+      rows(k).slice(m * PqSubDim, (m + 1) * PqSubDim)
     }
     for (_ <- 1 to iters) {
-      val sub = data.select(col("vec_id"),
-          posexplode(array((0 until PqM).map(m => subvecD(col("embedding"), lit(m))): _*)))
-        .withColumnRenamed("pos", "m").withColumnRenamed("col", "sv")
-      val best = pqAssign(sub, books)
-      val dimMeans = sub.join(best, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), col("vec_id"), posexplode(col("sv")))
-        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "v")
-        .groupBy(col("m"), col("code"), col("dim"))
-        .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"))
-        .select(col("m"), col("code"), col("dim"),
-          (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v"))
-            / size(col("vs"))).as("mn"))
-        .groupBy(col("m"), col("code"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-          x => x.getField("mn")).as("cvec"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
-      books = Array.tabulate(PqM, PqK)((m, k) => dimMeans.getOrElse((m, k), books(m)(k)))
+      val sums = Array.ofDim[Array[Double]](PqM, PqK)
+      val counts = Array.ofDim[Long](PqM, PqK)
+      rows.foreach { e =>
+        var m = 0
+        while (m < PqM) {
+          val lo = m * PqSubDim
+          var best = 0
+          var bestNegD2 = Double.NaN
+          var first = true
+          var k = 0
+          while (k < PqK) {
+            val c = books(m)(k)
+            var d2 = 0.0
+            var d = 0
+            while (d < PqSubDim) {
+              val diff = e(lo + d) - c(d)
+              d2 += diff * diff
+              d += 1
+            }
+            // ascending code order + strict improvement = ties to the
+            // LOWEST code, matching max_by(code, struct(-d2, -code))
+            if (first || cmpSparkDouble(-d2, bestNegD2) > 0) {
+              best = k; bestNegD2 = -d2; first = false
+            }
+            k += 1
+          }
+          if (sums(m)(best) == null) sums(m)(best) = new Array[Double](PqSubDim)
+          val sb = sums(m)(best)
+          var d1 = 0
+          while (d1 < PqSubDim) { sb(d1) += e(lo + d1); d1 += 1 }
+          counts(m)(best) += 1
+          m += 1
+        }
+      }
+      books = Array.tabulate(PqM, PqK)((m, k) =>
+        if (counts(m)(k) == 0) books(m)(k)
+        else sums(m)(k).map(_ / counts(m)(k)))
     }
     books
   }

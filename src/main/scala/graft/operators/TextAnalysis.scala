@@ -475,9 +475,16 @@ object TextAnalysis {
     val uniOcc = base.select(explode(col("t")).as("w"))
     val uni = uniOcc.groupBy(col("w")).agg(count(lit(1)).as("c_uni"))
     val vocab = uni.agg(count(lit(1)).as("vocab_n"))
-    val bic = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bi"))
+    // r20: c_bi rides a count window on the bigram key — the old
+    // bic-aggregate ⋈ bi join re-ran the whole bigram expansion twice (agg
+    // input + join probe side) and shuffled it twice; the window delivers
+    // the same count to every occurrence row in ONE shuffle of the
+    // expansion. Hot-bigram skew ("of the") concentrates a key's rows in
+    // one window partition, the same rows the old join's probe side sent
+    // to one reducer.
     val terms = bi
-      .join(bic, Seq("w1", "w2"))
+      .withColumn("c_bi",
+        count(lit(1)).over(Window.partitionBy(col("w1"), col("w2"))))
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("pos"),
