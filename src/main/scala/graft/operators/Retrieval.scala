@@ -182,10 +182,11 @@ object Retrieval {
     val post = TextAnalysis.postings(s, d)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // tscore: verbatim [[TextAnalysis.bm25Search]] expression tree
+    // tscore: verbatim [[TextAnalysis.bm25Search]] expression tree; df rides
+    // the same count window as the single face (r20) instead of a second
+    // full postings pass
     val scoredPost = post.filter(col("term").isin(allTerms: _*))
-      .join(broadcast(dfT.filter(col("term").isin(allTerms: _*))), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",

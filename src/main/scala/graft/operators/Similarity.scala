@@ -828,8 +828,13 @@ object Similarity {
       threshold: Double): DataFrame = {
     val e0 = emb.select(col("vec_id"), col("embedding"))
     if (threshold > 0.99) return semanticDedupAllPairs(e0, centroids, threshold)
-    val groups = e0.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("rep_id"), collect_list(col("vec_id")).as("ids"))
+    // r20: materialized once — the groups subtree (a full-vector shuffle)
+    // fed both the rep pipeline and the member expansion, so the distinct-
+    // vector collapse ran twice
+    val (groups, gIds) = IterCheckpoint.checkpoint(
+      e0.groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("rep_id"), collect_list(col("vec_id")).as("ids")))
+    IterCheckpoint.supersede(emb.sparkSession, "semanticDedupGroups", gIds)
     val repOut = semanticDedupAllPairs(
       groups.select(col("rep_id").as("vec_id"), col("embedding")),
       centroids, threshold)
@@ -858,7 +863,13 @@ object Similarity {
     val assign = crossed.groupBy(col("vec_id"))
       .agg(max_by(col("centroid_id"),
         struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
-    val m = e.join(assign, Seq("vec_id"))
+    // r20: materialize the assignment table ONCE — the m subtree fed both
+    // pair-join sides AND the final verdict join, so the O(nlist)-per-row
+    // centroid argmax and the embedding scan ran three times (two extra
+    // corpus passes at any scale). The (id, vec, nrm, cell) table is
+    // exactly the index a deployment stores next to the corpus.
+    val (m, mIds) = IterCheckpoint.checkpoint(e.join(assign, Seq("vec_id")))
+    IterCheckpoint.supersede(emb.sparkSession, "semanticDedupAllPairs", mIds)
     val a = m.select(col("centroid_id"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val b = m.select(col("centroid_id"), col("vec_id").as("vec_b"),

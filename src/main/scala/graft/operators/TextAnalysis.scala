@@ -606,9 +606,14 @@ object TextAnalysis {
     val post = postings(s, d)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // r20: df rides a count window over the term-filtered postings — the
+    // old dfT-aggregate ⋈ postings join re-ran the whole tokenize/explode/
+    // tf-aggregate pipeline twice (agg input + join probe). Postings are
+    // one row per (doc, term), so the window count over `term` IS the
+    // document frequency, and filtering to the query terms first changes
+    // nothing (df counts rows of that term only).
     val scored = post.filter(col("term").isin(terms: _*))
-      .join(broadcast(dfT.filter(col("term").isin(terms: _*))), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
