@@ -1065,34 +1065,29 @@ object Graphs {
       IterCheckpoint.checkpoint(edges))
     val nEdges = edg.count()
     val bc = nEdges <= cap
-    // r20: the probe's orientation is CHECKPOINTED (it used to be a
-    // throwaway subtree under the wedge aggregate), so the exact branch
-    // reuses it via [[triangleCountPlan]] — before, the probe and the
-    // exact branch each built the degree join + orientation AND each ran
-    // the Σ C(outdeg,2) aggregate (the old face paid edge_ckpt twice,
-    // orient twice and gate_stats twice: ~5 s of its 10.4 s steady at
-    // sf0.1 was this duplication). The sampled branch frees the probe
-    // orientation immediately (its subgraph orients separately); the
-    // extra cost there is one m-row (long, long) materialization.
-    val (oriOpt, oriIds) =
-      if (nEdges == 0) (None, Set.empty[Int])
-      else {
-        val (o, ids) = timed("tri_auto", "regime_probe")(
-          IterCheckpoint.checkpoint(orientByDegree(edg, bc)))
-        (Some(o), ids)
-      }
-    val wedges = oriOpt.fold(0L)(o =>
-      timed("tri_auto", "gate_stats")(wedgeVolumeOf(o)))
+    // The probe STREAMS the orientation into the wedge aggregate (no
+    // materialization — an earlier r20 draft checkpointed it here "for
+    // exact-branch reuse" and paid a 41.5 s m-row materialization at the
+    // 100× replica on the SAMPLED branch, where it is pure waste; big
+    // graphs are exactly the ones the chooser samples). The exact branch
+    // below re-orients ONCE into a checkpoint — bounded by the admission
+    // gate's own wedge budget — and reuses the probe's wedge volume, so
+    // vs the pre-r20 shape it still skips the duplicate edge checkpoint +
+    // count and the duplicate gate aggregate.
+    val wedges =
+      if (nEdges == 0) 0L
+      else timed("tri_auto", "regime_probe")(
+        wedgeVolumeOf(orientByDegree(edg, bc)))
     statsKey.foreach(k => wedgeStatsCache.put(k, (nEdges, wedges)))
     val ip = chooseTriangleIp(wedges, maxExact)
     graft.BenchPhases.add("tri_wedges", wedges.toDouble)
     graft.BenchPhases.add("tri_regime_ip", ip.toDouble)
     System.err.println(s"[graft.graphs] tri_auto wedges=$wedges budget=" +
       s"$maxExact ip=$ip" + (if (ip == 0) " (exact)" else " (DOULION)"))
+    var oriIds = Set.empty[Int]
     val (nTri, nSampled, sampleOk) =
       if (nEdges == 0) (0L, 0L, true)
       else if (ip == 0) {
-        val ori = oriOpt.get
         // the spill gate the standalone exact face runs (shuffle paths
         // only) — the chooser admits by wedge budget, not by scratch
         if (!bc) {
@@ -1100,11 +1095,14 @@ object Graphs {
           val predicted = predictedWedgeSpillBytes(nEdges, wedges, bloomPruned)
           val available = availableScratchBytes(s)
           if (predicted > available * ScratchFraction) {
-            IterCheckpoint.free(s, edgIds ++ oriIds) // refuse cleanly
+            IterCheckpoint.free(s, edgIds) // refuse cleanly
             throw WedgeSpillBudgetExceeded(predicted, available, nEdges,
               wedges, if (bloomPruned) "bloom-pruned" else "plain-shuffle")
           }
         }
+        val (ori, ids) = timed("tri_auto", "orient_ckpt")(
+          IterCheckpoint.checkpoint(orientByDegree(edg, bc)))
+        oriIds = ids
         System.err.println(s"[graft.graphs] triangle path=" +
           (if (bc) "broadcast"
            else if (wedges > SketchWedgeFactor * nEdges) "bloom-pruned"
@@ -1113,12 +1111,10 @@ object Graphs {
           SketchWedgeFactor).head().getLong(0)
         (c, c, true)
       } else {
-        IterCheckpoint.free(s, oriIds) // sampled subgraph re-orients itself
         val r = triangleCountApproxEdges(edg, ip, maxRaises = 0).head()
         (r.getLong(0), r.getLong(1), r.getBoolean(2))
       }
-    IterCheckpoint.supersede(s, "triangleAuto",
-      edgIds ++ (if (ip == 0) oriIds else Set.empty[Int]))
+    IterCheckpoint.supersede(s, "triangleAuto", edgIds ++ oriIds)
     s.range(1).select(
       lit(wedges).as("n_wedges"),
       lit(if (ip == 0) "exact" else "sampled").as("regime"),
