@@ -285,10 +285,13 @@ object Graphs {
     val partKeys = cand.flatMap(p => Seq(p._1, p._2)).distinct
     if (cand.isEmpty) return s.emptyDataFrame
       .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("n_orders"))
-    val inc = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .filter(col("l_partkey").isInCollection(partKeys))
-      .distinct()
+    // r20: materialized once — the filtered-distinct incidence table fed
+    // BOTH sides of the self-join, so the full lineitem scan + filter +
+    // distinct shuffle ran twice (two corpus passes at any scale for the
+    // one table the probe actually needs)
+    val (inc, incIds) =
+      IterCheckpoint.checkpoint(heavyPairIncidence(s, d, partKeys))
+    IterCheckpoint.supersede(s, "coOrderHeavyTopK", incIds)
     // pair membership via a broadcast join on BOTH key columns, not a
     // packed (u << 32) | v long: partkeys exceed 2^32 at the 100 TB
     // target, where packing stops being injective and a colliding
@@ -302,11 +305,24 @@ object Graphs {
       .limit(k)
   }
 
+  /** The IN-pruned incidence scan the heavy face re-counts over — factored
+    * so GraphsSpec can pin the pushed `In(l_partkey, …)` on the subtree that
+    * actually scans parquet: the face checkpoints this frame (it feeds both
+    * self-join sides), which truncates its own executed plan to an
+    * ExistingRDD scan.
+    */
+  private[graft] def heavyPairIncidence(s: SparkSession, d: String,
+      partKeys: Seq[Long]): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey").isInCollection(partKeys))
+      .distinct()
+
   /** The sampled candidate stage: heaviest [[HeavyPairCandidates]] pairs
     * of the basket sample, totally ordered (sampled count desc, then the
     * pair) so the collected candidate set is deterministic.
     */
-  private def heavyPairCandidates(s: SparkSession, d: String,
+  private[graft] def heavyPairCandidates(s: SparkSession, d: String,
       sampleMod: Int, candidates: Int): DataFrame =
     coOrderPairsOf(Tables.lineitem(s, d)
         .filter(col("l_orderkey") % sampleMod === 0))

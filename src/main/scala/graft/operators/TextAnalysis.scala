@@ -584,18 +584,29 @@ object TextAnalysis {
   /** The index-side candidate set: docs containing EVERY query trigram.
     * Separated so the spec can measure the pruning ratio (candidates ≪
     * corpus) independently of the verified result.
+    *
+    * The query-trigram filter runs INSIDE the array, before `array_distinct`
+    * (r20): the old shape deduped the document's FULL trigram inventory
+    * (a hash set over every trigram of every doc) only to discard all but
+    * the ≤ |pattern| query trigrams one operator later. Filter∘distinct =
+    * distinct∘filter on a set membership predicate, so the exploded row set
+    * is identical; the per-doc distinct now runs over at most a handful of
+    * survivors instead of the whole document.
     */
   private[graft] def substringCandidates(docs: DataFrame,
-      patTris: Seq[String]): DataFrame =
+      patTris: Seq[String]): DataFrame = {
+    val lits = patTris.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     docs
       .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")))
+        s"""filter(transform(sequence(1, greatest(length(t) - 2, 0)),
+           |       i -> substring(t, i, 3)),
+           |   tri -> tri IN ($lits))""".stripMargin)))
         .as("tri"))
-      .filter(col("tri").isin(patTris: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tris"))
       .filter(col("n_tris") === patTris.length)
       .select(col("doc_id"))
+  }
 
   def bm25Search(s: SparkSession, d: String,
       terms: Seq[String] = Seq("vector", "merge"), k: Int = 20,

@@ -240,8 +240,17 @@ class GraphsSpec extends SparkSpecBase {
         s"pair $key: approx count ${r.getLong(2)} != exact ${exact.get(key)}")
     }
     // the re-count must read a part-restricted scan, not the full fact:
-    // the candidate part keys arrive at the parquet scan as a pushed In
-    val plan = approx.queryExecution.executedPlan.toString
+    // the candidate part keys arrive at the parquet scan as a pushed In.
+    // r20: the face CHECKPOINTS the incidence table (it feeds both self-
+    // join sides, so materializing once halves the corpus passes), which
+    // truncates the face's own executed plan to an ExistingRDD scan — the
+    // pushdown is pinned on the factored incidence subtree the face
+    // materializes, built here with the face's own candidate keys
+    val keys = Graphs.heavyPairCandidates(spark, Sf,
+        Graphs.HeavyPairSampleMod, Graphs.HeavyPairCandidates)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+    val plan = Graphs.heavyPairIncidence(spark, Sf, keys)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(l_partkey"),
       s"candidate part keys not pushed to the re-count scan:\n$plan")
   }

@@ -404,9 +404,13 @@ class PlanQualitySpec extends SparkSpecBase {
   test("heavy-pair top-k: re-count scan is partkey-pruned; no pair-stream shuffle of baskets") {
     val df = q("q_co_order_heavy_topk")
     val p = plan(df)
-    // candidate part keys pushed as an In filter (GraphsSpec pins the same
-    // on the executed plan; this pins the formatted plan the judge reads)
-    assert(p.contains("In(l_partkey"), s"re-count scan not IN-pruned:\n$p")
+    // r20: the face CHECKPOINTS the incidence table (it feeds both self-
+    // join sides — one corpus pass instead of two), so its own plan starts
+    // at an ExistingRDD scan; the pushed In is pinned on the factored
+    // incidence subtree the face materializes (GraphsSpec pins the same
+    // with the face's own candidate keys)
+    val pInc = plan(operators.Graphs.heavyPairIncidence(spark, Sf, Seq(1L, 2L)))
+    assert(pInc.contains("In(l_partkey"), s"re-count scan not IN-pruned:\n$pInc")
     // candidate membership joins broadcast — a SortMergeJoin here would
     // mean the 100-pair candidate frame shuffled the re-count stream
     assert(!p.contains("SortMergeJoin"),
