@@ -920,8 +920,14 @@ object Analytics {
     // per-price aggregation
     val cs = RangeBuckets.cuts(Tables.lineitem(s, d), col("l_extendedprice"),
       RangeBuckets.DefaultBuckets)
-    val perPrice = pts.groupBy(col("price")).agg(max(col("qty")).as("pq"))
-      .withColumn("_bkt", RangeBuckets.bucketByCuts(col("price"), cs))
+    // r20: the per-price table is materialized once — it fed both the
+    // within-bucket running-max window and the per-bucket maxima aggregate,
+    // so the full-fact scan + per-price aggregation ran twice. The
+    // checkpoint is distinct-price-sized (one (double, double, long) row
+    // per price level), the "decide with small rows" table.
+    val (perPrice, ppIds) =
+      IterCheckpoint.checkpoint(skylinePerPrice(s, d, cs))
+    IterCheckpoint.supersede(s, "skyline", ppIds)
     val wIn = Window.partitionBy(col("_bkt")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = perPrice.withColumn("_runmax", max(col("pq")).over(wIn))
@@ -940,6 +946,18 @@ object Analytics {
       .filter(!(col("cheaper_max") >= col("qty") || col("pq") > col("qty")))
       .select(col("l_orderkey"), col("l_linenumber"), col("price"), col("qty"))
   }
+
+  /** The per-price maxima table [[skyline]] materializes — factored so
+    * PlanQualitySpec can pin the two-column pruned scan on the subtree that
+    * actually reads parquet (the face checkpoints this frame, which
+    * truncates its own plan to an ExistingRDD scan).
+    */
+  private[graft] def skylinePerPrice(s: SparkSession, d: String,
+      cs: Array[Double]): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+      .groupBy(col("price")).agg(max(col("qty")).as("pq"))
+      .withColumn("_bkt", RangeBuckets.bucketByCuts(col("price"), cs))
 
   /** Bag-semantics set operations (`EXCEPT ALL` / `INTERSECT ALL`):
     * multiplicity-preserving difference and intersection of the 1995 vs 1996

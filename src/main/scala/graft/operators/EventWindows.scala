@@ -153,14 +153,20 @@ object EventWindows {
       unix_micros(col("session_end").cast("timestamp")),
       RangeBuckets.DefaultBuckets))
     // both deltas explode from ONE pass over the intervals — a two-leg
-    // union would re-run the whole upstream aggregation per leg
-    val pts = ses.select(explode(array(
+    // union would re-run the whole upstream aggregation per leg.
+    // r20: the delta table is also MATERIALIZED once — it feeds both the
+    // running-sum window and the per-bucket offset aggregate, and the
+    // upstream of the production face is the full sessionize pass
+    // (scan + session-merge aggregation), which ran twice, one per
+    // consumer. The checkpoint is 2 (long, long, long) rows per session.
+    val (pts, ptsIds) = IterCheckpoint.checkpoint(ses.select(explode(array(
         struct(unix_micros(col("session_start").cast("timestamp")).as("t"),
           lit(1L).as("d")),
         struct(unix_micros(col("session_end").cast("timestamp")).as("t"),
           lit(-1L).as("d")))).as("p"))
       .select(col("p.t").as("t"), col("p.d").as("d"))
-      .withColumn("_bkt", RangeBuckets.bucketByCuts(col("t"), cs))
+      .withColumn("_bkt", RangeBuckets.bucketByCuts(col("t"), cs)))
+    IterCheckpoint.supersede(ses.sparkSession, "maxConcurrency", ptsIds)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bkt")).orderBy(col("t"), col("d"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

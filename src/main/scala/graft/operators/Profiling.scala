@@ -146,17 +146,27 @@ object Profiling {
     val keys = child.groupBy(col(ckey).cast("long").as("k"))
       .agg(count(lit(1)).as("n"))
     val pKeys = parent.select(col(pkey).cast("long").as("k")).distinct()
+      .withColumn("_hit", lit(1))
+    // ONE pass over the child (r20): the old shape consumed `keys` twice —
+    // once under the n_child aggregate, once as the anti-join probe — so
+    // every relation re-ran its child scan + groupBy shuffle. A left-outer
+    // join against the distinct parent keys carries a hit flag instead:
+    // n_child sums every key's count, the orphan stats sum/count the
+    // unmatched ones. Identical output — pKeys is distinct so the join
+    // cannot duplicate, left_anti ≡ left_outer-then-null, and sum over
+    // zero orphan whens is NULL → the same coalesce(…, 0).
+    //
     // `smallParent` marks dimension parents, but the HINT decision rides
     // the DimBroadcast size gate (r12): a manual true on customer/part is
     // exactly the unconditional-hint class the gate exists to close — at
     // SF 10k these parents outgrow executors and the gate falls back to
-    // the shuffled anti join on its own
-    val orphans = keys.join(if (smallParent) DimBroadcast(pKeys) else pKeys,
-      Seq("k"), "left_anti")
-    keys.agg(sum(col("n")).as("n_child"))
-      .crossJoin(orphans.agg(
-        coalesce(sum(col("n")), lit(0L)).as("n_orphans"),
-        count(lit(1)).as("n_missing_keys")))
+    // the shuffled join on its own
+    keys.join(if (smallParent) DimBroadcast(pKeys) else pKeys,
+        Seq("k"), "left_outer")
+      .agg(sum(col("n")).as("n_child"),
+        coalesce(sum(when(col("_hit").isNull, col("n"))), lit(0L))
+          .as("n_orphans"),
+        count(when(col("_hit").isNull, 1)).as("n_missing_keys"))
       .select(lit(name).as("relation"), col("n_child"),
         col("n_orphans"), col("n_missing_keys"))
   }

@@ -38,8 +38,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p18.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"large-orders aggregate scan not pruned:\n$p18")
     // skyline reads exactly the two trade-off columns on the per-price side
-    // (ReadSchema lists columns in FILE order: quantity before price)
-    val pSky = plan(q("q_skyline"))
+    // (ReadSchema lists columns in FILE order: quantity before price).
+    // r20: the face CHECKPOINTS the per-price table (it feeds both the
+    // running-max window and the per-bucket maxima), so the pruned scan is
+    // pinned on the factored subtree the face materializes
+    val pSky = plan(operators.Analytics.skylinePerPrice(spark, Sf,
+      Array(0.0)))
     assert(pSky.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double>"),
       s"skyline per-price scan not pruned:\n$pSky")
   }
