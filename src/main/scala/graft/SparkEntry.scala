@@ -1563,7 +1563,11 @@ object SparkEntry {
     * valid_from-partitioned and the predicate prunes to live generations.
     */
   private def scd2AsOf(s: SparkSession, d: String): DataFrame = {
-    val dim = scd2CustomersMerged(s, d)
+    // r20: materialized once — the merged dimension fed both stateAt
+    // branches, so the whole SCD2 merge ran twice per face
+    val (dim, dimIds) = graft.operators.IterCheckpoint.checkpoint(
+      scd2CustomersMerged(s, d))
+    graft.operators.IterCheckpoint.supersede(s, "scd2AsOf", dimIds)
     def stateAt(t: String): DataFrame = {
       val ts = lit(t).cast("timestamp_ntz")
       dim.filter(col("valid_from") <= ts &&

@@ -379,9 +379,14 @@ object Analytics {
     * of a day into one group.
     */
   def activeUsers(s: SparkSession, d: String): DataFrame = {
-    val ud = Tables.events(s, d)
+    // r20: the distinct (day, user) table is MATERIALIZED once — it fed
+    // the DAU aggregate, the day spine and the WAU range join, so the
+    // events scan + distinct shuffle ran three times. The checkpoint IS
+    // the canonical daily-active table a deployment stores.
+    val (ud, udIds) = IterCheckpoint.checkpoint(Tables.events(s, d)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
-      .distinct()
+      .distinct())
+    IterCheckpoint.supersede(s, "activeUsers", udIds)
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("n_dau"))
     val spine = ud.select(col("day")).distinct()
     val wau = broadcast(spine.select(col("day").as("d0")))
@@ -969,8 +974,15 @@ object Analytics {
     */
   def bagSetOps(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
-    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+    // r20: each year leg is MATERIALIZED once — both legs fed the
+    // except_all AND the intersect_all, so the orders scan ran four
+    // times (now two single-column filtered slices, pinned once each)
+    def yrRaw(y: Int) = o.filter(year(col("o_orderdate")) === y)
       .select(col("o_orderpriority"))
+    val (y95, i95) = IterCheckpoint.checkpoint(yrRaw(1995))
+    val (y96, i96) = IterCheckpoint.checkpoint(yrRaw(1996))
+    IterCheckpoint.supersede(s, "bagSetOps", i95 ++ i96)
+    def yr(y: Int) = if (y == 1995) y95 else y96
     val ex = yr(1995).exceptAll(yr(1996))
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_except_all"))
     val ia = yr(1995).intersectAll(yr(1996))

@@ -305,20 +305,33 @@ object EventWindows {
     funnelChain(ev, Some(boundUs))
 
   private def funnelChain(ev: DataFrame, boundUs: Option[Long]): DataFrame = {
-    val first = ev.filter(col("event_type") === "signup")
+    // r20: every stage frame is MATERIALIZED once — each feeds BOTH the
+    // next stage's join and its own per-stage aggregate, so the lazy chain
+    // re-ran stages 1..k−1 under stage k's aggregate (the events table was
+    // scanned 10× for 4 stages; now 4×, one pushed-type-filter scan per
+    // stage, and the stage computation is linear instead of quadratic).
+    // The checkpoints are user-keyed — one row per surviving user, the
+    // funnel's own shrinking decision table, safe to pin at any scale.
+    var allIds = Set.empty[Int]
+    def ckpt(df: DataFrame): DataFrame = {
+      val (c, ids) = IterCheckpoint.checkpoint(df); allIds ++= ids; c
+    }
+    val first = ckpt(ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("t"))
-      .withColumn("lag_us", lit(0L))
+      .withColumn("lag_us", lit(0L)))
     val rest = Seq("view", "click", "purchase")
     val chain = rest.scanLeft(first) { (prev, name) =>
-      ev.filter(col("event_type") === name)
+      ckpt(ev.filter(col("event_type") === name)
         .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
         .filter(col("us") >= col("pt") &&
           boundUs.map(b => col("us") <= col("pt") + lit(b)).getOrElse(lit(true)))
         .groupBy(col("user_id"))
         // pt is constant per user; min() re-attaches it through the agg
         .agg(min(col("us")).as("t"), min(col("pt")).as("pt"))
-        .select(col("user_id"), col("t"), (col("t") - col("pt")).as("lag_us"))
+        .select(col("user_id"), col("t"), (col("t") - col("pt")).as("lag_us")))
     }
+    IterCheckpoint.supersede(ev.sparkSession,
+      s"funnelChain-${boundUs.isDefined}", allIds)
     chain.zip("signup" +: rest).zipWithIndex.map { case ((df, name), i) =>
       df.agg(count(lit(1)).as("n_users"), sum(col("lag_us")).as("sum_lag_us"))
         .select(lit((i + 1).toLong).as("stage"), lit(name).as("event_type"),

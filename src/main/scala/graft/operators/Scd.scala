@@ -56,17 +56,34 @@ object Scd {
 
     val curCols: Seq[Column] =
       col(key) +: tracked.map(col) :+ col("valid_from") :+ col("valid_to") :+ col("is_current")
-    val unchanged = j.filter(hasCur && (!hasInc || !changed)).select(curCols: _*)
-    val closed = j.filter(hasCur && hasInc && changed).select(
-      (col(key) +: tracked.map(col) :+ col("valid_from")
-        :+ col("_i_eff").as("valid_to") :+ lit(false).as("is_current")): _*)
-    val opened = j.filter(hasInc && (!hasCur || changed)).select(
-      (col(key) +: tracked.map(c => col(s"_i_$c").as(c))
-        :+ col("_i_eff").as("valid_from")
-        :+ lit(null).cast("timestamp_ntz").as("valid_to")
-        :+ lit(true).as("is_current")): _*)
-    history.select(curCols: _*)
-      .unionByName(unchanged).unionByName(closed).unionByName(opened)
+    // r20: ONE pass over the merge join — unchanged / closed / opened are
+    // row-wise conditionals over the SAME joined row, so they fold into a
+    // conditional-array explode instead of three filtered re-reads of `j`
+    // (which re-ran the full outer join and its whole upstream three times
+    // per merge: the batch face and every streaming SCD2 batch). A changed
+    // key emits its closed and reopened rows from one joined row; every
+    // full-outer row satisfies at least one branch, so nothing is dropped.
+    // Row multiset identical to the old three-branch union (no checkpoint:
+    // a chained re-merge consumes the returned frame, so pinned blocks
+    // would not survive the IterCheckpoint supersede discipline).
+    def rowStruct(keyC: Column, trackedC: Seq[Column], vf: Column,
+        vt: Column, ic: Column): Column =
+      struct((keyC.as(key) +: tracked.zip(trackedC).map { case (n, c) => c.as(n) }
+        :+ vf.as("valid_from") :+ vt.as("valid_to") :+ ic.as("is_current")): _*)
+    val branches = array(
+      when(hasCur && (!hasInc || !changed),
+        rowStruct(col(key), tracked.map(col),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+      when(hasCur && hasInc && changed,
+        rowStruct(col(key), tracked.map(col),
+          col("valid_from"), col("_i_eff"), lit(false))),
+      when(hasInc && (!hasCur || changed),
+        rowStruct(col(key), tracked.map(c => col(s"_i_$c")),
+          col("_i_eff"), lit(null).cast("timestamp_ntz"), lit(true))))
+    val merged = j
+      .select(explode(filter(branches, b => b.isNotNull)).as("_r"))
+      .select(col("_r.*"))
+    history.select(curCols: _*).unionByName(merged)
   }
 
   /** Apply an ordered changelog (upserts + deletes) to materialize final

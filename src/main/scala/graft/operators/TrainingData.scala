@@ -333,15 +333,24 @@ object TrainingData {
     */
   def sampleTopKPerGroup(s: SparkSession, d: String, k: Int = 10,
       pruneFactor: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // r20: the ranked-key projection and the candidate slice are each
+    // MATERIALIZED once — `docs` fed sizes, candidates, the deficient
+    // check and the fallback leg, and `candidates` fed the deficient
+    // check and the pruned leg, so the documents scan + md5 ranking ran
+    // up to 9× per face. Both checkpoints are metadata-width ((doc_id,
+    // lang, rk_key, u) / plus n_g) — the §8 "decide with small rows"
+    // tables, never the document payloads.
+    val (docs, dIds) = IterCheckpoint.checkpoint(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"))
       .withColumn("rk_key", md5(concat(lit("seed42:"), col("doc_id").cast("string"))))
       .withColumn("u", call_function("graft_hex15", col("rk_key")).cast("double")
-        / lit((1L << 60).toDouble))
+        / lit((1L << 60).toDouble)))
     val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_g"))
     val bound = least(lit(1.0), lit(pruneFactor.toDouble * k) / col("n_g"))
-    val candidates = docs.join(broadcast(sizes), Seq("lang"))
-      .filter(col("u") <= bound)
+    val (candidates, cIds) = IterCheckpoint.checkpoint(
+      docs.join(broadcast(sizes), Seq("lang"))
+        .filter(col("u") <= bound))
+    IterCheckpoint.supersede(s, "sampleTopKPerGroup", dIds ++ cIds)
     // safety net: a group whose survivor count fell below min(k, n_g) is
     // ranked in full (languages-sized frames; empty in practice)
     val deficient = candidates.groupBy(col("lang")).agg(count(lit(1)).as("n_surv"))
