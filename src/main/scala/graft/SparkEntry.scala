@@ -176,13 +176,17 @@ object SparkEntry {
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       val old = orders.filter(col("o_orderkey") % 2 === 0)
+      // r21: the two fresh branches are DISJOINT filters (even vs odd keys)
+      // of the same scan — the union re-read orders (audit: orders=3). One
+      // OR-filtered scan with the price rewrite guarded by %6 alone is
+      // multiset-identical: %6==0 implies even, so no surviving odd row can
+      // be doubled (guide §2.4 — remove the duplicate pass).
       val fresh = orders
-        .filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 10 =!= 0)
+        .filter((col("o_orderkey") % 2 === 0 && col("o_orderkey") % 10 =!= 0) ||
+          (col("o_orderkey") % 2 === 1 && col("o_orderkey") % 7 === 0))
         .withColumn("o_totalprice",
           when(col("o_orderkey") % 6 === 0, col("o_totalprice") * 2)
             .otherwise(col("o_totalprice")))
-        .unionByName(orders.filter(col("o_orderkey") % 2 === 1 &&
-          col("o_orderkey") % 7 === 0))
       Scd.snapshotDiff(old, fresh, "o_orderkey",
         Seq("o_totalprice", "o_orderstatus"))
     }),

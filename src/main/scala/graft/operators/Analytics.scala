@@ -498,25 +498,41 @@ object Analytics {
     * rule claims.
     */
   def incrementalJoinAgg(s: SparkSession, d: String): DataFrame = {
+    // r21: the three bilinear terms used to be three separate joins —
+    // orders scanned 3x (oBase twice), customer 3x (cBase, c, cDelta),
+    // three broadcasts of the dimension. The base/delta membership of a
+    // JOINED row is a pure function of that row's two keys, and the three
+    // terms partition the joined space (standing: base⋈base, ΔR: delta
+    // orders × any customer, ΔS: base orders × delta customers), so ONE
+    // join pass computes each term as a conditional aggregate — the
+    // q_ref_integrity discipline (guide §2.4: operations keyed the same
+    // way share one pass). Each table is scanned once, the dimension
+    // broadcast once. Exact-decimal term sums, identical final rollup:
+    // the old unionAll-of-aggs summed the same exact decimals.
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("_ob", col("o_orderkey") % 10 =!= 0)
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
-    val oBase = o.filter(col("o_orderkey") % 10 =!= 0)
-    val oDelta = o.filter(col("o_orderkey") % 10 === 0)
-    val cBase = c.filter(col("c_custkey") % 10 =!= 0)
-    val cDelta = c.filter(col("c_custkey") % 10 === 0)
-    def agg(df: DataFrame) = df.groupBy(col("c_nationkey"))
-      .agg(sum(dec(col("o_totalprice"))).as("sp"), count(lit(1)).as("n"))
-    val standing = agg(oBase.join(DimBroadcast(cBase),
-      col("o_custkey") === col("c_custkey")))
-    val dOrders = agg(oDelta.join(DimBroadcast(c),
-      col("o_custkey") === col("c_custkey")))
-    val dCusts = agg(oBase.join(DimBroadcast(cDelta),
-      col("o_custkey") === col("c_custkey")))
-    standing.unionAll(dOrders).unionAll(dCusts)
+      .withColumn("_cb", col("c_custkey") % 10 =!= 0)
+    def term(cond: org.apache.spark.sql.Column) = (
+      sum(when(cond, dec(col("o_totalprice")))),
+      sum(when(cond, 1L)))
+    val (spStanding, nStanding) = term(col("_ob") && col("_cb"))
+    val (spDOrders, nDOrders) = term(!col("_ob"))
+    val (spDCusts, nDCusts) = term(col("_ob") && !col("_cb"))
+    o.join(DimBroadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
-      .agg(sum(col("sp")).cast("double").as("sum_totalprice"),
-        sum(col("n")).as("n_orders"))
+      .agg(spStanding.as("sp_standing"), spDOrders.as("sp_dorders"),
+        spDCusts.as("sp_dcusts"), nStanding.as("n_standing"),
+        nDOrders.as("n_dorders"), nDCusts.as("n_dcusts"))
+      .select(col("c_nationkey"),
+        (coalesce(col("sp_standing"), dec(lit(0))) +
+          coalesce(col("sp_dorders"), dec(lit(0))) +
+          coalesce(col("sp_dcusts"), dec(lit(0))))
+          .cast("double").as("sum_totalprice"),
+        (coalesce(col("n_standing"), lit(0L)) +
+          coalesce(col("n_dorders"), lit(0L)) +
+          coalesce(col("n_dcusts"), lit(0L))).as("n_orders"))
   }
 
   /** Sampling-based approximate query processing (AQP) — the third
@@ -973,24 +989,28 @@ object Analytics {
     * intersect_all = min(n95,n96) per distinct value.
     */
   def bagSetOps(s: SparkSession, d: String): DataFrame = {
+    // r21 (r20 ADVICE): the r20 shape pinned two fact-scale year slices in
+    // the block manager and still paid the exceptAll/intersectAll count-
+    // compare shuffles twice. Bag semantics per distinct value v are pure
+    // arithmetic on the two multiplicities — except_all(v) = max(n95−n96,0)
+    // copies, intersect_all(v) = min(n95,n96) — and the r20 rollup counted
+    // exactly those copies per priority. So ONE year-filtered scan with a
+    // conditional count per year computes both columns directly: no
+    // checkpoint pins, no set-op shuffles, one exchange on the priority key
+    // (guide §2.3 aggregate-before-shuffle; the scan pushes the year
+    // envelope). Row-set equivalence with the old full_outer of the two
+    // rollups: a priority appeared there iff the except side was non-empty
+    // (n95 > n96) or the intersect side was (min > 0) — the filter below.
     val o = Tables.orders(s, d)
-    // r20: each year leg is MATERIALIZED once — both legs fed the
-    // except_all AND the intersect_all, so the orders scan ran four
-    // times (now two single-column filtered slices, pinned once each)
-    def yrRaw(y: Int) = o.filter(year(col("o_orderdate")) === y)
-      .select(col("o_orderpriority"))
-    val (y95, i95) = IterCheckpoint.checkpoint(yrRaw(1995))
-    val (y96, i96) = IterCheckpoint.checkpoint(yrRaw(1996))
-    IterCheckpoint.supersede(s, "bagSetOps", i95 ++ i96)
-    def yr(y: Int) = if (y == 1995) y95 else y96
-    val ex = yr(1995).exceptAll(yr(1996))
-      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_except_all"))
-    val ia = yr(1995).intersectAll(yr(1996))
-      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_intersect_all"))
-    ex.join(ia, Seq("o_orderpriority"), "full_outer")
+    val y = year(col("o_orderdate"))
+    o.filter(y === 1995 || y === 1996)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(y === 1995, 1L).otherwise(0L)).as("n95"),
+        sum(when(y === 1996, 1L).otherwise(0L)).as("n96"))
       .select(col("o_orderpriority"),
-        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
-        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        greatest(col("n95") - col("n96"), lit(0L)).as("n_except_all"),
+        least(col("n95"), col("n96")).as("n_intersect_all"))
+      .filter(col("n_except_all") > 0 || col("n_intersect_all") > 0)
   }
 
   /** TPC-H Q18-class "large volume customer": orders whose line quantities

@@ -20,15 +20,25 @@ private[graft] object IterCheckpoint {
 
   /** Eagerly localCheckpoints `df`; returns the truncated frame plus the ids
     * of the RDDs the checkpoint registered (to pass to [[free]] when this
-    * round is superseded). The id diff is safe here because operators drive
-    * their iteration single-threaded.
+    * round is superseded).
+    *
+    * The before/diff window is serialized on a JVM-wide lock (r20 ADVICE):
+    * two frames checkpointed concurrently on one SparkContext would
+    * cross-attribute each other's RDD ids, and a later supersede would then
+    * unpersist another pipeline's LIVE localCheckpoint blocks — an
+    * unrecoverable "checkpoint block not found", since truncated lineage
+    * cannot recompute. Bench/Verify drive faces serially today, so the lock
+    * is uncontended there; it turns the latent concurrent-construction
+    * hazard into a correct (serialized) execution instead of a corruption.
     */
-  def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val ck = df.localCheckpoint()
-    (ck, sc.getPersistentRDDs.keySet.diff(before).toSet)
-  }
+  private val attributionLock = new Object
+  def checkpoint(df: DataFrame): (DataFrame, Set[Int]) =
+    attributionLock.synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      (ck, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
 
   /** Release a superseded round's checkpoint blocks (non-blocking). */
   def free(s: SparkSession, ids: Set[Int]): Unit =

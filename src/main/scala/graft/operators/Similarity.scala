@@ -971,13 +971,23 @@ object Similarity {
     * probe-rank filter distributes over the candidate join).
     */
   private def contaminationEvalProbesRanked(s: SparkSession, d: String,
-      evalMaxVecId: Long): DataFrame = {
-    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
+      evalMaxVecId: Long): DataFrame =
+    contaminationEvalProbesRankedOver(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+        .filter(col("vec_id") < evalMaxVecId),
+      trainedCentroids(s, d, IvfCentroids, iters = 3))
+
+  /** [[contaminationEvalProbesRanked]] over an arbitrary (vec_id,
+    * embedding, nrm) eval frame — split (r21) so the fused recall/sweep
+    * faces rank the probes off their CHECKPOINTED eval slice instead of a
+    * second eval-filtered corpus scan; expressions verbatim.
+    */
+  private def contaminationEvalProbesRankedOver(evals: DataFrame,
+      trained: Array[Array[Double]]): DataFrame = {
     val centsLit = array(trained.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-      .filter(col("vec_id") < evalMaxVecId)
+    evals
       .select(col("vec_id"), col("embedding"), col("nrm"), posexplode(centsLit))
       .withColumnRenamed("pos", "centroid_id").withColumnRenamed("col", "cvec")
       .withColumn("ccos",
@@ -1006,20 +1016,31 @@ object Similarity {
     * vector's input row and the static probe side), which is exactly the
     * sketched-sink `expand` contract the streaming face rides.
     */
-  private[graft] def screenCandidates(corpus: DataFrame,
-      centroids: Array[Array[Double]], probes: DataFrame): DataFrame = {
+  /** The screen's per-row centroid-cosine array — THE blocking decision's
+    * first half, factored (r21) so the fused recall/sweep faces compute the
+    * IDENTICAL assignment the production screen does. */
+  private def screenCcosArr(centroids: Array[Array[Double]]): Column = {
     val centsLit = array(centroids.map(c =>
       array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    val ccosArr = transform(centsLit, c =>
+    transform(centsLit, c =>
       dot(col("embedding"), c) / (col("nrm") * sqrt(dot(c, c))))
+  }
+
+  /** The screen's argmax cell over a materialized `ccos_arr` column —
+    * first-index-on-exact-ties, identical to the search faces' (ccos DESC,
+    * centroid_id ASC) rule. */
+  private def screenArgmaxCell: Column =
+    (array_position(col("ccos_arr"), array_max(col("ccos_arr"))) - 1).cast("int")
+
+  private[graft] def screenCandidates(corpus: DataFrame,
+      centroids: Array[Array[Double]], probes: DataFrame): DataFrame = {
     // a ranked probe side (the sweep) keeps its `rn` on the output row
     val out = Seq(col("vec_id"), col("eval_id"), col("cosine")) ++
       (if (probes.columns.contains("rn")) Seq(col("rn")) else Nil)
     corpus
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("ccos_arr", ccosArr)
-      .withColumn("centroid_id",
-        (array_position(col("ccos_arr"), array_max(col("ccos_arr"))) - 1).cast("int"))
+      .withColumn("ccos_arr", screenCcosArr(centroids))
+      .withColumn("centroid_id", screenArgmaxCell)
       .select(col("vec_id"), col("embedding").as("nvec"), col("nrm").as("nn"),
         col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
@@ -1032,6 +1053,59 @@ object Similarity {
     when(cosine >= 0.4, lit("0.40+"))
       .when(cosine >= 0.3, lit("0.30-0.40"))
       .otherwise(lit("0.20-0.30"))
+
+  /** The benchmark-suite-sized eval slice (vec_id < evalMaxVecId) with its
+    * norm, checkpointed once (r21): the recall/sweep faces consume it as
+    * BOTH the brute-force truth side and the probe-ranking input — two
+    * separate eval-filtered corpus scans before.
+    */
+  private def contaminationEvalSlice(s: SparkSession, d: String,
+      evalMaxVecId: Long): DataFrame = {
+    val (ev, ids) = IterCheckpoint.checkpoint(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", norm(col("embedding")))
+        .filter(col("vec_id") < evalMaxVecId))
+    IterCheckpoint.supersede(s, "contamEvalSlice", ids)
+    ev
+  }
+
+  /** ONE corpus pass serving truth AND screen for the recall/sweep faces
+    * (r21, VERDICT r20 task 4 — the embeddings ×4/×6 scans): every corpus
+    * vector carries the screen's own cell assignment (the factored
+    * [[screenCcosArr]]/[[screenArgmaxCell]] expressions, verbatim what
+    * [[screenCandidates]] computes) and scores against the broadcast eval
+    * slice — the brute-force truth cosines these faces pay anyway; whether
+    * the screen at probe depth `rn` would score a pair is then a broadcast
+    * (cell, eval) rank lookup, not a second corpus scan + candidate join.
+    * One row per (corpus vec, eval vec): the truth pass's IEEE cosine
+    * chain verbatim (dot(qvec, ·) / (qn · nrm)) and `rn` — NULL when the
+    * eval never probes the vector's cell. Equality with the direct
+    * truth ⋈ screen composition is pinned empirically in
+    * SemanticContaminationSweepSpec.
+    */
+  private def contaminationPairsRanked(s: SparkSession, d: String,
+      evalMaxVecId: Long, maxProbe: Int): DataFrame = {
+    val trained = trainedCentroids(s, d, IvfCentroids, iters = 3)
+    val evals = contaminationEvalSlice(s, d, evalMaxVecId)
+    val probes = contaminationEvalProbesRankedOver(evals, trained)
+      .filter(col("rn") <= maxProbe)
+      .select(col("centroid_id").as("p_cell"), col("eval_id").as("p_eval"),
+        col("rn"))
+    val evalV = evals.select(col("vec_id").as("eval_id"),
+      col("embedding").as("qvec"), col("nrm").as("qn"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= evalMaxVecId)
+      .withColumn("nrm", norm(col("embedding")))
+      .withColumn("ccos_arr", screenCcosArr(trained))
+      .withColumn("centroid_id", screenArgmaxCell)
+      .join(broadcast(evalV))
+      .withColumn("cosine",
+        dot(col("qvec"), col("embedding")) / (col("qn") * col("nrm")))
+      .join(broadcast(probes),
+        col("centroid_id") === col("p_cell") && col("eval_id") === col("p_eval"),
+        "left_outer")
+      .select(col("vec_id"), col("eval_id"), col("cosine"), col("rn"))
+  }
 
   /** Recall-vs-cost FRONTIER of the semantic-contamination screen (r13
     * verdict task 1 — the round's one `weak`): the shipped nprobe default
@@ -1067,45 +1141,33 @@ object Similarity {
       evalMaxVecId: Long = 50, threshold: Double = 0.2,
       nprobes: Seq[Int] = ContamSweepProbes): DataFrame = {
     import s.implicits._
-    // ONE screen pass at the maximum swept nprobe, each candidate carrying
-    // its probe rank: nprobe-np's candidate set is exactly `rn <= np`
-    // (the probe-rank filter distributes over the candidate join), so the
-    // sweep costs one corpus pass, not one per swept point (r14 review);
-    // SemanticContaminationSweepSpec pins screen-vs-sweep equality at the
-    // shipped default empirically.
-    val corpus = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") >= evalMaxVecId)
-    val ranked = screenCandidates(corpus,
-      trainedCentroids(s, d, IvfCentroids, iters = 3),
-      contaminationEvalProbesRanked(s, d, evalMaxVecId)
-        .filter(col("rn") <= nprobes.max))
+    // r21: ONE fused corpus pass ([[contaminationPairsRanked]]) serves the
+    // truth side, the found side AND the cost axis — the r20 shape ran the
+    // screen once (2 embedding scans) and the brute-force truth again
+    // (2 more), 6 in the audit with the eval sides. Every (pair, nprobe)
+    // fact is an expression over (cosine, rn): truth = cosine ≥ τ, found =
+    // truth ∧ rn ≤ np, scored = rn ≤ np — so one crossJoin against the
+    // swept spine and one tiny two-level aggregate replace the
+    // cost/found/truth subtrees. n_scored sums across ALL bands through a
+    // window over the (nprobe × band)-sized rollup; rows keep the r20
+    // visibility rule (a band appears iff it has ≥1 truth pair, an nprobe
+    // iff it scored ≥1 pair — the old inner cost join).
+    val pairs = contaminationPairsRanked(s, d, evalMaxVecId, nprobes.max)
     val spine = broadcast(nprobes.toDF("nprobe"))
-    val cost = ranked.crossJoin(spine)
-      .filter(col("rn") <= col("nprobe"))
-      .groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("n_scored"))
-    val found = ranked.filter(col("cosine") >= threshold)
-      .select(col("vec_id"), col("eval_id"), col("rn"))
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-    val evalV = e.filter(col("vec_id") < evalMaxVecId)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("qvec"),
-        col("nrm").as("qn"))
-    val truth = e.filter(col("vec_id") >= evalMaxVecId)
-      .join(broadcast(evalV))
-      .withColumn("cosine",
-        dot(col("qvec"), col("embedding")) / (col("qn") * col("nrm")))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_id"), col("eval_id"), col("cosine"))
-    truth.join(found, Seq("vec_id", "eval_id"), "left_outer")
-      .crossJoin(spine)
-      .withColumn("hit", when(col("rn") <= col("nprobe"), lit(1)))
+    pairs.crossJoin(spine)
       .withColumn("band", contaminationBand(col("cosine")))
       .groupBy(col("nprobe"), col("band"))
-      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
-        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
-      .join(cost, Seq("nprobe"))
+      .agg(sum(when(col("cosine") >= threshold, 1L)).as("n_true"),
+        sum(when(col("cosine") >= threshold && col("rn") <= col("nprobe"), 1L))
+          .as("n_found_raw"),
+        sum(when(col("rn") <= col("nprobe"), 1L)).as("n_scored_part"))
+      .withColumn("n_scored", sum(coalesce(col("n_scored_part"), lit(0L)))
+        .over(Window.partitionBy(col("nprobe"))))
+      .filter(col("n_true") > 0 && col("n_scored") > 0)
+      .withColumn("n_found", coalesce(col("n_found_raw"), lit(0L)))
+      .select(col("nprobe"), col("band"), col("n_true"), col("n_found"),
+        (col("n_found").cast("double") / col("n_true")).as("recall"),
+        col("n_scored"))
   }
 
   /** MEASURED recall of the trained-cell blocking behind
@@ -1129,26 +1191,20 @@ object Similarity {
     */
   def semanticContaminationRecall(s: SparkSession, d: String,
       evalMaxVecId: Long = 50, threshold: Double = 0.2,
-      nprobe: Int = ContamProbe): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", norm(col("embedding")))
-    val evalV = e.filter(col("vec_id") < evalMaxVecId)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("qvec"),
-        col("nrm").as("qn"))
-    val truth = e.filter(col("vec_id") >= evalMaxVecId)
-      .join(broadcast(evalV))
-      .withColumn("cosine",
-        dot(col("qvec"), col("embedding")) / (col("qn") * col("nrm")))
+      nprobe: Int = ContamProbe): DataFrame =
+    // r21: truth and found ride ONE fused corpus pass (see
+    // [[contaminationPairsRanked]] — the screen's own cell assignment +
+    // probe-rank lookup replaces the second corpus scan and the candidate
+    // join; embeddings ×4 → one corpus + one checkpointed eval-slice scan).
+    // A pair is found exactly when the screen at `nprobe` scores it (rn
+    // non-NULL under the maxProbe = nprobe cut) — count(rn) is the old
+    // count(hit) verbatim.
+    contaminationPairsRanked(s, d, evalMaxVecId, nprobe)
       .filter(col("cosine") >= threshold)
-      .select(col("vec_id"), col("eval_id"), col("cosine"))
-    val found = semanticContaminationHits(s, d, evalMaxVecId, threshold, nprobe)
-      .select(col("vec_id"), col("eval_id"), lit(1).as("hit"))
-    truth.join(found, Seq("vec_id", "eval_id"), "left_outer")
       .withColumn("band", contaminationBand(col("cosine")))
       .groupBy(col("band"))
-      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
-        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
-  }
+      .agg(count(lit(1)).as("n_true"), count(col("rn")).as("n_found"),
+        (count(col("rn")).cast("double") / count(lit(1))).as("recall"))
 
   /** Embedding-cosine near-duplicate pairs: all pairs within an LSH bucket
     * with cosine above threshold (doc-level near-dup by vector similarity).

@@ -94,16 +94,22 @@ object TemporalJoins {
     val probes = errors
       .withColumn("bucket", explode(array(hourBucket(col("ts")),
         hourBucket(col("ts")) + 1)))
-    val counts = probes.join(clicks,
+    // r21: the probe join is LEFT OUTER and the zero-click errors ride it
+    // directly — the old inner-join-then-left-outer-against-errors shape
+    // re-scanned events a third time just to restore the zero rows (the
+    // audit's events=3). Every error keeps ≥1 probe row (unmatched probes
+    // survive with a NULL click), count(c_user) ignores the NULLs, and a
+    // click still matches exactly one of the error's two probe buckets —
+    // identical counts, one fewer corpus scan (guide §2.4).
+    probes.join(clicks,
         probes("bucket") === clicks("bucket") &&
           probes("user_id") === clicks("c_user") &&
           clicks("c_ts") >= probes("ts") &&
-          clicks("c_ts") < probes("ts") + expr("INTERVAL 1 HOUR"))
-      .groupBy(probes("event_id").as("event_id"))
-      .agg(count(lit(1)).as("n_clicks"))
-    errors.select(col("event_id"), col("user_id"))
-      .join(counts, Seq("event_id"), "left_outer")
-      .select(col("event_id"), col("user_id"),
-        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+          clicks("c_ts") < probes("ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .groupBy(probes("event_id").as("event_id"),
+        probes("user_id").as("user_id"))
+      .agg(count(col("c_user")).as("n_clicks"))
+      .select(col("event_id"), col("user_id"), col("n_clicks"))
   }
 }

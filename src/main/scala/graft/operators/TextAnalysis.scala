@@ -125,16 +125,25 @@ object TextAnalysis {
     * construction).
     */
   def tfidfTopK(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    // r21: df used to be a separate rollup OF the tf table that then joined
+    // back onto it — the tokenize+tf pipeline ran twice (agg input + join
+    // probe; the audit's documents=3). tf rows are distinct per (doc, term),
+    // so a count window over `term` IS the document frequency (the
+    // q_unigram_score / bm25 discipline, guide §2.4) — one expansion, no
+    // df join. n_docs keeps its own scan: it counts ALL documents including
+    // token-less ones (not derivable from tf), but it is a zero-column
+    // count-only read. Same IEEE score chain: (double × exact-int) /
+    // exact-int, identical operand order.
     val docs = Tables.documents(s, d)
     val terms = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -595,12 +604,19 @@ object TextAnalysis {
     */
   private[graft] def substringCandidates(docs: DataFrame,
       patTris: Seq[String]): DataFrame = {
-    val lits = patTris.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    // Column-API higher-order functions, not an interpolated SQL string
+    // (r20 ADVICE): Spark SQL string literals escape with backslash, so a
+    // pattern containing a quote or backslash made the '' doubling above
+    // either fail to parse or match the wrong IN-list — silently returning
+    // zero candidates. isInCollection takes arbitrary strings; the
+    // filter-inside-distinct shape (r20) is unchanged.
     docs
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"""filter(transform(sequence(1, greatest(length(t) - 2, 0)),
-           |       i -> substring(t, i, 3)),
-           |   tri -> tri IN ($lits))""".stripMargin)))
+      .select(col("doc_id"), explode(array_distinct(
+        filter(
+          transform(
+            sequence(lit(1), greatest(length(col("t")) - 2, lit(0))),
+            i => col("t").substr(i, lit(3))),
+          tri => tri.isInCollection(patTris))))
         .as("tri"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tris"))

@@ -221,8 +221,14 @@ object TrainingData {
       alpha: Double = 0.3): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    // r21: n_min rides a global window over the langs-sized histogram —
+    // the old scalar-agg crossJoin consumed `counts` twice, re-running the
+    // whole corpus histogram scan under each consumer (audit: documents=3).
+    // The unpartitioned window funnels only the langs-cardinality frame
+    // through one task (guide §2.4; same min, same IEEE pow chain).
     val fracs = counts
-      .crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+      .withColumn("n_min", min(col("n_l")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("lang"),
         pow(col("n_l").cast("double") / col("n_min"), lit(alpha - 1.0))
           .as("keep_frac"))

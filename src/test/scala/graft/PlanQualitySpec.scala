@@ -520,4 +520,46 @@ class PlanQualitySpec extends SparkSpecBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("de-duplicated faces keep their materialized-once scan counts") {
+    // r21 (r20 VERDICT task 6 + ADVICE): the r20/r21 duplicated-subtree
+    // fixes truncate each face's plan at its checkpoint, so nothing pinned
+    // that the faces still CONSUME the materialized subtree — a regression
+    // rebuilding an unpruned inline scan would have passed the helper-level
+    // pins. This is the PlanAudit counter as a spec: per face, the parquet
+    // scan count in the face's OWN physical plan must not regrow past the
+    // audited post-fix shape (0 where every fact frame is checkpointed).
+    val scanRe = "Location: [A-Za-z]+FileIndex \\[[^\\]]*?([A-Za-z0-9_.-]+\\.parquet)".r
+    val bound = Map(
+      "q_funnel" -> Map.empty[String, Int],
+      "q_funnel_windowed" -> Map.empty[String, Int],
+      "q_scd2_asof" -> Map.empty[String, Int],
+      "q_sample_topk_group" -> Map.empty[String, Int],
+      "q_active_users" -> Map.empty[String, Int],
+      "q_max_concurrency" -> Map.empty[String, Int],
+      "q_skyline" -> Map("lineitem.parquet" -> 1),
+      "q_bag_set_ops" -> Map("orders.parquet" -> 1),
+      "q_scd2_customers" -> Map("customer.parquet" -> 3),
+      "q_incremental_join" -> Map("orders.parquet" -> 1, "customer.parquet" -> 1),
+      "q_tfidf_topk" -> Map("documents.parquet" -> 2),
+      "q_range_join" -> Map("events.parquet" -> 2),
+      "q_table_diff" -> Map("orders.parquet" -> 2),
+      "q_temperature_sample" -> Map("documents.parquet" -> 2),
+      "q_quality_report" -> Map("orders.parquet" -> 2, "lineitem.parquet" -> 1),
+      "q_bloom_insert_ignore" -> Map("orders.parquet" -> 1),
+      "q_semantic_contamination_recall" -> Map("embeddings.parquet" -> 1),
+      "q_semantic_contamination_sweep" -> Map("embeddings.parquet" -> 1),
+      "q_co_order_heavy_topk" -> Map.empty[String, Int])
+    bound.foreach { case (face, expect) =>
+      val p = q(face).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val scans = scanRe.findAllMatchIn(p).map(_.group(1)).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      scans.foreach { case (t, n) =>
+        assert(n <= expect.getOrElse(t, 0),
+          s"$face scans $t ${n}x (audited bound ${expect.getOrElse(t, 0)}) — " +
+            s"a checkpointed/fused subtree regrew its duplicate scan:\n$p")
+      }
+    }
+  }
 }

@@ -83,4 +83,41 @@ class SemanticContaminationSweepSpec extends SparkSpecBase {
     assert(screen === sweepFound,
       "screen hits and sweep found-pairs diverged at the shipped nprobe")
   }
+
+  test("the fused recall face equals the direct truth-joins-screen composition") {
+    // r21: recall/sweep ride ONE fused corpus pass (truth cosines + the
+    // screen's cell assignment + a probe-rank lookup). This re-runs the
+    // pre-r21 composition — brute-force truth left-joined to the production
+    // screen's own hit pairs — and pins row-level equality, band by band.
+    val thr = 0.2
+    val e = Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+    val evalV = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qvec"),
+        col("nrm").as("qn"))
+    val truth = e.filter(col("vec_id") >= 50)
+      .join(broadcast(evalV))
+      .withColumn("cosine", Similarity.dot(col("qvec"), col("embedding")) /
+        (col("qn") * col("nrm")))
+      .filter(col("cosine") >= thr)
+      .select(col("vec_id"), col("eval_id"), col("cosine"))
+    val found = Similarity.screenCandidates(
+      Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 50),
+      Similarity.trainedCentroids(spark, Sf, iters = 3),
+      Similarity.contaminationEvalProbes(spark, Sf))
+      .filter(col("cosine") >= thr)
+      .select(col("vec_id"), col("eval_id"), lit(1).as("hit"))
+    val band = when(col("cosine") >= 0.4, lit("0.40+"))
+      .when(col("cosine") >= 0.3, lit("0.30-0.40")).otherwise(lit("0.20-0.30"))
+    val direct = truth.join(found, Seq("vec_id", "eval_id"), "left_outer")
+      .withColumn("band", band).groupBy(col("band"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+      .collect().map(_.toString).sorted.toSeq
+    val fused = Similarity.semanticContaminationRecall(spark, Sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fused == direct,
+      s"fused recall diverged from the direct composition:\n$fused\nvs\n$direct")
+  }
 }
