@@ -925,8 +925,17 @@ object Graphs {
       // stage over the checkpointed edges against a broadcast n-row
       // adjacency (arrays totalling m longs — broadcastable exactly when
       // the closing set itself is, i.e. the gate condition already holds).
-      val adjArr = ori.groupBy(col("s"))
-        .agg(array_sort(collect_list(col("t"))).as("nbr"))
+      // r21: the adjacency aggregate fed TWO broadcast sides (source and
+      // target adjacency) as canonically distinct subtrees — the
+      // collect_list shuffle + ObjectHashAggregate ran twice per count
+      // (plans/r21/q_triangle_count_before.txt operators (5)-(8) vs
+      // (13)-(16)). One checkpoint materializes it once; its size is the
+      // broadcast relation the admission gate already admitted (n rows,
+      // m longs total), so the pin stays inside the same memory class.
+      val (adjArr, adjIds) = IterCheckpoint.checkpoint(
+        ori.groupBy(col("s"))
+          .agg(array_sort(collect_list(col("t"))).as("nbr")))
+      IterCheckpoint.supersede(s, "triangleCountAdj", adjIds)
       // counting is graft_sorted_intersect_n — a codegen'd two-pointer
       // merge over the sorted adjacency arrays (r12): the old
       // size(array_intersect) built a per-ROW hash set of n1 (Σ od(s)
