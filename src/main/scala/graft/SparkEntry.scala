@@ -860,7 +860,14 @@ object SparkEntry {
     //    corpus (same generated oracle as q_semantic_contamination)
     "q_stream_semantic_contam" -> ((s, d) => {
       val cents = Similarity.trainedCentroids(s, d)
-      val probes = Similarity.contaminationEvalProbes(s, d)
+      // r21 (found by PlanAudit --executed): the probe frame is the
+      // stream's FROZEN static side, but passing it lazily re-executed its
+      // whole subtree — an embeddings eval scan + posexplode + rank window
+      // — inside EVERY micro-batch's screen action. One checkpoint of the
+      // evals×nprobe-row table pays it once per face invocation.
+      val (probes, probeIds) = graft.operators.IterCheckpoint.checkpoint(
+        Similarity.contaminationEvalProbes(s, d))
+      graft.operators.IterCheckpoint.supersede(s, "streamContamProbes", probeIds)
       val root = stagedLanding("semcontam_mb", d) { dir =>
         java.nio.file.Files.createDirectory(dir.resolve("landing"))
         stageVecSlices(
