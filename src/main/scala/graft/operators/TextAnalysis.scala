@@ -628,8 +628,16 @@ object TextAnalysis {
       terms: Seq[String] = Seq("vector", "merge"), k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = Tables.documents(s, d)
-    val dl = docs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("dl"))
+    // r21: dl fed the corpus-stats aggregate AND the scoring join — the
+    // full-corpus tokenize pass behind it ran twice (audit documents=3,
+    // two of them tokenize passes). The doc-length table is metadata-width
+    // (two longs per doc — the textbook second component of a BM25 index
+    // next to the postings), so one checkpoint replaces a whole
+    // tokenize+scan pass at any scale (guide §2.4/§5).
+    val (dl, dlIds) = graft.operators.IterCheckpoint.checkpoint(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl")))
+    graft.operators.IterCheckpoint.supersede(s, "bm25DocLen", dlIds)
     val post = postings(s, d)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
