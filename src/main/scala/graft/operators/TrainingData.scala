@@ -439,12 +439,18 @@ object TrainingData {
           (col("n_docs") * col("n_docs"))).cast("long"))
 
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    // r21: the labeled frame fed the per-cluster train count AND the
+    // non-train probe side — the whole cluster-labeling + split join ran
+    // twice (audit documents=4). A count window over cluster_id computes
+    // n_train_dups on the same stream (guide §2.4); the old inner join
+    // kept non-train rows only when the cluster had ≥1 train row, which is
+    // exactly the window sum's non-NULL cases.
     val labeled = Dedup.dedupClustersRep(s, d)
       .join(hashSplit(s, d).select(col("doc_id"), col("split")), Seq("doc_id"))
-    val trainPerCluster = labeled.filter(col("split") === "train")
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_train_dups"))
-    labeled.filter(col("split") =!= "train")
-      .join(trainPerCluster, Seq("cluster_id"))
+    labeled
+      .withColumn("n_train_dups", sum(when(col("split") === "train", 1L))
+        .over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("split") =!= "train" && col("n_train_dups").isNotNull)
       .select(col("doc_id"), col("split"), col("cluster_id"), col("n_train_dups"))
   }
 
