@@ -102,29 +102,27 @@ object IngestTransforms {
       .agg(call_function("graft_bloom_agg",
         xxhash64(col(key)), lit(nKeys), lit(nBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
-    // r21: the deduped batch feeds BOTH the definitely-new branch and the
-    // candidate branch — lazily, each branch re-ran the batch scan and the
-    // dedup shuffle (the audit's extra incoming scan; exchange reuse does
-    // not bridge the two differently-filtered consumers). The batch is the
-    // SMALL side by this operator's own contract (existing is the 100 TB
-    // corpus, incoming is a batch), so one batch-sized checkpoint is the
-    // r20 small-decision-table discipline (guide §5). The checkpoint
-    // truncates the face plan at an RDD scan, so BloomJoinSpec pins the
-    // probe on the factored [[bloomDedupedBatch]] subtree.
-    val (deduped, ids) = IterCheckpoint.checkpoint(
-      bloomDedupedBatch(incoming, key, sketch))
-    IterCheckpoint.supersede(incoming.sparkSession, "bloomInsertIgnore", ids)
+    // The deduped batch feeds BOTH branches LAZILY — each branch re-runs
+    // the batch scan and the dedup shuffle (verified executed: no AQE
+    // stage reuse bridges the two differently-filtered consumers). An r21
+    // draft checkpointed it, and the 100× replica measured the
+    // materialization 1.85× SLOWER than the duplicate dedup (19.9 →
+    // 36.8 s, BENCH_100x_touched_r21_*.json): pinning a full-width batch
+    // in the block manager costs more than re-shuffling it, at exactly the
+    // batch sizes where the duplication is worth anything — the r20
+    // ADVICE's fact-scale-pin hazard, measured. Kept lazy on purpose.
+    val deduped = bloomDedupedBatch(incoming, key, sketch)
     val definitelyNew = deduped.filter(!col("__might")).drop("__might")
     val candidates = deduped.filter(col("__might")).drop("__might")
       .join(existingKeys.dropDuplicates(key), Seq(key), "left_anti")
     definitelyNew.unionByName(candidates)
   }
 
-  /** The pre-checkpoint batch subtree of [[bloomInsertIgnore]]: the probe
-    * column (computed BEFORE the dedup — a pure function of the key, so
-    * every duplicate row of a key agrees on it) plus the in-batch dedup.
+  /** The deduped-batch subtree of [[bloomInsertIgnore]]: the probe column
+    * (computed BEFORE the dedup — a pure function of the key, so every
+    * duplicate row of a key agrees on it) plus the in-batch dedup.
     * Factored so BloomJoinSpec pins the Bloom probe on the subtree that
-    * actually computes it (the r20 heavyPairIncidence re-pin pattern).
+    * computes it.
     */
   private[graft] def bloomDedupedBatch(incoming: DataFrame, key: String,
       sketch: Array[Byte]): DataFrame =

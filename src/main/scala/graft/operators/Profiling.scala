@@ -113,32 +113,26 @@ object Profiling {
         "'not_null o_orderdate', v_1, 'accepted_values o_orderstatus', v_2, " +
         "'unique o_orderkey', v_3)").as(Seq("rule", "violations")))
       .select(lit("orders").as("table_name"), col("rule"), col("violations"))
-    // r21: the row rules and the FK check consume the same lineitem stream,
-    // so one scan feeds both (the refIntegrity discipline): rule violations
-    // partial-aggregate per l_orderkey BEFORE the shuffle — what crosses
-    // the wire is one row of narrow counts per DISTINCT key, strictly less
-    // than the old anti-join's every-row key shuffle (guide §2.3) — and the
-    // left_outer hit flag against the distinct parent keys replaces the
-    // left_anti (left_anti ≡ left_outer-then-null; parent keys distinct so
-    // the join cannot duplicate; a NULL child key never matches in either
-    // form). Violation totals are exact integer sums of per-key sums.
-    val perKey = l.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(!col("l_quantity").between(1, 30), 1L).otherwise(0L)).as("v_0"),
-        sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("v_1"),
-        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_2"))
-    val pKeys = o.select(col("o_orderkey")).distinct()
-      .withColumn("_hit", lit(1))
-    val lineitemReport = perKey
-      .join(pKeys, col("l_orderkey") === col("o_orderkey"), "left_outer")
-      .agg(sum(col("v_0")).as("v_0"), sum(col("v_1")).as("v_1"),
-        sum(col("v_2")).as("v_2"),
-        coalesce(sum(when(col("_hit").isNull, col("n"))), lit(0L)).as("v_3"))
-      .select(expr("stack(4, 'range l_quantity [1,30]', v_0, " +
-        "'range l_discount [0,0.1]', v_1, 'not_null l_shipdate', v_2, " +
-        "'fk l_orderkey -> orders', v_3)").as(Seq("rule", "violations")))
-      .select(lit("lineitem").as("table_name"), col("rule"), col("violations"))
-    ordersReport.unionByName(lineitemReport)
+    // The lineitem rules + FK check deliberately stay TWO passes (one
+    // shuffle-free rules scan, one key-only anti-join scan): an r21 draft
+    // fused them behind a per-l_orderkey pre-aggregate, and the 100×
+    // replica measured it 2.1× SLOWER (14.4 → 30.2 s,
+    // BENCH_100x_touched_r21_*.json) — near-unique keys mean the "partial"
+    // aggregate barely reduces map-side while paying a 4-column hash-agg
+    // shuffle and a distinct on the parent side; the anti-join's 1-column
+    // key shuffle plus one extra pushed columnar scan is the cheaper side
+    // of the trade at scale.
+    val lineitemRules = ruleViolations(l, "lineitem", Seq(
+      Rule("range l_quantity [1,30]", !col("l_quantity").between(1, 30)),
+      Rule("range l_discount [0,0.1]", !col("l_discount").between(0.0, 0.1)),
+      Rule("not_null l_shipdate", col("l_shipdate").isNull)))
+    val fk = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem").as("table_name"),
+        lit("fk l_orderkey -> orders").as("rule"), col("violations"))
+    ordersReport.unionByName(lineitemRules).unionByName(fk)
   }
 
   /** Cross-table referential-integrity audit: every FK relation of the star

@@ -94,22 +94,24 @@ object TemporalJoins {
     val probes = errors
       .withColumn("bucket", explode(array(hourBucket(col("ts")),
         hourBucket(col("ts")) + 1)))
-    // r21: the probe join is LEFT OUTER and the zero-click errors ride it
-    // directly — the old inner-join-then-left-outer-against-errors shape
-    // re-scanned events a third time just to restore the zero rows (the
-    // audit's events=3). Every error keeps ≥1 probe row (unmatched probes
-    // survive with a NULL click), count(c_user) ignores the NULLs, and a
-    // click still matches exactly one of the error's two probe buckets —
-    // identical counts, one fewer corpus scan (guide §2.4).
-    probes.join(clicks,
+    // The inner probe join + a final left_outer against the (pushed,
+    // selective) errors slice stays deliberately: an r21 draft made the
+    // probe join LEFT OUTER to drop the third events scan, and the 100×
+    // replica measured it 1.46× SLOWER (3.6 → 5.3 s,
+    // BENCH_100x_touched_r21_*.json) — every error's two probe rows then
+    // ride the join output and the aggregate whether or not they match,
+    // which at dense-history scale costs more than one extra
+    // type-filtered columnar scan.
+    val counts = probes.join(clicks,
         probes("bucket") === clicks("bucket") &&
           probes("user_id") === clicks("c_user") &&
           clicks("c_ts") >= probes("ts") &&
-          clicks("c_ts") < probes("ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      .groupBy(probes("event_id").as("event_id"),
-        probes("user_id").as("user_id"))
-      .agg(count(col("c_user")).as("n_clicks"))
-      .select(col("event_id"), col("user_id"), col("n_clicks"))
+          clicks("c_ts") < probes("ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(probes("event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+    errors.select(col("event_id"), col("user_id"))
+      .join(counts, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
   }
 }
